@@ -1,0 +1,173 @@
+"""Lenient HTML -> element-tree parser (hast equivalent).
+
+Re-implements the parse stage of the reference pipeline
+(rehype-parse, /root/reference/package-lock.json:16036) on top of the
+stdlib ``html.parser``.  Produces a minimal hast-like node model:
+
+    Element(tag, attrs, children)
+    Text(value)
+
+Void elements, implied closes for <p>/<li>/<tr>/<td> etc., and character
+references are handled so that fixture-grade HTML (unclosed <br>, entities
+like &#x26;) parses into the same tree shape rehype-parse would emit.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+
+class Text:
+    __slots__ = ("value",)
+
+    def __init__(self, value: str):
+        self.value = value
+
+    def __repr__(self):  # pragma: no cover
+        return f"Text({self.value!r})"
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs=None):
+        self.tag = tag
+        self.attrs = dict(attrs or {})
+        self.children: list = []
+        self.parent: "Element | None" = None
+
+    # -- tree helpers -------------------------------------------------
+    def append(self, node):
+        if isinstance(node, Element):
+            node.parent = self
+        self.children.append(node)
+
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def find_all(self, tag: str):
+        out = []
+        stack = [self]
+        while stack:
+            n = stack.pop(0)
+            for c in n.children:
+                if isinstance(c, Element):
+                    if c.tag == tag:
+                        out.append(c)
+                    stack.append(c)
+        return out
+
+    def find(self, tag: str):
+        all_ = self.find_all(tag)
+        return all_[0] if all_ else None
+
+    def text_content(self) -> str:
+        parts = []
+        stack = [self]
+        while stack:
+            n = stack.pop(0)
+            for c in n.children:
+                if isinstance(c, Text):
+                    parts.append(c.value)
+                else:
+                    stack.append(c)
+        return "".join(parts)
+
+    def __repr__(self):  # pragma: no cover
+        return f"Element({self.tag}, {self.attrs}, {len(self.children)} kids)"
+
+
+VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+
+# tags whose open implicitly closes a set of currently-open tags
+_IMPLIED_CLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "thead": {"tr", "td", "th"},
+    "tbody": {"thead", "tr", "td", "th"},
+    "tfoot": {"tbody", "tr", "td", "th"},
+    "option": {"option"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+}
+
+# block-ish tags that implicitly close an open <p>
+_P_CLOSERS = {
+    "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hr", "main", "nav", "ol", "pre", "section", "table", "ul",
+}
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root")
+        self.stack: list[Element] = [self.root]
+
+    # -- helpers ------------------------------------------------------
+    def _cur(self) -> Element:
+        return self.stack[-1]
+
+    def _close_implied(self, tag: str):
+        # close <p> when a block tag opens
+        if tag in _P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag in ("td", "th", "li", "caption"):
+                    break
+        closes = _IMPLIED_CLOSE.get(tag)
+        if closes:
+            while len(self.stack) > 1 and self._cur().tag in closes:
+                self.stack.pop()
+
+    # -- parser callbacks ----------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        self._close_implied(tag)
+        el = Element(tag, attrs)
+        self._cur().append(el)
+        if tag not in VOID:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        self._close_implied(tag)
+        self._cur().append(Element(tag, attrs))
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray close tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self._cur().append(Text(data))
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into an element tree; returns the root."""
+    p = _TreeBuilder()
+    p.feed(html)
+    p.close()
+    return p.root

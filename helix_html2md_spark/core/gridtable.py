@@ -1,0 +1,454 @@
+"""ASCII gridtable serializer.
+
+Re-implements the gridtable markdown extension of the reference pipeline
+(@adobe/mdast-util-gridtables 4.0.15, /root/reference/package-lock.json:578-603;
+node taxonomy /root/reference/src/gridTableMock.js:12-31) with the layout
+model reverse-engineered from the golden fixtures:
+
+* table target line width 120; per-column share = ceil((120 - (3n+1)) / n)
+* cell content is rendered to markdown, then re-wrapped at the column's
+  wrap width; the final column width shrinks to the longest actual line
+  (measured: blocks.md, multiple-sections.md, default-content.md, json-ld.md)
+* unconditionally unbreakable lines: headings, fenced-code lines, nested
+  gridtable lines, lines containing inline code / links / images /
+  single-`*` emphasis (incl. ``***``)  (codeblock.md:13, blocks.md:5,
+  default-content.md:20)
+* ``**strong**`` runs are atomic only while <= share+10 chars, else they
+  wrap word-wise (blocks.md 4-col cards: 31-char strong kept, 46-char broken)
+* colspan cells distribute their width need evenly over spanned columns
+  (tables.md `bar heading` -> 6+6; blocks.md `Section Metadata` -> 7+9)
+* header separator ``+===+`` only below rows of gtHeader (tables.md:3)
+* data-align/valign markers on the row's top border:
+  ``+:--x--:+`` / ``+:---+`` / ``+--v--+`` (blocks-with-alignment.md)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+LINE_WIDTH = 120
+ATOM_SLACK = 10
+
+
+# ---------------------------------------------------------------------------
+# wrapping
+# ---------------------------------------------------------------------------
+
+_FENCE_RE = re.compile(r"^\s*(`{3,}|~{3,})")
+_LIST_RE = re.compile(r"^(\s*)(-|\+|\*|\d+[.)])( +)")
+_QUOTE_RE = re.compile(r"^(> ?)+")
+
+
+def _strip_escapes(line: str) -> str:
+    return re.sub(r"\\.", "", line)
+
+
+def _is_atom_line(line: str, in_fence: bool) -> bool:
+    if in_fence:
+        return True
+    s = line.lstrip()
+    body = _LIST_RE.sub("", line, count=1)
+    body = _QUOTE_RE.sub("", body, count=1)
+    if s.startswith("#"):
+        return True
+    if s.startswith(("+", "|")) and set(s) & {"+", "|"} and re.match(r"^[+|][-=+|: xv^]", s):
+        return True  # nested gridtable line
+    t = _strip_escapes(body)
+    if "`" in t:
+        return True
+    if "](" in t or "![" in t or "<" in t:
+        return True
+    # single-star emphasis (incl ***): any '*' left after removing '**' pairs
+    if "*" in t.replace("**", ""):
+        return True
+    return False
+
+
+def _tokenize(text: str, atom_limit: int):
+    """Split text into (token, following_space_run) pairs.
+
+    ``**...**`` runs are atomic while <= atom_limit chars.
+    """
+    tokens: list[str] = []
+    i = 0
+    n = len(text)
+    cur = ""
+    while i < n:
+        if text[i] == " ":
+            j = i
+            while j < n and text[j] == " ":
+                j += 1
+            if cur:
+                tokens.append(cur)
+                cur = ""
+            tokens.append(" " * (j - i))
+            i = j
+            continue
+        if text.startswith("**", i):
+            m = re.compile(r"\*\*(?:[^*\\]|\\.)+\*\*").match(text, i)
+            if m and len(m.group(0)) <= atom_limit:
+                if cur:
+                    tokens.append(cur)
+                    cur = ""
+                tokens.append(m.group(0))
+                i = m.end()
+                continue
+        cur += text[i]
+        i += 1
+    if cur:
+        tokens.append(cur)
+    # merge: produce list of (word, space_after)
+    out = []
+    k = 0
+    while k < len(tokens):
+        w = tokens[k]
+        sp = ""
+        if w.startswith(" "):
+            # leading spaces attach to next word as prefix
+            if k + 1 < len(tokens) and not tokens[k + 1].startswith(" "):
+                out.append((w + tokens[k + 1], ""))
+                k += 2
+                continue
+            out.append((w, ""))
+            k += 1
+            continue
+        if k + 1 < len(tokens) and tokens[k + 1].startswith(" "):
+            sp = tokens[k + 1]
+            k += 2
+        else:
+            k += 1
+        out.append((w, sp))
+    return out
+
+
+def _wrap_text(text: str, width: int, atom_limit: int) -> list[str]:
+    toks = _tokenize(text, atom_limit)
+    # split oversize ** atoms into words
+    words: list[tuple[str, str]] = []
+    for w, sp in toks:
+        words.append((w, sp))
+    lines: list[str] = []
+    cur = ""
+    cur_sp = ""
+    for w, sp in words:
+        cand = cur + cur_sp + w if cur else w
+        if cur and len(cand) > width:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = cand
+        cur_sp = sp
+    if cur:
+        lines.append(cur)
+    return lines or [""]
+
+
+def min_content_width(lines: list[str], atom_limit: int) -> int:
+    """Longest unbreakable unit across the cell's rendered lines."""
+    best = 0
+    in_fence = False
+    for line in lines:
+        fm = _FENCE_RE.match(line)
+        if _is_atom_line(line, in_fence):
+            best = max(best, len(line))
+        else:
+            m = _LIST_RE.match(line)
+            q = _QUOTE_RE.match(line)
+            prefix = len(m.group(0)) if m else (len(q.group(0)) if q else 0)
+            body = line[prefix:]
+            for w, _sp in _tokenize(body, atom_limit):
+                best = max(best, prefix + len(w))
+        if fm:
+            in_fence = not in_fence
+    return best
+
+
+def wrap_cell(lines: list[str], width: int, atom_limit: int) -> list[str]:
+    """Re-wrap rendered cell lines at ``width``.
+
+    Consecutive plain (wrappable) lines belonging to one paragraph are
+    joined before re-wrapping (soft line breaks re-flow, json-ld.md:3-8).
+    Hard-break lines (ending ``\\``) stay separate.
+    """
+    out: list[str] = []
+    in_fence = False
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        fm = _FENCE_RE.match(line)
+        if fm:
+            out.append(line)
+            in_fence = not in_fence
+            i += 1
+            continue
+        if in_fence or line == "" or _is_atom_line(line, in_fence):
+            out.append(line)
+            i += 1
+            continue
+        m = _LIST_RE.match(line)
+        q = _QUOTE_RE.match(line)
+        if m:
+            prefix, cont = m.group(0), " " * len(m.group(0))
+            body = line[len(prefix):]
+            j = i  # list item bodies are single lines already
+        elif q:
+            prefix = q.group(0)
+            cont = prefix
+            body = line[len(prefix):]
+            j = i
+        else:
+            prefix, cont = "", ""
+            body = line
+            j = i
+            # join following plain lines of the same paragraph
+            while (
+                j + 1 < n
+                and lines[j + 1] != ""
+                and not lines[j].rstrip().endswith("\\")
+                and not _FENCE_RE.match(lines[j + 1])
+                and not _is_atom_line(lines[j + 1], False)
+                and not _LIST_RE.match(lines[j + 1])
+                and not _QUOTE_RE.match(lines[j + 1])
+            ):
+                body = body + " " + lines[j + 1]
+                j += 1
+        wrapped = _wrap_text(body, max(width - len(prefix), 1), atom_limit)
+        for k, wl in enumerate(wrapped):
+            out.append((prefix if k == 0 else cont) + wl)
+        i = j + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# table model & layout
+# ---------------------------------------------------------------------------
+
+
+class _Cell:
+    __slots__ = (
+        "node", "lines", "col", "row", "colspan", "rowspan",
+        "align", "valign", "in_header",
+    )
+
+    def __init__(self, node, lines, row, col, in_header):
+        self.node = node
+        self.lines = lines
+        self.row = row
+        self.col = col
+        self.colspan = max(1, int(node.get("colSpan", 1) or 1))
+        self.rowspan = max(1, int(node.get("rowSpan", 1) or 1))
+        self.align = node.get("align")
+        self.valign = node.get("valign")
+        self.in_header = in_header
+
+
+def layout_rows(table_node, render_cell):
+    """Flatten gridTable node -> (cells, nrows, ncols, header_end_row)."""
+    rows = []
+    header_rows = 0
+    for part in table_node.get("children", []):
+        pt = part["type"]
+        if pt == "gtRow":
+            rows.append((part, False))
+        else:
+            is_header = pt == "gtHeader"
+            for r in part.get("children", []):
+                rows.append((r, is_header))
+            if is_header:
+                header_rows = len(rows)
+    # occupancy grid
+    occupied: dict[tuple[int, int], _Cell] = {}
+    cells: list[_Cell] = []
+    ncols = 0
+    for ri, (row, in_header) in enumerate(rows):
+        ci = 0
+        for cn in row.get("children", []):
+            while (ri, ci) in occupied:
+                ci += 1
+            cell = _Cell(cn, None, ri, ci, in_header)
+            cells.append(cell)
+            for dr in range(cell.rowspan):
+                for dc in range(cell.colspan):
+                    occupied[(ri + dr, ci + dc)] = cell
+            ci += cell.colspan
+        ncols = max(ncols, ci)
+    nrows = len(rows)
+    # fill trailing gaps: rows with fewer cells -> last cell spans to end
+    for ri in range(nrows):
+        # find rightmost occupied col
+        last = None
+        for ci in range(ncols):
+            c = occupied.get((ri, ci))
+            if c is not None:
+                last = c
+        if last is not None and last.row == ri:
+            end = last.col + last.colspan
+            if end < ncols and all(
+                (ri + dr, cj) not in occupied
+                for dr in range(last.rowspan)
+                for cj in range(end, ncols)
+            ):
+                for dr in range(last.rowspan):
+                    for cj in range(end, ncols):
+                        occupied[(ri + dr, cj)] = last
+                last.colspan = ncols - last.col
+    for c in cells:
+        c.lines = render_cell(c.node)
+    return cells, nrows, ncols, header_rows, occupied
+
+
+def compute_widths(cells, ncols):
+    share = math.ceil((LINE_WIDTH - (3 * ncols + 1)) / ncols) if ncols else 0
+    atom_limit = share + ATOM_SLACK
+    widths = [1] * ncols
+    # pass 1: per-column wrap width = max(share, column min-content), then
+    # wrap every single-span cell at its column's width (blocks.md 4-col
+    # cards: the 31-char strong in one cell widens wrapping for the whole
+    # column)
+    col_mc = [0] * ncols
+    for c in cells:
+        if c.colspan == 1:
+            col_mc[c.col] = max(
+                col_mc[c.col], min_content_width(c.lines, atom_limit)
+            )
+    for c in cells:
+        if c.colspan == 1:
+            wrap_w = max(share, col_mc[c.col])
+            c.lines = wrap_cell(c.lines, wrap_w, atom_limit)
+            actual = max((len(l) for l in c.lines), default=0)
+            widths[c.col] = max(widths[c.col], actual, 1)
+    # pass 2: spanning cells expand spanned columns sequentially
+    # (blocks.md "Section Metadata" -> 7+6 over Style/dark)
+    for c in cells:
+        if c.colspan > 1:
+            span_share = share * c.colspan + 3 * (c.colspan - 1)
+            mc = min_content_width(c.lines, atom_limit)
+            wrap_w = max(span_share, mc)
+            c.lines = wrap_cell(c.lines, wrap_w, atom_limit)
+            actual = max((len(l) for l in c.lines), default=0)
+            rem = actual - 3 * (c.colspan - 1)
+            for i, k in enumerate(range(c.col, c.col + c.colspan)):
+                left = c.colspan - i
+                per = math.ceil(rem / left) if rem > 0 else 0
+                new_w = max(widths[k], per, 1)
+                widths[k] = new_w
+                rem -= new_w
+    return widths, atom_limit
+
+
+def render_gridtable(table_node, render_cell) -> list[str]:
+    """render_cell(cell_node) -> list[str] rendered content lines."""
+    cells, nrows, ncols, header_rows, occupied = layout_rows(table_node, render_cell)
+    if nrows == 0 or ncols == 0:
+        return [""]
+    widths, atom_limit = compute_widths(cells, ncols)
+
+    # x coordinate of each column boundary (0..ncols)
+    xs = [0]
+    for w in widths:
+        xs.append(xs[-1] + w + 3)
+    total = xs[-1] + 1
+
+    # row heights
+    heights = [1] * nrows
+    for c in cells:
+        if c.rowspan == 1:
+            heights[c.row] = max(heights[c.row], len(c.lines))
+    for c in cells:
+        if c.rowspan > 1:
+            have = sum(heights[c.row : c.row + c.rowspan]) + (c.rowspan - 1)
+            if len(c.lines) > have:
+                heights[c.row + c.rowspan - 1] += len(c.lines) - have
+
+    # y coordinate of each row boundary
+    ys = [0]
+    for h in heights:
+        ys.append(ys[-1] + h + 1)
+    total_h = ys[-1] + 1
+
+    canvas = [[" "] * total for _ in range(total_h)]
+
+    def occ(r, c):
+        if r < 0 or r >= nrows:
+            return None
+        return occupied.get((r, c))
+
+    # --- border lines (between row r-1 and r, for r in 0..nrows) ---------
+    # Junction '+' positions come from the row BELOW the line (the row
+    # above for the bottom border): blocks-with-colspan.md:3-13,
+    # tables.md:1-11.
+    for r in range(nrows + 1):
+        y = ys[r]
+        seg_ch = []
+        for c in range(ncols):
+            above, below = occ(r - 1, c), occ(r, c)
+            if above is not None and above is below:
+                seg_ch.append(" ")  # rowspan cell continues across
+            elif r == header_rows and header_rows > 0:
+                seg_ch.append("=")
+            else:
+                seg_ch.append("-")
+        ref_row = r if r < nrows else r - 1
+        for c in range(ncols):
+            for x in range(xs[c] + 1, xs[c + 1]):
+                canvas[y][x] = seg_ch[c]
+        for j in range(ncols + 1):
+            x = xs[j]
+            left = seg_ch[j - 1] if j > 0 else None
+            right = seg_ch[j] if j < ncols else None
+            edge = (
+                j == 0
+                or j == ncols
+                or occ(ref_row, j - 1) is not occ(ref_row, j)
+            )
+            if (left in (None, " ")) and (right in (None, " ")):
+                below_l = occ(r, j - 1) if j > 0 else None
+                below_r = occ(r, j) if j < ncols else None
+                if r < nrows and below_l is below_r and below_l is not None:
+                    canvas[y][x] = " "  # interior of a continuing span
+                else:
+                    canvas[y][x] = "|"
+            elif edge:
+                canvas[y][x] = "+"
+            else:
+                canvas[y][x] = left if left not in (None, " ") else right
+
+    # --- vertical borders between cells in content rows ------------------
+    for r in range(nrows):
+        for yy in range(ys[r] + 1, ys[r + 1]):
+            for j in range(ncols + 1):
+                lcell = occ(r, j - 1) if j > 0 else None
+                rcell = occ(r, j) if j < ncols else None
+                if j == 0 or j == ncols or lcell is not rcell:
+                    canvas[yy][xs[j]] = "|"
+
+    # --- alignment markers on the top border of aligned cells ------------
+    for c in cells:
+        if not (c.align or c.valign):
+            continue
+        x0, x1 = xs[c.col], xs[c.col + c.colspan]
+        y0 = ys[c.row]
+        if c.align in ("left", "center", "justify"):
+            canvas[y0][x0 + 1] = ":"
+        if c.align in ("right", "center"):
+            canvas[y0][x1 - 1] = ":"
+        if c.valign:
+            mid = (x0 + x1) // 2
+            mark = {"middle": "x", "bottom": "v", "top": "^"}.get(c.valign)
+            if mark:
+                canvas[y0][mid] = mark
+
+    # --- cell content -----------------------------------------------------
+    for c in cells:
+        x0 = xs[c.col]
+        y0 = ys[c.row]
+        for k, line in enumerate(c.lines):
+            y = y0 + 1 + k
+            for j, ch in enumerate(line):
+                x = x0 + 2 + j
+                if x < total - 1:
+                    canvas[y][x] = ch
+
+    return ["".join(r).rstrip() for r in canvas]
