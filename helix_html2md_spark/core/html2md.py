@@ -33,7 +33,8 @@ class SizeTooLargeError(Exception):
 
 _MEDIA_URL_RE = re.compile(r"(^|/)media_[0-9a-f]{41,}\.[0-9a-z]+(\?|#|$)")
 _MEDIA_REF_RE = re.compile(
-    r"^media:1(?P<hash>[0-9a-f]+):(?P<w>\d+)x(?P<h>\d+):(?P<ct>[\w/+.-]+)$"
+    r"^media:1(?P<hash>[0-9a-f]+):(?P<w>\d+)x(?P<h>\d+):(?P<ct>[\w/+.-]+)"
+    r"(?::(?P<size>\d+))?$"
 )
 
 
@@ -62,12 +63,15 @@ def media_ref_to_info(ref: str) -> dict | None:
         return None
     ct = m.group("ct")
     ext = ct.split("/")[1] if "/" in ct else "bin"
-    return {
+    info = {
         "hash": m.group("hash"),
         "width": int(m.group("w")),
         "height": int(m.group("h")),
         "ext": ext,
     }
+    if m.group("size"):
+        info["size"] = int(m.group("size"))
+    return info
 
 
 def _is_media_shaped(url: str) -> bool:

@@ -1,0 +1,264 @@
+"""The extraction operator: documents(spans) -> extracted(spans, md, ...).
+
+Spark-first design (SURVEY.md §3.4):
+
+* admission gating (``maxHTMLSize``) runs JVM-side *before* the Python
+  stage, as a native filter over ``aggregate(spans, sum(length))`` —
+  Catalyst cannot push predicates through an opaque UDF, so we order it
+  explicitly (reference size gate: /root/reference/src/index.js:159-166)
+* skew defusal: explicit weight-class repartition — giant documents are
+  round-robined across partitions deterministically (north_rule:
+  "explicitly salted/repartitioned doc_id ranges")
+* one ``mapInPandas`` crossing per Arrow batch runs the pure-Python
+  transform (helix_html2md_spark.core) — no per-row Python
+* per-row error capture into ``status``/``error`` columns instead of
+  HTTP statuses (reference taxonomy: src/index.js:242-254)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+)
+
+from ..core.html2md import (
+    SizeTooLargeError, TooManyImagesError, html2md, media_ref_to_info,
+    resolve_url,
+)
+from ..core.transform import ConstraintsError
+
+SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("order", IntegerType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("md", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("n_images", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_chars", IntegerType()),
+    ]
+)
+
+_CONFIG_COLS = (
+    "source_url", "org", "site", "media_enabled", "unspread_lists",
+    "external_prefixes", "max_images", "max_image_size", "max_html_size",
+)
+
+_MEDIA_MD_RE = re.compile(
+    r"!\[[^\]\n]*\]\[image\d+\]|^\[image(\d+)\]: (.*)$", re.M
+)
+_DEF_RE = re.compile(r"^\[(image\d+)\]: (.*)$", re.M)
+_REF_RE = re.compile(r"!\[[^\]\n]*\]\[(image\d+)\]")
+
+
+def assemble_html(spans) -> str:
+    """Concat of kind='html' span texts ordered by offset (FIXTURES.md §1)."""
+    html_spans = sorted(
+        (s for s in spans if s["kind"] == "html"), key=lambda s: s["offset"]
+    )
+    return "".join(s["text"] or "" for s in html_spans)
+
+
+def build_media_lookup(spans, source_url):
+    """media spans -> {resolved src url: media info dict}."""
+    table = {}
+    for s in spans:
+        if s["kind"] != "media":
+            continue
+        src = s["text"] or ""
+        info = media_ref_to_info(s["media_ref"] or "")
+        table[resolve_url(src, source_url)] = info
+
+    def lookup(resolved_url: str):
+        return table.get(resolved_url)
+
+    return lookup
+
+
+def decompose_md(md: str):
+    """markdown -> ordered output spans (FIXTURES.md §2).
+
+    kind='media' for each ``![alt][imageN]`` occurrence and each
+    ``[imageN]: url`` definition line; kind='text' for everything else.
+    concat(text) == md.
+    """
+    defs = {m.group(1): m.group(2) for m in _DEF_RE.finditer(md)}
+    spans = []
+    pos = 0
+    events = []
+    for m in _REF_RE.finditer(md):
+        events.append((m.start(), m.end(), defs.get(m.group(1), "")))
+    for m in _DEF_RE.finditer(md):
+        events.append((m.start(), m.end(), m.group(2)))
+    events.sort()
+    order = 0
+    for start, end, ref in events:
+        if start > pos:
+            spans.append(("text", md[pos:start], "", order))
+            order += 1
+        spans.append(("media", md[start:end], ref, order))
+        order += 1
+        pos = end
+    if pos < len(md):
+        spans.append(("text", md[pos:], "", order))
+    return [
+        {"kind": k, "text": t, "media_ref": r, "order": o}
+        for k, t, r, o in spans
+    ]
+
+
+def _scalar(v):
+    """NaN/None-safe scalar from a pandas row value."""
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    return v
+
+
+def extract_row(spans, cfg_row) -> dict:
+    """Transform one document (already-assembled config)."""
+    source_url = _scalar(cfg_row.get("source_url"))
+    html = assemble_html(spans)
+    config = {
+        "source_url": source_url,
+        "org": _scalar(cfg_row.get("org")) or "owner",
+        "site": _scalar(cfg_row.get("site")) or "repo",
+        "media_enabled": bool(_scalar(cfg_row.get("media_enabled"))),
+        "media_lookup": build_media_lookup(spans, source_url),
+        "unspread_lists": bool(_scalar(cfg_row.get("unspread_lists"))),
+        "external_prefixes": [
+            p
+            for p in (_scalar(cfg_row.get("external_prefixes")) or "").split(",")
+            if p
+        ],
+        "max_images": int(_scalar(cfg_row.get("max_images")) or 0) or None,
+        "max_image_size": int(_scalar(cfg_row.get("max_image_size")) or 0) or None,
+        "max_html_size": int(_scalar(cfg_row.get("max_html_size")) or 0) or None,
+    }
+    try:
+        md = html2md(html, config)
+    except ConstraintsError as e:
+        return dict(md="", status="constraint_error", error=str(e), spans=[])
+    except (TooManyImagesError, SizeTooLargeError) as e:
+        return dict(md="", status="constraint_error", error=str(e), spans=[])
+    except Exception as e:  # noqa: BLE001 - parse never aborts the job
+        return dict(md="", status="parse_error", error=f"{type(e).__name__}: {e}", spans=[])
+    md_stripped = md.strip()
+    out_spans = decompose_md(md_stripped)
+    return dict(md=md_stripped, status="ok", error="", spans=out_spans)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "spans": [], "md": [], "status": [], "error": [],
+            "n_images": [], "n_blocks": [], "n_chars": [],
+        }
+        for row in pdf.itertuples(index=False):
+            d = row._asdict()
+            raw_spans = d["spans"]
+            if raw_spans is None:
+                raw_spans = []
+            spans_in = [
+                s if isinstance(s, dict) else s.asDict() for s in raw_spans
+            ]
+            res = extract_row(spans_in, d)
+            out["doc_id"].append(d["doc_id"])
+            out["spans"].append(
+                [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in res["spans"]]
+            )
+            out["md"].append(res["md"])
+            out["status"].append(res["status"])
+            out["error"].append(res["error"])
+            out["n_images"].append(
+                sum(1 for s in res["spans"] if s["kind"] == "media")
+            )
+            out["n_blocks"].append(res["md"].count("\n\n") + (1 if res["md"] else 0))
+            out["n_chars"].append(len(res["md"]))
+        yield pd.DataFrame(out)
+
+
+def extract_documents(
+    docs: DataFrame,
+    config: DataFrame | None = None,
+    *,
+    num_partitions: int | None = None,
+    defaults: dict | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans[]) [+ per-doc config] -> extracted table.
+
+    ``config`` is a small per-doc-config DataFrame broadcast-joined on
+    doc_id; job-level ``defaults`` fill missing values.
+    """
+    spark = docs.sparkSession
+    defaults = defaults or {}
+
+    df = docs.select("doc_id", "spans")
+    if config is not None:
+        df = df.join(F.broadcast(config), "doc_id", "left")
+    for c in _CONFIG_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(defaults.get(c)))
+        elif c in defaults:
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(defaults[c])))
+
+    # ---- JVM-side weight + admission gate (before any Python) ----------
+    df = df.withColumn(
+        "_html_len",
+        F.aggregate(
+            F.filter("spans", lambda s: s["kind"] == F.lit("html")),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ),
+    )
+    max_html_default = int(defaults.get("max_html_size") or 1024 * 1024)
+    limit = F.coalesce(F.col("max_html_size"), F.lit(max_html_default))
+    oversized = df.filter(F.col("_html_len") > limit)
+    ok = df.filter(F.col("_html_len") <= limit)
+
+    # ---- explicit skew defusal: weight-class round-robin ----------------
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
+    ok = ok.withColumn(
+        "_wclass", F.floor(F.log2(F.greatest(F.col("_html_len"), F.lit(1))))
+    )
+    w = Window.partitionBy("_wclass").orderBy("doc_id")
+    ok = ok.withColumn("_rr", F.row_number().over(w) % n)
+    ok = ok.repartition(n, "_wclass", "_rr").drop("_wclass", "_rr")
+
+    extracted = ok.drop("_html_len").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+    oversized_rows = oversized.select(
+        "doc_id",
+        F.array().cast(ArrayType(SPAN_TYPE)).alias("spans"),
+        F.lit("").alias("md"),
+        F.lit("constraint_error").alias("status"),
+        F.concat(
+            F.lit("html source larger than "),
+            F.format_number((limit / F.lit(1024 * 1024)).cast("double"), 0),
+            F.lit("MB"),
+        ).alias("error"),
+        F.lit(0).alias("n_images"),
+        F.lit(0).alias("n_blocks"),
+        F.lit(0).alias("n_chars"),
+    )
+    return extracted.unionByName(oversized_rows)

@@ -1,0 +1,156 @@
+"""Fixture-derived ``documents`` spans table + per-doc config (FIXTURES.md §1a).
+
+One row per reference golden pair: the fixture HTML is split
+deterministically at each ``<img``/``<meta ... image>`` URL occurrence into
+``kind='html'`` spans, with one ``kind='media'`` span per image occurrence
+carrying the content-addressed ``media_ref``
+(``media:1<sha1>:<w>x<h>:<content-type>[:<bytes>]``) that stands in for the
+bytes the reference's MediaHandler would fetch
+(/root/reference/src/index.js:190-209; hash pinned by
+/root/reference/test/index.test.js:123).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+FIXDIR = Path("/root/reference/test/fixtures")
+
+HASH_300 = "c2e2c6c049ccf4b583431e14919687f3a39cc227"
+HASH_LARGE = "20b6669c77e35fb2ad9563a4a048701b43948bd3"
+
+REF_300 = f"media:1{HASH_300}:300x300:image/png"
+REF_LARGE_OK = f"media:1{HASH_LARGE}:0x0:image/png"
+REF_LARGE_25 = f"media:1{HASH_LARGE}:0x0:image/png:{25 * 1025 * 1024}"
+REF_LARGE_24 = f"media:1{HASH_LARGE}:0x0:image/png:{24 * 1025 * 1024}"
+
+# media refs keyed by (fixture, src-url-as-written); missing url -> media
+# span with empty ref (fetch failure -> about:error, images.md:13,21)
+MEDIA_REFS = {
+    "images": {
+        "https://images.dummy.com/300.png": REF_300,
+        "/absolute.png": REF_300,
+        "relative.png": REF_300,
+        "/missing.png": "",
+        "https://about:error": "",
+        "/adobe/assets/urn:aaid:aem:abcd": REF_300,
+        "/meta-image.png": REF_300,
+    },
+    "image-large": {"/large.png": REF_LARGE_OK},
+    "images-large": {"/large.png": REF_LARGE_25, "/large1.png": REF_LARGE_24},
+}
+
+# per-fixture job options mirroring the reference test harness
+# (/root/reference/test/index.test.js:22-28,279-326,360-560)
+CONFIGS = {
+    "unspread": dict(unspread_lists=True),
+    "images": dict(
+        media_enabled=True, source_url="https://www.example.com/blog/article",
+        org="owner", site="repo",
+    ),
+    "image-large": dict(
+        media_enabled=True, source_url="https://www.example.com/",
+        org="owner", site="repo", max_image_size=100 * 1024 * 1024,
+    ),
+    "images-large": dict(
+        media_enabled=True, source_url="https://www.example.com/",
+        org="owner", site="repo",
+    ),
+    "external-assets": dict(
+        external_prefixes="https://example.com/adobe/assets/",
+    ),
+}
+
+_IMG_RE = re.compile(r"<img[^>]*\ssrc=\"([^\"]*)\"[^>]*>|<meta[^>]*>")
+_SRC_RE = re.compile(r'src="([^"]*)"')
+_CONTENT_RE = re.compile(r'content="([^"]*)"')
+
+
+def fixture_names() -> list[str]:
+    return sorted(p.stem for p in FIXDIR.glob("*.html"))
+
+
+def build_spans(name: str) -> list[dict]:
+    """Split one fixture HTML into interleaved html/media spans."""
+    import html as H
+
+    html_text = (FIXDIR / f"{name}.html").read_text()
+    refs = MEDIA_REFS.get(name, {})
+    spans: list[dict] = []
+    offset = 0
+    pos = 0
+
+    def add(kind, text, media_ref=""):
+        nonlocal offset
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+        )
+        offset += 1
+
+    for m in _IMG_RE.finditer(html_text):
+        tag = m.group(0)
+        src_m = _SRC_RE.search(tag) or _CONTENT_RE.search(tag)
+        if not src_m:
+            continue
+        url = H.unescape(src_m.group(1))
+        if url not in refs:
+            continue
+        add("html", html_text[pos : m.end()])
+        add("media", url, refs[url])
+        pos = m.end()
+    if pos < len(html_text) or not spans:
+        add("html", html_text[pos:])
+    return spans
+
+
+def fixture_rows() -> tuple[list, list]:
+    """(documents rows, config rows) for spark.createDataFrame."""
+    docs, cfgs = [], []
+    for name in fixture_names():
+        doc_id = f"fixture:{name}"
+        docs.append({"doc_id": doc_id, "spans": build_spans(name)})
+        cfg = CONFIGS.get(name)
+        if cfg:
+            cfgs.append({"doc_id": doc_id, **cfg})
+    return docs, cfgs
+
+
+DOC_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+CONFIG_SCHEMA = (
+    "doc_id string, source_url string, org string, site string, "
+    "media_enabled boolean, unspread_lists boolean, external_prefixes string, "
+    "max_images int, max_image_size long, max_html_size long"
+)
+
+
+def fixture_documents(spark):
+    docs, cfgs = fixture_rows()
+    ddf = spark.createDataFrame(docs, schema=DOC_SCHEMA)
+    cdf = spark.createDataFrame(
+        [
+            {
+                "doc_id": c["doc_id"],
+                "source_url": c.get("source_url"),
+                "org": c.get("org"),
+                "site": c.get("site"),
+                "media_enabled": c.get("media_enabled"),
+                "unspread_lists": c.get("unspread_lists"),
+                "external_prefixes": c.get("external_prefixes"),
+                "max_images": c.get("max_images"),
+                "max_image_size": c.get("max_image_size"),
+                "max_html_size": c.get("max_html_size"),
+            }
+            for c in cfgs
+        ],
+        schema=CONFIG_SCHEMA,
+    )
+    return ddf, cdf
+
+
+def expected_markdown(name: str) -> str | None:
+    p = FIXDIR / f"{name}.md"
+    return p.read_text().strip() if p.exists() else None

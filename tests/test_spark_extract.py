@@ -1,0 +1,84 @@
+"""Tier-2: the full Spark pipeline over the fixture-derived spans table.
+
+Asserts the per-row invariant from BASELINE.json/FIXTURES.md §2:
+span-sequence equality -> md byte equality vs every golden fixture, plus
+status/error classification for the error-only fixtures, all through
+``mapInPandas`` on a local SparkSession.
+"""
+
+import pytest
+
+from helix_html2md_spark.operators.extract import extract_documents
+from helix_html2md_spark.sources.fixtures import (
+    expected_markdown, fixture_documents, fixture_names,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs, cfg = fixture_documents(spark)
+    out = extract_documents(docs, cfg, num_partitions=4)
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in out.collect()}
+    return rows
+
+
+def test_all_fixtures_extracted(extracted):
+    assert len(extracted) == len(fixture_names())
+
+
+@pytest.mark.parametrize("name", [n for n in fixture_names() if expected_markdown(n) is not None])
+def test_md_matches_golden(extracted, name):
+    row = extracted[f"fixture:{name}"]
+    assert row["status"] == "ok", row["error"]
+    assert row["md"] == expected_markdown(name)
+
+
+@pytest.mark.parametrize("name", [n for n in fixture_names() if expected_markdown(n) is not None])
+def test_span_sequence_invariant(extracted, name):
+    """concat(span.text ordered by order) == md; media spans carry refs."""
+    row = extracted[f"fixture:{name}"]
+    spans = sorted(row["spans"], key=lambda s: s["order"])
+    assert [s["order"] for s in spans] == list(range(len(spans)))
+    assert "".join(s["text"] for s in spans) == row["md"]
+    for s in spans:
+        if s["kind"] == "media":
+            assert s["text"].startswith(("![", "[image"))
+            assert s["media_ref"] != "" or s["text"].startswith("![")
+        else:
+            assert s["media_ref"] == ""
+
+
+def test_media_spans_resolved(extracted):
+    row = extracted["fixture:images"]
+    defs = [s for s in row["spans"] if s["kind"] == "media" and s["text"].startswith("[image")]
+    assert len(defs) == 5
+    assert defs[0]["media_ref"].startswith("https://main--repo--owner.aem.page/media_1c2e2")
+
+
+def test_error_fixtures(extracted):
+    assert extracted["fixture:json-ld-invalid"]["status"] == "constraint_error"
+    assert extracted["fixture:json-ld-invalid"]["error"] == "invalid json-ld"
+    assert extracted["fixture:images-large"]["status"] == "constraint_error"
+    assert (
+        extracted["fixture:images-large"]["error"]
+        == "Images 1 and 2 exceed allowed limit of 20.00MB"
+    )
+    assert extracted["fixture:json-ld-too-large"]["status"] == "constraint_error"
+
+
+def test_oversized_html_gated_jvm_side(spark):
+    """maxHTMLSize admission gate routes rows without running Python."""
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "big",
+                "spans": [
+                    {"kind": "html", "text": "x" * 2_000_000, "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = extract_documents(docs, None, num_partitions=2).collect()
+    assert out[0]["status"] == "constraint_error"
+    assert "html source larger than 1MB" in out[0]["error"]
