@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline suite on ``local[$SPARK_GRAFT_CPUS]`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline = HTML->Markdown span extraction over the deterministic synthetic
+interleaved corpus (docs scaled by sf: sf * 100_000) + the relational /
+dedup / similarity battery over the driver tables.
+
+``--scaling`` additionally runs the extraction job at two parallelism
+levels (local[8] vs local[32]) on identical input and reports throughput
+scaling efficiency (the sandbox stand-in for N vs 4N executors,
+BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+def corpus_path(sf: float) -> str:
+    return f"/tmp/spark_graft_corpus_sf{sf}"
+
+
+def ensure_corpus(spark, sf: float, n_docs: int) -> str:
+    """Materialize the synthetic spans corpus once (deterministic)."""
+    path = corpus_path(sf)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from helix_html2md_spark.sources.synthetic import synthetic_documents
+
+        synthetic_documents(spark, n_docs, seed=SEED).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_extraction(spark, path: str) -> tuple[float, int, int]:
+    """Timed extraction pass: read parquet -> extract -> aggregate."""
+    from pyspark.sql import functions as F
+
+    from helix_html2md_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    out = extract_documents(docs, None)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum("n_chars").alias("chars"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    return wall, int(agg["n"]), int(agg["ok"])
+
+
+def run_battery(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    times = {}
+    for name, fn in E.queries().items():
+        if name == "extract_spans":
+            continue  # covered by the headline extraction job
+        best = None
+        for _ in range(2):  # warmup + measured (codegen/JIT)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    from helix_html2md_spark.session import build_session
+
+    scaling_mode = "--scaling" in sys.argv
+    sf = sf_of(SF_DIR)
+    n_docs = max(200, int(sf * 100_000))
+
+    spark = build_session(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    path = ensure_corpus(spark, sf, n_docs)
+
+    run_extraction(spark, path)  # warmup: JIT + python worker spin-up
+    extract_wall, n, ok = run_extraction(spark, path)
+    queries = {"extract_synth": round(extract_wall, 3)}
+    queries.update(run_battery(spark, SF_DIR))
+
+    result = {
+        "metric": "headline suite wall time (extraction + battery)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n,
+        "ok_docs": ok,
+        "docs_per_sec": round(n / extract_wall, 1),
+        "parallelism": CPUS,
+    }
+
+    if scaling_mode:
+        spark.stop()
+        scal = {}
+        for cpus in (8, 32):
+            s = build_session(
+                f"bench-{cpus}", master=f"local[{cpus}]",
+                shuffle_partitions=max(cpus, 8),
+            )
+            # one warmup + one measured run
+            run_extraction(s, path)
+            wall, n2, _ = run_extraction(s, path)
+            scal[cpus] = {"wall_sec": round(wall, 3), "docs_per_sec": round(n2 / wall, 1)}
+            s.stop()
+        eff = (scal[32]["docs_per_sec"] / scal[8]["docs_per_sec"]) / (32 / 8)
+        result["scaling"] = {
+            "local8": scal[8],
+            "local32": scal[32],
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

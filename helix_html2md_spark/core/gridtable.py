@@ -123,6 +123,8 @@ def _tokenize(text: str, atom_limit: int):
 
 
 def _wrap_text(text: str, width: int, atom_limit: int) -> list[str]:
+    if len(text) <= width:
+        return [text]
     toks = _tokenize(text, atom_limit)
     # split oversize ** atoms into words
     words: list[tuple[str, str]] = []
@@ -144,13 +146,18 @@ def _wrap_text(text: str, width: int, atom_limit: int) -> list[str]:
     return lines or [""]
 
 
-def min_content_width(lines: list[str], atom_limit: int) -> int:
-    """Longest unbreakable unit across the cell's rendered lines."""
-    best = 0
+def min_content_width(lines: list[str], atom_limit: int, floor: int = 0) -> int:
+    """Longest unbreakable unit across the cell's rendered lines.
+
+    ``floor``: callers take max(share, result), so lines shorter than the
+    share can be skipped entirely (hot path)."""
+    best = floor
     in_fence = False
     for line in lines:
         fm = _FENCE_RE.match(line)
-        if _is_atom_line(line, in_fence):
+        if len(line) <= best:
+            pass  # cannot raise the max
+        elif _is_atom_line(line, in_fence):
             best = max(best, len(line))
         else:
             m = _LIST_RE.match(line)
@@ -311,7 +318,8 @@ def compute_widths(cells, ncols):
     for c in cells:
         if c.colspan == 1:
             col_mc[c.col] = max(
-                col_mc[c.col], min_content_width(c.lines, atom_limit)
+                col_mc[c.col],
+                min_content_width(c.lines, atom_limit, floor=share),
             )
     for c in cells:
         if c.colspan == 1:
@@ -324,7 +332,7 @@ def compute_widths(cells, ncols):
     for c in cells:
         if c.colspan > 1:
             span_share = share * c.colspan + 3 * (c.colspan - 1)
-            mc = min_content_width(c.lines, atom_limit)
+            mc = min_content_width(c.lines, atom_limit, floor=span_share)
             wrap_w = max(span_share, mc)
             c.lines = wrap_cell(c.lines, wrap_w, atom_limit)
             actual = max((len(l) for l in c.lines), default=0)
@@ -392,8 +400,9 @@ def render_gridtable(table_node, render_cell) -> list[str]:
                 seg_ch.append("-")
         ref_row = r if r < nrows else r - 1
         for c in range(ncols):
-            for x in range(xs[c] + 1, xs[c + 1]):
-                canvas[y][x] = seg_ch[c]
+            canvas[y][xs[c] + 1 : xs[c + 1]] = seg_ch[c] * (
+                xs[c + 1] - xs[c] - 1
+            )
         for j in range(ncols + 1):
             x = xs[j]
             left = seg_ch[j - 1] if j > 0 else None
@@ -446,9 +455,7 @@ def render_gridtable(table_node, render_cell) -> list[str]:
         y0 = ys[c.row]
         for k, line in enumerate(c.lines):
             y = y0 + 1 + k
-            for j, ch in enumerate(line):
-                x = x0 + 2 + j
-                if x < total - 1:
-                    canvas[y][x] = ch
+            line = line[: total - 3 - x0]
+            canvas[y][x0 + 2 : x0 + 2 + len(line)] = line
 
     return ["".join(r).rstrip() for r in canvas]

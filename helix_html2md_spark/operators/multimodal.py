@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark side — schema, partition-preserving mapInPandas, Arrow batch
+shape, deterministic feature extraction — is real and tested; the actual
+codec decode is STUBBED (no image/audio libraries in this container):
+``decode_image`` raises NotImplementedError unless a decoder callable is
+injected, and ``fake_decode`` provides the deterministic stand-in used by
+tests and the bench.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, doc_id string, kind string, content_type string, "
+    "width int, height int, duration_ms int, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, doc_id string, kind string, n_bytes int, "
+    "sha1 string, feature array<float>"
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - container lacks codecs
+    """Real decoder slot (PIL/libvips on a production cluster)."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode: bytes -> pseudo-pixel array."""
+    h = hashlib.sha1(payload).digest()
+    arr = np.frombuffer((h * 8)[:64], dtype=np.uint8).astype(np.float32)
+    return arr / 255.0
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode,
+    dim: int = 16,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    One Python crossing per batch; the per-row work is vectorized numpy
+    over the decoded arrays.  Real decode plugs in via ``decoder``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, hashes, sizes = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                hashes.append(hashlib.sha1(b).hexdigest())
+                sizes.append(len(b))
+                arr = decoder(b)
+                # mean-pool to a fixed dim (the stand-in "embedding")
+                pooled = arr[: dim * (len(arr) // dim)].reshape(
+                    -1, dim
+                ).mean(axis=0) if len(arr) >= dim else np.zeros(dim, np.float32)
+                feats.append([float(x) for x in pooled])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "sha1": hashes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic binary media table for tests/bench."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "doc_id": [], "kind": [],
+                "content_type": [], "width": [], "height": [],
+                "duration_ms": [], "payload": [],
+            }
+            for i in pdf["id"]:
+                i = int(i)
+                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (
+                    1 + i % 7
+                )
+                rows["media_id"].append(f"m{i:06d}")
+                rows["doc_id"].append(f"synth:{i % 100:08d}")
+                rows["kind"].append(["image", "audio", "video"][i % 3])
+                rows["content_type"].append(
+                    ["image/png", "audio/wav", "video/mp4"][i % 3]
+                )
+                rows["width"].append(64 + i % 512)
+                rows["height"].append(64 + (i * 3) % 512)
+                rows["duration_ms"].append(0 if i % 3 == 0 else 1000 + i % 9000)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """JVM-side metadata aggregation (no decode needed)."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max("width").alias("max_width"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,114 @@
+"""Relational side-queries (SURVEY.md §2B): scans, filters, joins,
+aggregations, windows, sorts/limits over the driver's TPC-H-ish tables.
+
+Money sums are cast to decimal BEFORE aggregation so results are
+bit-identical to the DuckDB oracles (float summation order is
+engine-dependent; decimal arithmetic is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def load(spark, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary with decimal-exact sums."""
+    dec = "decimal(18,2)"
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast(dec)
+                    * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+                ).cast("decimal(28,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders(orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
+    """Join + global top-k by totalprice (broadcast the small dim)."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def region_rollup(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Two broadcast joins + aggregation: customers per region."""
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def user_event_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization via windows: lag -> new-session flag ->
+    running session id; per-session aggregates."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    with_gap = events.withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    ).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                > gap
+            )
+        ).cast("int"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w)
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def event_type_stats(events: DataFrame) -> DataFrame:
+    """Aggregation with distinct + filter pushdown-friendly predicate."""
+    return (
+        events.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,111 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "b"),  # exact dup
+        (3, "the quick brown fox leaps over the lazy dog", "en", "a"),  # near dup
+        (4, "completely different content about spark tables", "en", "b"),
+        (5, "", "de", "a"),
+    ]
+    return spark.createDataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": lg, "source": s, "n_chars": len(t)}
+            for i, t, lg, s in rows
+        ]
+    )
+
+
+def test_exact_dedup(spark, docs):
+    from helix_html2md_spark.operators.dedup import exact_dup_stats
+
+    stats = {r["source"]: r for r in exact_dup_stats(docs).collect()}
+    assert stats["a"]["n_docs"] == 3 and stats["a"]["n_unique"] == 3
+    assert stats["b"]["n_docs"] == 2 and stats["b"]["n_unique"] == 2
+
+
+def test_minhash_groups_exact_dups(spark, docs):
+    from helix_html2md_spark.operators.dedup import minhash_dup_groups
+
+    groups = minhash_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2  # docs 1 and 2 share all bands
+
+
+def test_minhash_candidate_pairs(spark, docs):
+    from helix_html2md_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always a candidate
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_near_dups_close(spark, docs):
+    from helix_html2md_spark.operators.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    d_near = bin(fp[1] ^ fp[3]).count("1")
+    d_far = bin(fp[1] ^ fp[4]).count("1")
+    assert d_near < d_far
+
+
+def test_cosine_topk(spark):
+    from helix_html2md_spark.operators.similarity import bucketed_topk, cosine_topk
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0], "label": 0},
+        {"vec_id": 1, "embedding": [0.9, 0.1, 0.0], "label": 0},
+        {"vec_id": 2, "embedding": [0.0, 1.0, 0.0], "label": 1},
+        {"vec_id": 3, "embedding": [-1.0, 0.0, 0.0], "label": 2},
+    ]
+    emb = spark.createDataFrame(rows)
+    top = cosine_topk(emb.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] > 0.99
+
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    btop = bucketed_topk(emb.filter("vec_id != 0"), [1.0, 0.0, 0.0], planes, k=2).collect()
+    assert btop[0]["vec_id"] == 1  # same bucket as the query
+
+
+def test_quality_features(spark, docs):
+    from helix_html2md_spark.functions.text import quality_features
+
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] == pytest.approx(3 / 9, abs=1e-6)
+    assert q[5]["n_tokens"] == 0  # empty doc is safe
+
+
+def test_multimodal_features(spark):
+    from helix_html2md_spark.operators.multimodal import (
+        extract_features, media_stats, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    stats = {r["kind"]: r["n_items"] for r in media_stats(media).collect()}
+    assert sum(stats.values()) == 30
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id["m000000"]["feature"]) == 16
+    # deterministic: same payload -> same feature
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert feats2 == {k: v["feature"] for k, v in by_id.items()}
+
+
+def test_multimodal_decode_stub_raises():
+    from helix_html2md_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
