@@ -34,11 +34,11 @@ def sf_of(path: str) -> float:
     return float(m.group(1).rstrip(".")) if m else 0.1
 
 
-def corpus_path(sf: float) -> str:
+def corpus_path(sf) -> str:
     return f"/tmp/spark_graft_corpus_sf{sf}"
 
 
-def ensure_corpus(spark, sf: float, n_docs: int) -> str:
+def ensure_corpus(spark, sf, n_docs: int) -> str:
     """Materialize the synthetic spans corpus once (deterministic)."""
     path = corpus_path(sf)
     marker = os.path.join(path, "_SUCCESS")
@@ -116,6 +116,11 @@ def main() -> None:
     }
 
     if scaling_mode:
+        # N vs 4N parallelism on IDENTICAL input (north_rule evidence);
+        # 4x the headline corpus so compute dominates fixed overheads,
+        # as a 1000-executor run would be
+        n_scal = 4 * n_docs
+        scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
         spark.stop()
         scal = {}
         for cpus in (8, 32):
@@ -123,13 +128,18 @@ def main() -> None:
                 f"bench-{cpus}", master=f"local[{cpus}]",
                 shuffle_partitions=max(cpus, 8),
             )
-            # one warmup + one measured run
-            run_extraction(s, path)
-            wall, n2, _ = run_extraction(s, path)
-            scal[cpus] = {"wall_sec": round(wall, 3), "docs_per_sec": round(n2 / wall, 1)}
+            # one warmup + best-of-two measured runs
+            run_extraction(s, scal_path)
+            walls = [run_extraction(s, scal_path)[0] for _ in range(2)]
+            wall = min(walls)
+            scal[cpus] = {
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_scal / wall, 1),
+            }
             s.stop()
         eff = (scal[32]["docs_per_sec"] / scal[8]["docs_per_sec"]) / (32 / 8)
         result["scaling"] = {
+            "n_docs": n_scal,
             "local8": scal[8],
             "local32": scal[32],
             "efficiency_8_to_32": round(eff, 3),

@@ -131,16 +131,15 @@ def _scalar(v):
     return v
 
 
-def extract_row(spans, cfg_row) -> dict:
-    """Transform one document (already-assembled config)."""
+def extract_row(html, media_spans, cfg_row) -> dict:
+    """Transform one document (html pre-assembled JVM-side)."""
     source_url = _scalar(cfg_row.get("source_url"))
-    html = assemble_html(spans)
     config = {
         "source_url": source_url,
         "org": _scalar(cfg_row.get("org")) or "owner",
         "site": _scalar(cfg_row.get("site")) or "repo",
         "media_enabled": bool(_scalar(cfg_row.get("media_enabled"))),
-        "media_lookup": build_media_lookup(spans, source_url),
+        "media_lookup": build_media_lookup(media_spans, source_url),
         "unspread_lists": bool(_scalar(cfg_row.get("unspread_lists"))),
         "external_prefixes": [
             p
@@ -172,13 +171,13 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         }
         for row in pdf.itertuples(index=False):
             d = row._asdict()
-            raw_spans = d["spans"]
-            if raw_spans is None:
-                raw_spans = []
-            spans_in = [
-                s if isinstance(s, dict) else s.asDict() for s in raw_spans
+            raw_media = d["media_spans"]
+            if raw_media is None:
+                raw_media = []
+            media = [
+                s if isinstance(s, dict) else s.asDict() for s in raw_media
             ]
-            res = extract_row(spans_in, d)
+            res = extract_row(d["html_src"] or "", media, d)
             out["doc_id"].append(d["doc_id"])
             out["spans"].append(
                 [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in res["spans"]]
@@ -192,6 +191,40 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["n_blocks"].append(res["md"].count("\n\n") + (1 if res["md"] else 0))
             out["n_chars"].append(len(res["md"]))
         yield pd.DataFrame(out)
+
+
+def prepare_for_extract(df: DataFrame, defaults: dict) -> DataFrame:
+    """Attach config columns and assemble spans JVM-side.
+
+    html = concat of kind='html' span texts ordered by offset; media
+    spans ride along as a (small) separate array.  Handing Python two
+    flat columns instead of the full nested array<struct> keeps the
+    Arrow->pandas crossing cheap (strings stay columnar; nested structs
+    materialize per-row python objects).
+    """
+    for c in _CONFIG_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(defaults.get(c)))
+        elif c in defaults:
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(defaults[c])))
+    html_spans = F.array_sort(
+        F.filter("spans", lambda s: s["kind"] == F.lit("html")),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return (
+        df.withColumn(
+            "html_src",
+            F.array_join(F.transform(html_spans, lambda s: s["text"]), ""),
+        )
+        .withColumn(
+            "media_spans",
+            F.filter("spans", lambda s: s["kind"] == F.lit("media")),
+        )
+        .drop("spans")
+        .withColumn("_html_len", F.length("html_src"))
+    )
 
 
 def extract_documents(
@@ -212,53 +245,39 @@ def extract_documents(
     df = docs.select("doc_id", "spans")
     if config is not None:
         df = df.join(F.broadcast(config), "doc_id", "left")
-    for c in _CONFIG_COLS:
-        if c not in df.columns:
-            df = df.withColumn(c, F.lit(defaults.get(c)))
-        elif c in defaults:
-            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(defaults[c])))
 
-    # ---- JVM-side weight + admission gate (before any Python) ----------
-    df = df.withColumn(
-        "_html_len",
-        F.aggregate(
-            F.filter("spans", lambda s: s["kind"] == F.lit("html")),
-            F.lit(0).cast("long"),
-            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
-        ),
-    )
+    # ---- assembly + admission gate (before any Python;
+    # src/index.js:159-166) ------------------------------------------------
+    df = prepare_for_extract(df, defaults)
     max_html_default = int(defaults.get("max_html_size") or 1024 * 1024)
     limit = F.coalesce(F.col("max_html_size"), F.lit(max_html_default))
     oversized = df.filter(F.col("_html_len") > limit)
     ok = df.filter(F.col("_html_len") <= limit)
 
     # ---- explicit skew defusal ------------------------------------------
-    # The transform is a pure map, so partitioning only matters for
-    # byte-balance.  Giant documents are the skew risk (north_rule); they
-    # are rare by definition, so only THEY pay a coordinated placement:
-    # heavy docs get a round-robin over a window restricted to the (tiny)
-    # heavy set, light docs hash-partition.  No global sort, no serial
-    # stage over the full corpus (the first implementation's
-    # full-table window was a 100TB bottleneck).
+    # The transform is a pure map: partitioning only matters for byte
+    # balance.  Modes:
+    #   none     - input already byte-balanced (parquet/iceberg splits
+    #              sized by maxPartitionBytes at scale): zero shuffle.
+    #   hash     - (default) one shuffle on doc_id; statistically
+    #              balanced when docs/partition is large (law of large
+    #              numbers) -- the right default at corpus scale.
+    #   weighted - one extra bucketed-window pass assigns
+    #              weight-class round-robin placement; measured max/mean
+    #              partition-weight: hash 1.89 vs weighted 1.25 on the
+    #              Zipf corpus.  Task count stays == n: mapInPandas waves
+    #              beyond the python worker pool thrash (identity pass
+    #              1.1s @32 tasks vs 7.3s @128 tasks on local[32]).
     n = num_partitions or spark.sparkContext.defaultParallelism
     heavy_bytes = int(defaults.get("heavy_bytes") or 64 * 1024)
-    mode = defaults.get("repartition", "weighted")
+    mode = defaults.get("repartition", "hash")
     if mode == "none":
-        # byte-balanced inputs (e.g. parquet splits sized by
-        # maxPartitionBytes) don't need the shuffle at all: the transform
-        # is a pure map and split sizing already balances bytes
         balanced = ok
+    elif mode == "hash":
+        balanced = ok.repartition(n, "doc_id")
     else:
         from pyspark.sql import Window
 
-        # single-scan weighted placement: round-robin docs of similar
-        # weight class across tasks. Buckets keep the window parallel at
-        # scale (one window group = one sort task); heavy classes are
-        # rare so they use one bucket for exact round-robin. 4x task
-        # over-partitioning lets the scheduler absorb the residual
-        # imbalance dynamically (measured ratios: hash 1.89,
-        # class-rr 1.25 max/mean on the pareto corpus).
-        ntasks = int(defaults.get("balance_tasks") or 4 * n)
         nbuckets = max(64, n // 4)
         wclass = F.floor(
             F.log2(F.greatest(F.col("_html_len"), F.lit(1)))
@@ -267,15 +286,15 @@ def extract_documents(
             F.col("_html_len") < heavy_bytes,
             F.pmod(F.xxhash64("doc_id"), F.lit(nbuckets)),
         ).otherwise(F.lit(0))
-        ok = ok.withColumn("_wc", wclass).withColumn("_b", bucket)
+        ok2 = ok.withColumn("_wc", wclass).withColumn("_b", bucket)
         w = Window.partitionBy("_wc", "_b").orderBy("doc_id")
         place = F.pmod(
             F.xxhash64(F.col("_wc"), F.col("_b")) + F.row_number().over(w),
-            F.lit(ntasks),
+            F.lit(n),
         )
         balanced = (
-            ok.withColumn("_place", place)
-            .repartition(ntasks, "_place")
+            ok2.withColumn("_place", place)
+            .repartition(n, "_place")
             .drop("_wc", "_b", "_place")
         )
 

@@ -1,0 +1,83 @@
+"""Structured Streaming surface.
+
+The reference is a synchronous request/response service (SURVEY.md §2B:
+no stream, no cross-request state), so batch is the primary mode; these
+operators exist for pipeline deployments that tail a landing zone:
+
+* ``stream_extract``: readStream over a spans-table directory ->
+  the same extraction operator -> writeStream (exactly-once via
+  checkpointLocation + idempotent parquet sink)
+* ``windowed_event_counts``: watermarked sliding-window aggregation over
+  the events table (late data dropped past the watermark)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import EXTRACTED_SCHEMA, _extract_batches
+from ..sources.fixtures import DOC_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Tail a spans-table directory and extract incrementally.
+
+    Per-file exactly-once: the file-source checkpoint records consumed
+    files; the parquet sink is append-only.  Uses the identical Arrow
+    batch transform as the batch path (no per-row Python).
+    """
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    from ..operators.extract import prepare_for_extract
+
+    df = prepare_for_extract(docs.select("doc_id", "spans"), {})
+    extracted = df.drop("_html_len").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation (works on both stream and batch
+    DataFrames; on a stream, events later than the watermark are dropped)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

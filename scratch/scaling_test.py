@@ -6,7 +6,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from helix_html2md_spark.operators.extract import (
-    _CONFIG_COLS, EXTRACTED_SCHEMA, _extract_batches, extract_documents,
+    EXTRACTED_SCHEMA, _extract_batches, extract_documents, prepare_for_extract,
 )
 from helix_html2md_spark.session import build_session
 
@@ -20,12 +20,10 @@ docs = spark.read.parquet(path)
 if variant == "prod":
     out = extract_documents(docs, None, num_partitions=cores)
 else:
-    df = docs.select("doc_id", "spans")
-    for c in _CONFIG_COLS:
-        df = df.withColumn(c, F.lit(None))
+    df = prepare_for_extract(docs.select("doc_id", "spans"), {})
     if variant == "hash4":
         df = df.repartition(cores * 4, "doc_id")
-    out = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    out = df.drop("_html_len").mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 out.agg(F.count("*")).collect()  # warmup
 walls = []

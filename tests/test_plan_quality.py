@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just any
+plan that passes (predicate pushdown to the scan, broadcast joins for
+small dims, no Python in the JVM-only battery)."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: scan schema restricted to the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_region_rollup_broadcasts_dims(spark):
+    from helix_html2md_spark.operators.relational import load, region_rollup
+
+    df = region_rollup(
+        load(spark, "/root/testdata/sf0.001", "customer"),
+        load(spark, "/root/testdata/sf0.001", "nation"),
+        load(spark, "/root/testdata/sf0.001", "region"),
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_battery_queries_stay_jvm_side(spark):
+    """No Python UDFs in the relational/dedup/text battery — everything
+    whole-stage-codegen-able."""
+    import __spark_entry__ as E
+
+    for name, fn in E.queries().items():
+        if name in ("extract_spans",):
+            continue
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_extraction_gate_before_python(spark):
+    """The maxHTMLSize admission filter must sit below (before) the
+    Python stage in the plan — Catalyst can't push through an opaque UDF,
+    so the operator orders it explicitly."""
+    from helix_html2md_spark.operators.extract import extract_documents
+    from helix_html2md_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 10, seed=1, partitions=2)
+    out = extract_documents(docs, None, num_partitions=2)
+    plan = _optimized(out)
+    python_pos = plan.find("MapInPandas")
+    assert python_pos >= 0
+    # the size-gate filter appears in the subtree BELOW the python node
+    gate_pos = plan.find("_html_len")
+    assert gate_pos > python_pos
+
+
+def test_broadcast_anti_join_resume(spark, tmp_path):
+    from helix_html2md_spark.plans.job import remaining_documents
+    from helix_html2md_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 10, seed=2, partitions=2)
+    out = str(tmp_path / "o")
+    from helix_html2md_spark.operators.extract import extract_documents
+
+    extract_documents(docs.limit(4), None, num_partitions=2).withColumn(
+        "partition_id", F.spark_partition_id()
+    ).write.parquet(out)
+    todo = remaining_documents(docs, out)
+    plan = _plan(todo)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

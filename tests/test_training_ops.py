@@ -83,7 +83,7 @@ def test_quality_features(spark, docs):
 
     q = {r["doc_id"]: r for r in quality_features(docs).collect()}
     assert q[1]["n_tokens"] == 9
-    assert q[1]["stopword_ratio"] == pytest.approx(3 / 9, abs=1e-6)
+    assert q[1]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
     assert q[5]["n_tokens"] == 0  # empty doc is safe
 
 
