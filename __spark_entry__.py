@@ -186,6 +186,92 @@ def q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_stats(load(spark, sf_dir, "events"))
 
 
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "is", "it"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: argmax of per-language
+    marker-word hits (deterministic tiebreak by language code)."""
+    from helix_html2md_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(tokens(F.col("text")))
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in _LANG_WORDS.items()
+    }
+    best = None
+    for lang in sorted(_LANG_WORDS):
+        score = hits[lang]
+        if best is None:
+            best = (F.lit(lang), score)
+        else:
+            cur_lang, cur_score = best
+            best = (
+                F.when(score > cur_score, F.lit(lang)).otherwise(cur_lang),
+                F.greatest(score, cur_score),
+            )
+    return docs.select(
+        "doc_id",
+        "lang",
+        best[0].alias("predicted_lang"),
+        best[1].alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity between adjacent doc_ids (the pairwise
+    kernel used for near-dup verification after LSH bucketing)."""
+    from helix_html2md_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (xxhash64-based; no SQL oracle — hash fn is
+    Spark-specific; rows-only check)."""
+    from helix_html2md_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 embedding (no SQL oracle:
     float reductions differ across engines; rows-only check)."""
@@ -212,6 +298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "event_stats": q_event_stats,
         "cosine_topk": q_cosine_topk,
+        "lang_id": q_lang_id,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "embedding_stats": q_embedding_stats,
+        "simhash": q_simhash,
     }
 
 
@@ -339,4 +429,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value > 0
             GROUP BY event_type ORDER BY event_type
         """,
+        "lang_id": _lang_id_oracle(),
+        "jaccard_adjacent": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(length(list_intersect(a.toks, b.toks))
+                         / greatest(length(list_distinct(a.toks || b.toks)), 1),
+                         6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+            ORDER BY doc_a
+        """,
+        "embedding_stats": """
+            SELECT vec_id, label,
+                   length(embedding) AS dim,
+                   round(sqrt(list_aggregate(
+                       list_transform(embedding,
+                                      x -> cast(x AS double) * cast(x AS double)),
+                       'sum')), 6) AS l2_norm
+            FROM embeddings ORDER BY vec_id
+        """,
     }
+
+
+def _lang_id_oracle() -> str:
+    hit_exprs = []
+    for lang in sorted(_LANG_WORDS):
+        words = "','".join(_LANG_WORDS[lang])
+        hit_exprs.append(
+            f"length(list_intersect(list_distinct({_TOKENS}), ['{words}'])) AS h_{lang}"
+        )
+    langs = sorted(_LANG_WORDS)
+    pred = f"'{langs[0]}'"
+    score = f"h_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN h_{lang} > {score} THEN '{lang}' ELSE {pred} END"
+        score = f"greatest(h_{lang}, {score})"
+    return f"""
+        WITH h AS (SELECT doc_id, lang, {', '.join(hit_exprs)} FROM documents)
+        SELECT doc_id, lang, {pred} AS predicted_lang,
+               {score} AS marker_hits
+        FROM h ORDER BY doc_id
+    """

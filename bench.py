@@ -51,13 +51,24 @@ def ensure_corpus(spark, sf, n_docs: int) -> str:
     return path
 
 
+_RUN_SALT = [0]
+
+
 def run_extraction(spark, path: str) -> tuple[float, int, int]:
-    """Timed extraction pass: read parquet -> extract -> aggregate."""
+    """Timed extraction pass: read parquet -> extract -> aggregate.
+
+    Each run filters on a unique sentinel doc_id so the physical plan is
+    never identical across runs: Spark 4.1 serves repeated identical
+    plans from a result cache, which would fake the measurement.
+    """
     from pyspark.sql import functions as F
 
     from helix_html2md_spark.operators.extract import extract_documents
 
-    docs = spark.read.parquet(path)
+    _RUN_SALT[0] += 1
+    docs = spark.read.parquet(path).filter(
+        F.col("doc_id") != f"@bench-salt-{_RUN_SALT[0]}"
+    )
     t0 = time.perf_counter()
     out = extract_documents(docs, None)
     agg = out.agg(
@@ -72,17 +83,16 @@ def run_extraction(spark, path: str) -> tuple[float, int, int]:
 def run_battery(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
+    # single cold run per query (identical-plan reruns would hit the
+    # Spark 4.1 result cache and report fantasy numbers); the session is
+    # already warm from the extraction pass
     times = {}
     for name, fn in E.queries().items():
         if name == "extract_spans":
             continue  # covered by the headline extraction job
-        best = None
-        for _ in range(2):  # warmup + measured (codegen/JIT)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            t = time.perf_counter() - t0
-            best = t if best is None else min(best, t)
-        times[name] = round(best, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
     return times
 
 

@@ -28,18 +28,17 @@ class Text:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    # no parent backrefs: keeps the tree acyclic so refcounting frees it
+    # without cyclic-GC walks (matters in long-lived python workers)
+    __slots__ = ("tag", "attrs", "children")
 
     def __init__(self, tag: str, attrs=None):
         self.tag = tag
         self.attrs = dict(attrs or {})
         self.children: list = []
-        self.parent: "Element | None" = None
 
     # -- tree helpers -------------------------------------------------
     def append(self, node):
-        if isinstance(node, Element):
-            node.parent = self
         self.children.append(node)
 
     def get(self, name: str, default=None):

@@ -65,11 +65,24 @@ def _is_atom_line(line: str, in_fence: bool) -> bool:
     return False
 
 
+_SPACE_SPLIT_RE = re.compile(r"( +)")
+_STRONG_RUN_RE = re.compile(r"\*\*(?:[^*\\]|\\.)+\*\*")
+
+
 def _tokenize(text: str, atom_limit: int):
     """Split text into (token, following_space_run) pairs.
 
     ``**...**`` runs are atomic while <= atom_limit chars.
     """
+    if "**" not in text:
+        # fast path: regex split yields the same word/space token stream
+        # as the char scanner; the merge step is shared
+        tokens = [p for p in _SPACE_SPLIT_RE.split(text) if p != ""]
+        return _merge_tokens(tokens)
+    return _tokenize_slow(text, atom_limit)
+
+
+def _tokenize_slow(text: str, atom_limit: int):
     tokens: list[str] = []
     i = 0
     n = len(text)
@@ -86,7 +99,7 @@ def _tokenize(text: str, atom_limit: int):
             i = j
             continue
         if text.startswith("**", i):
-            m = re.compile(r"\*\*(?:[^*\\]|\\.)+\*\*").match(text, i)
+            m = _STRONG_RUN_RE.match(text, i)
             if m and len(m.group(0)) <= atom_limit:
                 if cur:
                     tokens.append(cur)
@@ -98,7 +111,11 @@ def _tokenize(text: str, atom_limit: int):
         i += 1
     if cur:
         tokens.append(cur)
-    # merge: produce list of (word, space_after)
+    return _merge_tokens(tokens)
+
+
+def _merge_tokens(tokens: list[str]):
+    """Produce (word, space_after) pairs from a word/space token stream."""
     out = []
     k = 0
     while k < len(tokens):

@@ -164,6 +164,12 @@ def extract_row(html, media_spans, cfg_row) -> dict:
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # the transform allocates heavily (DOM/mdast trees); the trees are
+    # acyclic so raise the cyclic-GC threshold to keep workers off
+    # needless collection walks
+    import gc
+
+    gc.set_threshold(200_000, 50, 50)
     for pdf in batches:
         out = {
             "doc_id": [], "spans": [], "md": [], "status": [], "error": [],

@@ -15,21 +15,30 @@ variant = sys.argv[2]  # prod | hash4 | none
 path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_corpus_sf0.1"
 
 spark = build_session("scal", master=f"local[{cores}]", shuffle_partitions=cores)
-docs = spark.read.parquet(path)
 
-if variant == "prod":
-    out = extract_documents(docs, None, num_partitions=cores)
-else:
+
+def build(i):
+    # salt BELOW the python stage so no cached stage can be reused
+    docs = spark.read.parquet(path).filter(F.col("doc_id") != f"@salt-{i}")
+    if variant == "prod":
+        return extract_documents(docs, None, num_partitions=cores)
     df = prepare_for_extract(docs.select("doc_id", "spans"), {})
     if variant == "hash4":
         df = df.repartition(cores * 4, "doc_id")
-    out = df.drop("_html_len").mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    if variant == "none-bytebal":
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    return df.drop("_html_len").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
 
-out.agg(F.count("*")).collect()  # warmup
+
 walls = []
-for _ in range(2):
+for i in range(3):  # first run is warmup
+    out = build(i)
     t0 = time.perf_counter()
     n = out.agg(F.count("*")).collect()[0][0]
-    walls.append(time.perf_counter() - t0)
+    w = time.perf_counter() - t0
+    if i:
+        walls.append(w)
 print(f"RESULT cores={cores} variant={variant} wall={min(walls):.3f} docs={n}")
 spark.stop()
