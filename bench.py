@@ -133,12 +133,13 @@ def main() -> None:
         scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
         spark.stop()
         scal = {}
-        for cpus in (8, 32):
+        for cpus in (2, 8, 32):
             s = build_session(
                 f"bench-{cpus}", master=f"local[{cpus}]",
                 shuffle_partitions=max(cpus, 8),
             )
-            # one warmup + best-of-two measured runs
+            # one warmup + best-of-two measured runs (each salted: plans
+            # must differ or Spark 4.1's result cache fakes the numbers)
             run_extraction(s, scal_path)
             walls = [run_extraction(s, scal_path)[0] for _ in range(2)]
             wall = min(walls)
@@ -147,12 +148,19 @@ def main() -> None:
                 "docs_per_sec": round(n_scal / wall, 1),
             }
             s.stop()
-        eff = (scal[32]["docs_per_sec"] / scal[8]["docs_per_sec"]) / (32 / 8)
+
+        def eff(a, b):
+            return round(
+                (scal[b]["docs_per_sec"] / scal[a]["docs_per_sec"]) / (b / a), 3
+            )
+
         result["scaling"] = {
             "n_docs": n_scal,
+            "local2": scal[2],
             "local8": scal[8],
             "local32": scal[32],
-            "efficiency_8_to_32": round(eff, 3),
+            "efficiency_2_to_8": eff(2, 8),
+            "efficiency_8_to_32": eff(8, 32),
         }
 
     print(json.dumps(result))
