@@ -35,7 +35,9 @@ def sf_of(path: str) -> float:
 
 
 def corpus_path(sf) -> str:
-    return f"/tmp/spark_graft_corpus_sf{sf}"
+    from helix_html2md_spark.sources.synthetic import GEN_VERSION
+
+    return f"/tmp/spark_graft_corpus_v{GEN_VERSION}_sf{sf}"
 
 
 def ensure_corpus(spark, sf, n_docs: int) -> str:

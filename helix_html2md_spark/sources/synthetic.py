@@ -20,6 +20,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+GEN_VERSION = 2  # bump when gen_doc output changes (invalidates cached corpora)
+
 WORDS = (
     "spark table scan filter join group order sort merge hash batch stream "
     "column row vector query data value key part line customer fast slow "
