@@ -98,8 +98,28 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _scaling_level(cpus: int, path: str) -> None:
+    """Child-process entry: one parallelism level in a fresh JVM (session
+    churn inside one JVM skews later measurements)."""
+    from helix_html2md_spark.session import build_session
+
+    s = build_session(
+        f"bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    run_extraction(s, path)  # warmup
+    walls = [run_extraction(s, path)[0] for _ in range(2)]
+    print(json.dumps({"wall_sec": round(min(walls), 3)}))
+    s.stop()
+
+
 def main() -> None:
     from helix_html2md_spark.session import build_session
+
+    if "--scaling-level" in sys.argv:
+        i = sys.argv.index("--scaling-level")
+        _scaling_level(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
 
     scaling_mode = "--scaling" in sys.argv
     sf = sf_of(SF_DIR)
@@ -131,25 +151,26 @@ def main() -> None:
         # N vs 4N parallelism on IDENTICAL input (north_rule evidence);
         # 4x the headline corpus so compute dominates fixed overheads,
         # as a 1000-executor run would be
+        import subprocess
+
         n_scal = 4 * n_docs
         scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
         spark.stop()
         scal = {}
         for cpus in (2, 8, 32):
-            s = build_session(
-                f"bench-{cpus}", master=f"local[{cpus}]",
-                shuffle_partitions=max(cpus, 8),
+            # fresh process per level: one warmup + best-of-two salted
+            # runs (plans must differ or Spark 4.1's result cache fakes
+            # the numbers)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-level", str(cpus), scal_path],
+                capture_output=True, text=True, check=True,
             )
-            # one warmup + best-of-two measured runs (each salted: plans
-            # must differ or Spark 4.1's result cache fakes the numbers)
-            run_extraction(s, scal_path)
-            walls = [run_extraction(s, scal_path)[0] for _ in range(2)]
-            wall = min(walls)
+            wall = json.loads(out.stdout.strip().splitlines()[-1])["wall_sec"]
             scal[cpus] = {
-                "wall_sec": round(wall, 3),
+                "wall_sec": wall,
                 "docs_per_sec": round(n_scal / wall, 1),
             }
-            s.stop()
 
         def eff(a, b):
             return round(

@@ -20,9 +20,11 @@ def build_session(
     * AQE on: runtime coalescing + skew-join handling for the relational
       side-queries.
     """
+    explicit = master is not None
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus and master.startswith("local"):
+    if cpus and not explicit and master.startswith("local"):
+        # env parallelism applies only when the caller didn't pin a master
         master = f"local[{cpus}]"
     b = (
         SparkSession.builder.appName(app_name)

@@ -55,6 +55,63 @@ def stream_extract(
     return writer.start()
 
 
+def stateful_sessionize(events_stream, gap_minutes: int = 30):
+    """Custom stateful streaming operator: per-user session aggregation
+    via ``applyInPandasWithState`` (GroupState + processing-time timeout).
+
+    Emits a row per CLOSED session (closed by a gap > ``gap_minutes`` in
+    event time within the batch, or by state timeout between batches).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            (start, last, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n],
+                 "sum_value": [total], "closed_by": ["timeout"]}
+            )
+            return
+        rows = []
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t = ts.timestamp()
+                if cur is None:
+                    cur = (t, t, 0, 0.0)
+                start, last, n, total = cur
+                if t - last > gap:
+                    rows.append((user_id, n, total, "gap"))
+                    cur = (t, t, 1, float(value))
+                else:
+                    cur = (start, t, n + 1, total + float(value))
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutDuration(gap * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "n_events": [r[1] for r in rows],
+                "sum_value": [r[2] for r in rows],
+                "closed_by": [r[3] for r in rows],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events int, sum_value double, closed_by string",
+        stateStructType="start double, last double, n int, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

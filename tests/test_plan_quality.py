@@ -62,10 +62,11 @@ def test_extraction_gate_before_python(spark):
     docs = synthetic_documents(spark, 10, seed=1, partitions=2)
     out = extract_documents(docs, None, num_partitions=2)
     plan = _optimized(out)
-    python_pos = plan.find("MapInPandas")
+    python_pos = plan.find("MapInPandas _extract_batches")
     assert python_pos >= 0
-    # the size-gate filter appears in the subtree BELOW the python node
-    gate_pos = plan.find("_html_len")
+    # the size-gate filter (length(html) <= 1 MB) appears in the subtree
+    # BELOW the python node (later in the printed tree)
+    gate_pos = plan.find("<= 1048576")
     assert gate_pos > python_pos
 
 
