@@ -82,3 +82,24 @@ def test_oversized_html_gated_jvm_side(spark):
     out = extract_documents(docs, None, num_partitions=2).collect()
     assert out[0]["status"] == "constraint_error"
     assert "html source larger than 1MB" in out[0]["error"]
+
+
+def test_weighted_placement_mode(spark):
+    """The explicit weight-class round-robin mode produces the same rows
+    as the default hash mode (placement only changes partitioning)."""
+    from helix_html2md_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 30, seed=5, partitions=2)
+    a = {
+        r["doc_id"]: r["md"]
+        for r in extract_documents(
+            docs, None, num_partitions=4, defaults={"repartition": "weighted"}
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["md"]
+        for r in extract_documents(
+            docs, None, num_partitions=4, defaults={"repartition": "none"}
+        ).collect()
+    }
+    assert a == b and len(a) == 30
