@@ -156,21 +156,30 @@ def main() -> None:
         n_scal = 4 * n_docs
         scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
         spark.stop()
-        scal = {}
-        for cpus in (2, 8, 32):
-            # fresh process per level: one warmup + best-of-two salted
-            # runs (plans must differ or Spark 4.1's result cache fakes
-            # the numbers)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-level", str(cpus), scal_path],
-                capture_output=True, text=True, check=True,
-            )
-            wall = json.loads(out.stdout.strip().splitlines()[-1])["wall_sec"]
-            scal[cpus] = {
-                "wall_sec": wall,
-                "docs_per_sec": round(n_scal / wall, 1),
+        walls: dict[int, float] = {}
+        # two interleaved rounds per level, fresh process each (host is a
+        # multi-tenant VM: episodic load would otherwise poison whichever
+        # level it happens to overlap); within a process: warmup +
+        # best-of-two salted runs (plans must differ or Spark 4.1's
+        # result cache fakes the numbers)
+        for _round in range(2):
+            for cpus in (2, 8, 32):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scaling-level", str(cpus), scal_path],
+                    capture_output=True, text=True, check=True,
+                )
+                wall = json.loads(
+                    out.stdout.strip().splitlines()[-1]
+                )["wall_sec"]
+                walls[cpus] = min(walls.get(cpus, wall), wall)
+        scal = {
+            cpus: {
+                "wall_sec": w,
+                "docs_per_sec": round(n_scal / w, 1),
             }
+            for cpus, w in walls.items()
+        }
 
         def eff(a, b):
             return round(
