@@ -273,8 +273,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k vs the vec_id=0 embedding (no SQL oracle:
-    float reductions differ across engines; rows-only check)."""
+    """Brute-force cosine top-k vs the vec_id=0 embedding (DuckDB oracle:
+    both engines fold the dot product sequentially over the same
+    float32->double values, so the rounded cosines match exactly)."""
     from helix_html2md_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -428,6 +429,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(value AS decimal(18,6))) AS sum_value
             FROM events WHERE value > 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, label,
+                   round(
+                     list_sum(list_transform(
+                         list_zip(embedding, (SELECT qv FROM q)),
+                         p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                     / (sqrt(list_sum(list_transform(
+                            embedding, x -> cast(x AS double) * cast(x AS double))))
+                        * (SELECT sqrt(list_sum(list_transform(
+                               qv, x -> cast(x AS double) * cast(x AS double))))
+                           FROM q)),
+                   6) AS cosine
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "lang_id": _lang_id_oracle(),
         "jaccard_adjacent": f"""
