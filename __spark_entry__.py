@@ -264,6 +264,13 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_shingle_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over 3-gram shingle sets (near-dup signatures)."""
+    from helix_html2md_spark.operators.dedup import shingle_minhash_signatures
+
+    return shingle_minhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (xxhash64-based; no SQL oracle — hash fn is
     Spark-specific; rows-only check)."""
@@ -302,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "jaccard_adjacent": q_jaccard_adjacent,
         "embedding_stats": q_embedding_stats,
+        "shingle_minhash": q_shingle_minhash,
         "simhash": q_simhash,
     }
 
@@ -429,6 +437,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(value AS decimal(18,6))) AS sum_value
             FROM events WHERE value > 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "shingle_minhash": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     )) AS sh
+              FROM t)
+            SELECT doc_id,
+                   list_min(list_transform(sh, x -> md5('0:' || x))) AS smh0,
+                   list_min(list_transform(sh, x -> md5('1:' || x))) AS smh1,
+                   list_min(list_transform(sh, x -> md5('2:' || x))) AS smh2,
+                   list_min(list_transform(sh, x -> md5('3:' || x))) AS smh3
+            FROM s ORDER BY doc_id
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

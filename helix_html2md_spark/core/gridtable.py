@@ -44,9 +44,16 @@ def _strip_escapes(line: str) -> str:
     return re.sub(r"\\.", "", line)
 
 
+# any char that could make a line unbreakable; plain word/space lines
+# (the overwhelming majority) short-circuit out
+_ATOMISH_RE = re.compile(r"[`<*#+|!\[\]]")
+
+
 def _is_atom_line(line: str, in_fence: bool) -> bool:
     if in_fence:
         return True
+    if not _ATOMISH_RE.search(line):
+        return False
     s = line.lstrip()
     body = _LIST_RE.sub("", line, count=1)
     body = _QUOTE_RE.sub("", body, count=1)

@@ -92,6 +92,37 @@ def minhash_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFram
     )
 
 
+def shingles(col, k: int = 3):
+    """k-gram word shingles as an array column (JVM-side)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    # guard: sequence(1, 0) would DESCEND in Spark; short docs get []
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+
+
+def shingle_minhash_signatures(
+    docs: DataFrame, n_bands: int = N_BANDS, k: int = 3
+) -> DataFrame:
+    """MinHash over 3-gram shingle sets — the classic near-dup signature
+    (shingle -> minhash -> band); still shuffle-free per row."""
+    sh = F.array_distinct(shingles(F.col("text"), k))
+    bands = [
+        F.array_min(
+            F.transform(sh, lambda w: F.md5(F.concat(F.lit(f"{b}:"), w)))
+        ).alias(f"smh{b}")
+        for b in range(n_bands)
+    ]
+    return docs.select("doc_id", *bands)
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token hashes.
 
