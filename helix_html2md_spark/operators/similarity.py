@@ -62,6 +62,75 @@ def hyperplane_buckets(
     return emb.withColumn("bucket", bucket.cast("int"))
 
 
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell id per vector.
+
+    All JVM-side: K dot products per row inside codegen; no shuffle.
+    """
+    e = F.col("embedding").cast("array<double>")
+    scores = F.array(
+        *[
+            _dot(e, F.array(*[F.lit(float(v)) for v in c]))
+            / F.lit(sum(v * v for v in c) ** 0.5 or 1.0)
+            for c in centroids
+        ]
+    )
+    cell = F.array_position(scores, F.array_max(scores)) - 1
+    return emb.withColumn("cell", cell.cast("int"))
+
+
+def train_centroids(emb: DataFrame, k: int = 16) -> list[list[float]]:
+    """Deterministic coarse centroids: per-cell mean after seeding with the
+    k lowest vec_ids (one refinement pass — kmeans-lite, deterministic)."""
+    seeds = [
+        list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    assigned = ivf_assign(emb, seeds)
+    dim = len(seeds[0])
+    means = (
+        assigned.groupBy("cell")
+        .agg(
+            *[
+                F.avg(F.col("embedding").getItem(i)).alias(f"d{i}")
+                for i in range(dim)
+            ]
+        )
+        .collect()
+    )
+    out = list(seeds)
+    for r in means:
+        out[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+    return out
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat ANN: probe the query's ``nprobe`` nearest cells, exact
+    cosine within — the 100 TB scale path (cells partition the corpus;
+    the scan prunes to nprobe/K of the data)."""
+    qn = sum(v * v for v in query_vec) ** 0.5 or 1.0
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda ci: -(
+            sum(a * b for a, b in zip(query_vec, centroids[ci]))
+            / ((sum(v * v for v in centroids[ci]) ** 0.5 or 1.0) * qn)
+        ),
+    )
+    probe = scored[:nprobe]
+    assigned = ivf_assign(emb, centroids)
+    return cosine_topk(
+        assigned.filter(F.col("cell").isin(probe)).drop("cell"),
+        query_vec,
+        k,
+    )
+
+
 def bucketed_topk(
     emb: DataFrame, query_vec: list[float], planes: list[list[float]], k: int = 10
 ) -> DataFrame:

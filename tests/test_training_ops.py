@@ -109,3 +109,20 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-Flat probes a subset of cells yet recovers most of the exact
+    top-10 on the clustered driver embeddings."""
+    from helix_html2md_spark.operators.similarity import (
+        cosine_topk, ivf_topk, train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 0").head()["embedding"])
+    rest = emb.filter("vec_id != 0")
+    exact = {r["vec_id"] for r in cosine_topk(rest, qv, k=10).collect()}
+    cents = train_centroids(emb, k=8)
+    approx = {r["vec_id"] for r in ivf_topk(rest, qv, cents, k=10, nprobe=3).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, (recall, exact, approx)
