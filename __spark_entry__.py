@@ -272,11 +272,31 @@ def q_shingle_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (xxhash64-based; no SQL oracle — hash fn is
-    Spark-specific; rows-only check)."""
+    """64-bit SimHash fingerprints from md5-derived token bits — fully
+    SQL-oracle-checkable (DuckDB recomputes the same md5 digits)."""
     from helix_html2md_spark.operators.dedup import simhash
 
     return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_minhash_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banded candidate pairs with the heavy-bucket star fallback."""
+    from helix_html2md_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs over SimHash (block-bucketed,
+    bit_count(a XOR b) <= r verification)."""
+    from helix_html2md_spark.operators.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_docs(spark, sf_dir), max_distance=8)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "shingle_minhash": q_shingle_minhash,
         "simhash": q_simhash,
+        "minhash_cand_pairs": q_minhash_cand_pairs,
+        "simhash_neardup": q_simhash_neardup,
     }
 
 
@@ -334,7 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   cast(sum(n_chars) AS bigint) AS total_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -383,11 +405,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-                   sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
-                   sum(cast(cast(l_extendedprice AS decimal(18,2))
+                   cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+                   cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+                   cast(sum(cast(cast(l_extendedprice AS decimal(18,2))
                        * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))
-                       AS decimal(28,4))) AS sum_disc_price,
+                       AS decimal(28,4))) AS double) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= timestamp '1998-09-02'
@@ -396,14 +418,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_orders": """
             SELECT o_orderkey, c_name, c_mktsegment,
-                   cast(o_totalprice AS decimal(18,2)) AS total_price
+                   cast(cast(o_totalprice AS decimal(18,2)) AS double) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY total_price DESC, o_orderkey LIMIT 10
         """,
         "region_rollup": """
             SELECT r_name,
                    count(*) AS n_customers,
-                   sum(cast(c_acctbal AS decimal(18,2))) AS sum_acctbal
+                   cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS sum_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -424,17 +446,17 @@ def oracle_sql() -> dict[str, str]:
                      sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
               FROM f)
-            SELECT user_id, session_seq,
+            SELECT user_id, cast(session_seq AS bigint) AS session_seq,
                    count(*) AS n_events,
                    min(event_id) AS first_event,
-                   sum(cast(value AS decimal(18,6))) AS sum_value
+                   cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
             FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
         """,
         "event_stats": """
             SELECT event_type,
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users,
-                   sum(cast(value AS decimal(18,6))) AS sum_value
+                   cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
             FROM events WHERE value > 0
             GROUP BY event_type ORDER BY event_type
         """,
@@ -471,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "simhash": _simhash_oracle(),
+        "minhash_cand_pairs": _cand_pairs_oracle(),
+        "simhash_neardup": _simhash_neardup_oracle(),
         "lang_id": _lang_id_oracle(),
         "jaccard_adjacent": f"""
             WITH t AS (
@@ -492,6 +517,113 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY vec_id
         """,
     }
+
+
+def _simhash_terms() -> str:
+    """The 64 per-bit majority-vote terms of the SimHash fingerprint
+    (sign bit first so partial sums stay in signed-64 range)."""
+    terms = []
+    for b in [63] + list(range(63)):
+        pos, mask = b // 4 + 1, 1 << (b % 4)
+        weight = "(-9223372036854775807 - 1)" if b == 63 else str(1 << b)
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(digs, dd -> (dd[{pos}] & {mask}) <> 0)) > n "
+            f"THEN {weight} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_CTE = f"""
+  t AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents),
+  h AS (SELECT doc_id, len(toks) AS n,
+               list_transform(toks, w -> substring(md5(w), 1, 16)) AS hs
+        FROM t),
+  d AS (SELECT doc_id, n,
+               list_transform(hs, s -> list_transform(range(1, 17),
+                   i -> strpos('0123456789abcdef', substring(s, i, 1)) - 1)) AS digs
+        FROM h)
+"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, cast({_simhash_terms()} AS bigint) AS simhash
+        FROM d ORDER BY doc_id
+    """
+
+
+_SIG_CTE = f"""
+  sig AS (
+    SELECT doc_id,
+           list_min(list_transform(list_distinct({_TOKENS}), x -> md5('0:' || x))) AS mh0,
+           list_min(list_transform(list_distinct({_TOKENS}), x -> md5('1:' || x))) AS mh1,
+           list_min(list_transform(list_distinct({_TOKENS}), x -> md5('2:' || x))) AS mh2,
+           list_min(list_transform(list_distinct({_TOKENS}), x -> md5('3:' || x))) AS mh3
+    FROM documents)
+"""
+
+# shared skew-capped bucket-pair logic (mirrors dedup._capped_bucket_pairs)
+_CAP_PAIRS = """
+  counts AS (
+    SELECT {keys}, count(*) AS _n, min(doc_id) AS _rep
+    FROM buckets GROUP BY {keys}),
+  tagged AS (
+    SELECT b.*, c._n, c._rep FROM buckets b JOIN counts c USING ({keys})),
+  light AS (SELECT doc_id, {keys} FROM tagged WHERE _n <= {cap}),
+  light_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM light a JOIN light b USING ({keys})
+    WHERE a.doc_id < b.doc_id),
+  heavy_pairs AS (
+    SELECT _rep AS doc_a, doc_id AS doc_b
+    FROM tagged WHERE _n > {cap} AND doc_id <> _rep),
+  pairs AS (
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT * FROM light_pairs UNION ALL SELECT * FROM heavy_pairs))
+"""
+
+
+def _cand_pairs_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS h FROM sig" for b in range(4)
+    )
+    cap = _CAP_PAIRS.format(keys="band, h", cap=256)
+    return f"""
+        WITH {_SIG_CTE},
+        buckets AS ({bands}),
+        {cap}
+        SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_neardup_oracle(max_distance: int = 8) -> str:
+    # logical (unsigned) shift of the signed fingerprint: add 2^64 to
+    # negatives in HUGEINT space, then shift+mask
+    u = (
+        "(cast(simhash AS hugeint) + CASE WHEN simhash < 0 "
+        "THEN cast(18446744073709551616 AS hugeint) ELSE 0 END)"
+    )
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, "
+        f"cast(({u} >> {i * 16}) & 65535 AS bigint) AS bv "
+        "FROM fp"
+        for i in range(4)
+    )
+    cap = _CAP_PAIRS.format(keys="blk, bv", cap=256)
+    return f"""
+        WITH {_SIMHASH_CTE},
+        fp AS (SELECT doc_id, cast({_simhash_terms()} AS bigint) AS simhash FROM d),
+        buckets AS ({blocks}),
+        {cap}
+        SELECT p.doc_a, p.doc_b,
+               cast(bit_count(xor(fa.simhash, fb.simhash)) AS int) AS hamming
+        FROM pairs p
+        JOIN fp fa ON p.doc_a = fa.doc_id
+        JOIN fp fb ON p.doc_b = fb.doc_id
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_distance}
+        ORDER BY doc_a, doc_b
+    """
 
 
 def _lang_id_oracle() -> str:

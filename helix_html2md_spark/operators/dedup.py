@@ -1,19 +1,33 @@
 """Deduplication operators for the training-data pipeline.
 
 * exact dedup: content-hash groupBy (map-side combinable, one shuffle)
-* MinHash: per-band min over hashed tokens -> banded signature ->
-  bucket-join; expressed entirely in JVM-side array functions so the
-  signature computation is shuffle-free and codegen'd
-* SimHash: sign-aggregated bit fingerprint from token hashes
+* MinHash: per-band min over hashed tokens/shingles -> banded signature
+  -> bucket-join; expressed entirely in JVM-side array functions so the
+  signature computation is shuffle-free
+* SimHash: 64-bit majority-vote fingerprint from md5-derived token bits
+  (md5 so the DuckDB oracle can recompute it), plus a Hamming-distance
+  near-dup join via block-bucketing (pigeonhole: dist <= r pairs share
+  at least one of r+1 exact blocks)
+
+Plan-shape note: higher-order-function lambdas are interpreted and get
+no common-subexpression elimination, so every reused array (tokens,
+shingles, per-token hash digits) is materialized as a real column in its
+own ``select`` before being consumed by several downstream expressions.
+Catalyst's CollapseProject keeps multi-referenced non-cheap aliases in
+their own Project, so each is computed exactly once per row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import tokens
 
 N_BANDS = 4
+# md5 hex alphabet used for digit -> int decoding on both engines
+_HEX = "0123456789abcdef"
 
 
 def exact_dup_stats(docs: DataFrame) -> DataFrame:
@@ -28,20 +42,26 @@ def exact_dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _band_min(arr: Column, band: int) -> Column:
+    """min(md5('b:' || element)) over a materialized array column."""
+    return F.array_min(
+        F.transform(arr, lambda w: F.md5(F.concat(F.lit(f"{band}:"), w)))
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """MinHash over the token set: band b's hash = min(md5('b:' || token)).
 
     No shuffle: the whole signature is computed per-row with array
     functions; only the later bucket-join shuffles, keyed by signature.
+    The distinct token array is materialized once (own Project) so the
+    n_bands band-min expressions share it instead of re-tokenizing.
     """
-    toks = F.array_distinct(tokens(F.col("text")))
-    bands = [
-        F.array_min(
-            F.transform(toks, lambda w: F.md5(F.concat(F.lit(f"{b}:"), w)))
-        ).alias(f"mh{b}")
-        for b in range(n_bands)
-    ]
-    return docs.select("doc_id", *bands).withColumn(
+    t = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("_toks")
+    )
+    bands = [_band_min(F.col("_toks"), b).alias(f"mh{b}") for b in range(n_bands)]
+    return t.select("doc_id", *bands).withColumn(
         "signature", F.concat_ws("|", *[f"mh{b}" for b in range(n_bands)])
     )
 
@@ -57,11 +77,56 @@ def minhash_dup_groups(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def _capped_bucket_pairs(
+    buckets: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Candidate pairs from bucket membership, skew-guarded.
+
+    Light buckets (<= max_bucket_size members) emit all pairs via a
+    same-key self-join.  Heavy buckets — e.g. a boilerplate cluster of
+    10^5 identical docs landing in one bucket, which would otherwise
+    yield 10^10 pairs — emit a STAR pairing against the bucket's min
+    doc_id: O(n) output that still connects every member into one
+    near-dup component for a union-find / connected-components pass.
+    """
+    counts = buckets.groupBy(*keys).agg(
+        F.count("*").alias("_n"), F.min("doc_id").alias("_rep")
+    )
+    tagged = buckets.join(counts, keys)
+
+    light = tagged.filter(F.col("_n") <= max_bucket_size).select(
+        "doc_id", *keys
+    )
+    a, b = light.alias("a"), light.alias("b")
+    same_key = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
+    )
+    light_pairs = a.join(
+        b, same_key & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+    heavy_pairs = (
+        tagged.filter(
+            (F.col("_n") > max_bucket_size) & (F.col("doc_id") != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return light_pairs.unionByName(heavy_pairs).distinct()
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int = 256,
+) -> DataFrame:
     """LSH banding: docs sharing ANY band bucket become candidate pairs.
 
-    Classic shingle->minhash->band->bucket-join; the self-join is keyed by
-    (band, hash) so only same-bucket rows shuffle together.
+    Classic shingle->minhash->band->bucket-join; the self-join is keyed
+    by (band, hash) so only same-bucket rows shuffle together, and heavy
+    buckets fall back to star pairing (see _capped_bucket_pairs).
     """
     sig = minhash_signatures(docs, n_bands)
     buckets = sig.select(
@@ -77,24 +142,11 @@ def minhash_candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFram
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.h")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return _capped_bucket_pairs(buckets, ["band", "h"], max_bucket_size)
 
 
-def shingles(col, k: int = 3):
-    """k-gram word shingles as an array column (JVM-side)."""
-    toks = tokens(col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-gram shingles over a (materialized) token array column."""
     n = F.size(toks)
     # guard: sequence(1, 0) would DESCEND in Spark; short docs get []
     idx = F.when(
@@ -108,41 +160,146 @@ def shingles(col, k: int = 3):
     )
 
 
+def shingles(col, k: int = 3) -> Column:
+    """k-gram word shingles straight off a text column (convenience; for
+    hot paths materialize tokens first and use shingles_of)."""
+    return shingles_of(tokens(col), k)
+
+
 def shingle_minhash_signatures(
     docs: DataFrame, n_bands: int = N_BANDS, k: int = 3
 ) -> DataFrame:
     """MinHash over 3-gram shingle sets — the classic near-dup signature
-    (shingle -> minhash -> band); still shuffle-free per row."""
-    sh = F.array_distinct(shingles(F.col("text"), k))
-    bands = [
-        F.array_min(
-            F.transform(sh, lambda w: F.md5(F.concat(F.lit(f"{b}:"), w)))
-        ).alias(f"smh{b}")
-        for b in range(n_bands)
-    ]
-    return docs.select("doc_id", *bands)
+    (shingle -> minhash -> band); still shuffle-free per row.
 
-
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint: per-bit majority vote over token hashes.
-
-    Uses xxhash64 per token; bit b of the fingerprint is 1 when more
-    tokens have bit b set than not.
+    Two materializing selects: tokens once (so the k element_at's in the
+    shingle builder hit a plain array column, not k inlined re-splits),
+    then the distinct shingle array once (so the n_bands band-mins hash
+    it without re-shingling).  This is the difference between O(bands *
+    k * n) re-tokenization per row and a single pass.
     """
-    toks = F.array_distinct(tokens(F.col("text")))
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
-    n = F.size(toks)
-    bit_cols = []
-    for b in range(bits):
+    t = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    s = t.select(
+        "doc_id",
+        F.array_distinct(shingles_of(F.col("_toks"), k)).alias("_sh"),
+    )
+    bands = [
+        _band_min(F.col("_sh"), b).alias(f"smh{b}") for b in range(n_bands)
+    ]
+    return s.select("doc_id", *bands)
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint: per-bit majority vote over the distinct
+    token set, with token bits drawn from md5 (first 16 hex digits = 64
+    bits) so a SQL oracle can recompute it digit-for-digit.
+
+    Stages (each array materialized once — see module docstring):
+      _toks  distinct tokens
+      _digs  per token: array of 16 ints, digit i = int(md5(w)[i], 16)
+      bit b of the fingerprint = 1 iff more than half the tokens have
+      bit (b % 4) of digit (b // 4) set.
+    Bit 63 contributes -2^63 (two's complement) so the fingerprint is an
+    ordinary signed BIGINT on both engines, added first so intermediate
+    sums never overflow.
+    """
+    t = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("_toks")
+    )
+    h = t.select(
+        "doc_id",
+        F.size("_toks").alias("_n"),
+        F.transform(
+            F.col("_toks"), lambda w: F.substring(F.md5(w), 1, 16)
+        ).alias("_hs"),
+    )
+    d = h.select(
+        "doc_id",
+        "_n",
+        F.transform(
+            F.col("_hs"),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.conv(F.substring(s, i, F.lit(1)), 16, 10).cast(
+                    "int"
+                ),
+            ),
+        ).alias("_digs"),
+    )
+
+    n = F.col("_n")
+
+    def bit_term(b: int) -> Column:
+        digit_pos, mask = b // 4 + 1, 1 << (b % 4)
         ones = F.size(
             F.filter(
-                hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != F.lit(0)
+                F.col("_digs"),
+                lambda dd: F.element_at(dd, digit_pos).bitwiseAND(
+                    F.lit(mask)
+                )
+                != F.lit(0),
             )
         )
-        bit_cols.append(
-            F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        return F.when(ones * 2 > n, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
-    return docs.select("doc_id", fp.cast("long").alias("simhash"))
+
+    # sign bit first: partial sums stay within signed-64 range
+    fp = bit_term(bits - 1)
+    for b in range(bits - 1):
+        fp = fp + bit_term(b)
+    return d.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    n_blocks: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Hamming-distance near-dup join over SimHash fingerprints.
+
+    Pigeonhole bucketing: fingerprints within Hamming distance r < n_blocks
+    agree exactly on at least one of the n_blocks 16-bit blocks, so the
+    self-join is keyed by (block_idx, block_value) — never all-pairs —
+    then verified with bit_count(a XOR b) <= r.  Heavy blocks (identical
+    boilerplate) fall back to star pairing like the MinHash LSH path.
+    """
+    fp = simhash(docs)
+    width = 64 // n_blocks
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.bv")
+    pairs = _capped_bucket_pairs(blocks, ["blk", "bv"], max_bucket_size)
+    sig = fp.select(
+        F.col("doc_id").alias("_id"), F.col("simhash").alias("_fp")
+    )
+    return (
+        pairs.join(sig, pairs.doc_a == sig._id)
+        .withColumnRenamed("_fp", "_fp_a")
+        .drop("_id")
+        .join(sig, pairs.doc_b == sig._id)
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_fp_a").bitwiseXOR(F.col("_fp"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -175,8 +175,28 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "doc_id": [], "spans": [], "md": [], "status": [], "error": [],
             "n_images": [], "n_blocks": [], "n_chars": [],
         }
-        for row in pdf.itertuples(index=False):
+        # itertuples mangles leading-underscore names; read the gate
+        # column positionally
+        gate_errs = (
+            pdf["_gate_error"].tolist()
+            if "_gate_error" in pdf.columns
+            else [None] * len(pdf)
+        )
+        for rownum, row in enumerate(pdf.itertuples(index=False)):
             d = row._asdict()
+            gate_err = _scalar(gate_errs[rownum])
+            if gate_err is not None:
+                # JVM admission gate already rejected this row (html was
+                # blanked before the Arrow crossing); emit its error row
+                out["doc_id"].append(d["doc_id"])
+                out["spans"].append([])
+                out["md"].append("")
+                out["status"].append("constraint_error")
+                out["error"].append(gate_err)
+                out["n_images"].append(0)
+                out["n_blocks"].append(0)
+                out["n_chars"].append(0)
+                continue
             raw_media = d["media_spans"]
             if raw_media is None:
                 raw_media = []
@@ -233,6 +253,45 @@ def prepare_for_extract(df: DataFrame, defaults: dict) -> DataFrame:
     )
 
 
+def gate_oversized(df: DataFrame, defaults: dict) -> DataFrame:
+    """JVM admission gate (reference: src/index.js:159-166), single-pass.
+
+    Instead of splitting into ok/oversized branches (a Union whose two
+    branches each re-scan the input and re-run span assembly), route
+    oversized rows with a ``_gate_error`` status column and BLANK their
+    html/media before the Arrow crossing: one scan, one assembly, and no
+    oversized bytes ever reach Python.  The error text is byte-identical
+    to the Python tier's ``f"html source larger than {mb:.0f}MB"``
+    (bround = half-even, no thousands grouping).
+    """
+    max_html_default = int(defaults.get("max_html_size") or 1024 * 1024)
+    limit = F.coalesce(F.col("max_html_size"), F.lit(max_html_default))
+    mb_str = (
+        F.bround(limit / F.lit(1024 * 1024), 0)
+        .cast("decimal(20,0)")
+        .cast("string")
+    )
+    err = F.concat(
+        F.lit("html source larger than "), mb_str, F.lit("MB")
+    )
+    rejected = F.col("_gate_error").isNotNull()
+    return (
+        df.withColumn(
+            "_gate_error", F.when(F.col("_html_len") > limit, err)
+        )
+        .withColumn(
+            "html_src",
+            F.when(rejected, F.lit("")).otherwise(F.col("html_src")),
+        )
+        .withColumn(
+            "media_spans",
+            F.when(
+                rejected, F.filter("media_spans", lambda s: F.lit(False))
+            ).otherwise(F.col("media_spans")),
+        )
+    )
+
+
 def extract_documents(
     docs: DataFrame,
     config: DataFrame | None = None,
@@ -253,12 +312,11 @@ def extract_documents(
         df = df.join(F.broadcast(config), "doc_id", "left")
 
     # ---- assembly + admission gate (before any Python;
-    # src/index.js:159-166) ------------------------------------------------
+    # src/index.js:159-166): ONE scan, ONE assembly — oversized rows are
+    # routed via a status column with html blanked, not a Union of
+    # re-scanning branches
     df = prepare_for_extract(df, defaults)
-    max_html_default = int(defaults.get("max_html_size") or 1024 * 1024)
-    limit = F.coalesce(F.col("max_html_size"), F.lit(max_html_default))
-    oversized = df.filter(F.col("_html_len") > limit)
-    ok = df.filter(F.col("_html_len") <= limit)
+    ok = gate_oversized(df, defaults)
 
     # ---- explicit skew defusal ------------------------------------------
     # The transform is a pure map: partitioning only matters for byte
@@ -304,22 +362,6 @@ def extract_documents(
             .drop("_wc", "_b", "_place")
         )
 
-    extracted = balanced.drop("_html_len").mapInPandas(
+    return balanced.drop("_html_len").mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA
     )
-
-    oversized_rows = oversized.select(
-        "doc_id",
-        F.array().cast(ArrayType(SPAN_TYPE)).alias("spans"),
-        F.lit("").alias("md"),
-        F.lit("constraint_error").alias("status"),
-        F.concat(
-            F.lit("html source larger than "),
-            F.format_number((limit / F.lit(1024 * 1024)).cast("double"), 0),
-            F.lit("MB"),
-        ).alias("error"),
-        F.lit(0).alias("n_images"),
-        F.lit(0).alias("n_blocks"),
-        F.lit(0).alias("n_chars"),
-    )
-    return extracted.unionByName(oversized_rows)

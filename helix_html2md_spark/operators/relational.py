@@ -1,9 +1,11 @@
 """Relational side-queries (SURVEY.md §2B): scans, filters, joins,
 aggregations, windows, sorts/limits over the driver's TPC-H-ish tables.
 
-Money sums are cast to decimal BEFORE aggregation so results are
-bit-identical to the DuckDB oracles (float summation order is
-engine-dependent; decimal arithmetic is not).
+Money sums are cast to decimal BEFORE aggregation (float summation order
+is engine-dependent; decimal arithmetic is not), then the FINAL value is
+cast to double: DuckDB's pandas bridge widens SUM(decimal)/HUGEINT to
+float64, so double is the one terminal type both engines agree on for
+the driver's type-sensitive value hash.
 """
 
 from __future__ import annotations
@@ -22,14 +24,18 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec))
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 (
                     F.col("l_extendedprice").cast(dec)
                     * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
                 ).cast("decimal(28,4)")
-            ).alias("sum_disc_price"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -44,7 +50,10 @@ def top_orders(orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame
             "o_orderkey",
             "c_name",
             "c_mktsegment",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
         )
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(k)
@@ -63,7 +72,9 @@ def region_rollup(
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -94,7 +105,9 @@ def user_event_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.min("event_id").alias("first_event"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -108,7 +121,9 @@ def event_type_stats(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("event_type")
     )

@@ -38,9 +38,13 @@ def stream_extract(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    from ..operators.extract import prepare_for_extract
+    from ..operators.extract import gate_oversized, prepare_for_extract
 
-    df = prepare_for_extract(docs.select("doc_id", "spans"), {})
+    # same JVM admission gate as the batch path (gate-before-Python holds
+    # on the stream too; a when-projection is stream-safe)
+    df = gate_oversized(
+        prepare_for_extract(docs.select("doc_id", "spans"), {}), {}
+    )
     extracted = df.drop("_html_len").mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA
     )

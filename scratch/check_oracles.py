@@ -1,6 +1,8 @@
 """Driver-sim: run each queries() entry on Spark AND its oracle_sql() on
 DuckDB at sf0.01; compare row count, sorted-by-name schema, and
-order-insensitive values."""
+order-insensitive values.  STRICT mode: values compared through pandas
+(toPandas vs .df()) with type-sensitive canonicalization, like the
+driver's value hash."""
 import sys
 from decimal import Decimal
 
@@ -15,18 +17,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
-    if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
-    if isinstance(v, float):
-        return f"{v:.10g}"
-    if v is None:
+    # type-sensitive: Decimal('5.0') != 5.0 != 5 (mimics a value hash
+    # computed over the raw pandas objects)
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):
         return "NULL"
-    return str(v)
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (float, np.floating)):
+        return f"f64:{float(v)!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "arr:[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
 
 
-def rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+def rowset(pdf):
+    cols = sorted(pdf.columns)
+    rows = pdf[cols].itertuples(index=False)
+    return sorted(tuple(canon(v) for v in r) for r in rows)
 
 
 def main():
@@ -46,22 +57,22 @@ def main():
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
-        sdf = fn(spark, SF)
-        srows = sdf.collect()
-        scols = sdf.columns
+        spdf = fn(spark, SF).toPandas()
+        srows = spdf
+        scols = list(spdf.columns)
         if name not in oracles:
             print(f"{name:24s} rows={len(srows):6d}  (no oracle - rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"{name:24s} ORACLE SQL ERROR: {e}")
             failures += 1
             continue
+        drows = dpdf
         ok_schema = sorted(scols) == sorted(dcols)
-        s, d = rowset(scols, srows), rowset(dcols, drows)
+        s, d = rowset(spdf), rowset(dpdf)
         ok_vals = s == d
         status = "OK" if ok_schema and ok_vals else "MISMATCH"
         print(

@@ -64,10 +64,15 @@ def test_extraction_gate_before_python(spark):
     plan = _optimized(out)
     python_pos = plan.find("MapInPandas _extract_batches")
     assert python_pos >= 0
-    # the size-gate filter (length(html) <= 1 MB) appears in the subtree
-    # BELOW the python node (later in the printed tree)
-    gate_pos = plan.find("<= 1048576")
+    # single-pass gate: the size-routing expression (html_len > 1 MB ->
+    # blank html + _gate_error) sits in the subtree BELOW the python node
+    # (later in the printed tree); no Union of re-scanning branches, one
+    # source scan, one python crossing
+    gate_pos = plan.find("1048576")
     assert gate_pos > python_pos
+    assert "Union" not in plan
+    assert plan.count("MapInPandas _extract_batches") == 1
+    assert plan.count("Range (0, 10") == 1
 
 
 def test_broadcast_anti_join_resume(spark, tmp_path):

@@ -54,9 +54,35 @@ def test_simhash_near_dups_close(spark, docs):
 
     fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert fp[1] == fp[2]
-    d_near = bin(fp[1] ^ fp[3]).count("1")
-    d_far = bin(fp[1] ^ fp[4]).count("1")
+    d_near = bin((fp[1] ^ fp[3]) & (2**64 - 1)).count("1")
+    d_far = bin((fp[1] ^ fp[4]) & (2**64 - 1)).count("1")
     assert d_near < d_far
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    """Hamming-join finds the exact/near dups, not the unrelated doc."""
+    from helix_html2md_spark.operators.dedup import simhash_near_dup_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_distance=16).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs
+    assert (1, 3) in pairs  # one-word edit within distance
+    assert (1, 4) not in pairs and (4, 1) not in pairs
+
+
+def test_candidate_pairs_heavy_bucket_capped(spark):
+    """1k identical docs must produce O(n) star pairs, not O(n^2)."""
+    from helix_html2md_spark.operators.dedup import minhash_candidate_pairs
+
+    n = 1000
+    dupes = spark.createDataFrame(
+        [{"doc_id": i, "text": "same boilerplate text everywhere"} for i in range(n)]
+    )
+    pairs = minhash_candidate_pairs(dupes, max_bucket_size=64).collect()
+    assert len(pairs) == n - 1  # star around min doc_id
+    assert all(r["doc_a"] == 0 for r in pairs)
 
 
 def test_cosine_topk(spark):
