@@ -521,13 +521,15 @@ def oracle_sql() -> dict[str, str]:
 
 def _simhash_terms() -> str:
     """The 64 per-bit majority-vote terms of the SimHash fingerprint
-    (sign bit first so partial sums stay in signed-64 range)."""
+    (sign bit first so partial sums stay in signed-64 range); bit b
+    comes from the lo (b < 32) / hi (b >= 32) 32-bit half of the md5
+    prefix, mirroring operators/dedup.simhash exactly."""
     terms = []
     for b in [63] + list(range(63)):
-        pos, mask = b // 4 + 1, 1 << (b % 4)
+        src, k = ("his", b - 32) if b >= 32 else ("los", b)
         weight = "(-9223372036854775807 - 1)" if b == 63 else str(1 << b)
         terms.append(
-            f"(CASE WHEN 2 * len(list_filter(digs, dd -> (dd[{pos}] & {mask}) <> 0)) > n "
+            f"(CASE WHEN 2 * list_sum(list_transform({src}, v -> (v >> {k}) & 1)) > n "
             f"THEN {weight} ELSE 0 END)"
         )
     return " + ".join(terms)
@@ -539,8 +541,8 @@ _SIMHASH_CTE = f"""
                list_transform(toks, w -> substring(md5(w), 1, 16)) AS hs
         FROM t),
   d AS (SELECT doc_id, n,
-               list_transform(hs, s -> list_transform(range(1, 17),
-                   i -> strpos('0123456789abcdef', substring(s, i, 1)) - 1)) AS digs
+               list_transform(hs, s -> ('0x' || substring(s, 1, 8))::BIGINT) AS his,
+               list_transform(hs, s -> ('0x' || substring(s, 9, 8))::BIGINT) AS los
         FROM h)
 """
 

@@ -78,7 +78,10 @@ def minhash_dup_groups(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def _capped_bucket_pairs(
-    buckets: DataFrame, keys: list[str], max_bucket_size: int
+    buckets: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    payload: str | None = None,
 ) -> DataFrame:
     """Candidate pairs from bucket membership, skew-guarded.
 
@@ -88,32 +91,67 @@ def _capped_bucket_pairs(
     yield 10^10 pairs — emit a STAR pairing against the bucket's min
     doc_id: O(n) output that still connects every member into one
     near-dup component for a union-find / connected-components pass.
-    """
-    counts = buckets.groupBy(*keys).agg(
-        F.count("*").alias("_n"), F.min("doc_id").alias("_rep")
-    )
-    tagged = buckets.join(counts, keys)
 
+    ``payload`` names an extra per-doc column to carry through as
+    ``{payload}_a`` / ``{payload}_b`` so callers can verify pairs (e.g.
+    Hamming distance) WITHOUT joining back to the expensive upstream —
+    a join back would re-execute the whole fingerprint pipeline per
+    reference.
+
+    Plan shape: bucket size + representative come from WINDOW functions
+    (one shuffle on the bucket key), not a groupBy+join — a groupBy
+    would shuffle the expensive upstream a second time; here the window
+    exchange is the only one, and the self-join reuses it
+    (ReusedExchange), so the upstream fingerprint pipeline executes
+    exactly once.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    w = Window.partitionBy(*keys)
+    rep_fields = [F.col("doc_id").alias("d")] + (
+        [F.col(payload).alias("p")] if payload else []
+    )
+    tagged = buckets.withColumn("_n", F.count("*").over(w)).withColumn(
+        "_rep", F.min(F.struct(*rep_fields)).over(w)
+    )
+    # The plan below is a diamond (self-join + heavy branch all read
+    # `tagged`); per-branch column pruning makes the exchange subtrees
+    # differ, so ReusedExchange does NOT kick in and the expensive
+    # upstream (fingerprint pipeline) would execute once per branch.
+    # Persist the small post-window table — (doc_id, keys, payload, 2
+    # window cols), a few dozen bytes/row, disk-backed — exactly what a
+    # production pipeline would checkpoint to a fingerprint table.
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pl_cols = [payload] if payload else []
     light = tagged.filter(F.col("_n") <= max_bucket_size).select(
-        "doc_id", *keys
+        "doc_id", *keys, *pl_cols
     )
     a, b = light.alias("a"), light.alias("b")
     same_key = reduce(
         lambda x, y: x & y,
         [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
     )
+    out_a = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
+    if payload:
+        out_a += [
+            F.col(f"a.{payload}").alias(f"{payload}_a"),
+            F.col(f"b.{payload}").alias(f"{payload}_b"),
+        ]
     light_pairs = a.join(
         b, same_key & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
+    ).select(*out_a)
 
-    heavy_pairs = (
-        tagged.filter(
-            (F.col("_n") > max_bucket_size) & (F.col("doc_id") != F.col("_rep"))
-        )
-        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
+    out_h = [F.col("_rep.d").alias("doc_a"), F.col("doc_id").alias("doc_b")]
+    if payload:
+        out_h += [
+            F.col("_rep.p").alias(f"{payload}_a"),
+            F.col(payload).alias(f"{payload}_b"),
+        ]
+    heavy_pairs = tagged.filter(
+        (F.col("_n") > max_bucket_size) & (F.col("doc_id") != F.col("_rep.d"))
+    ).select(*out_h)
     return light_pairs.unionByName(heavy_pairs).distinct()
 
 
@@ -195,10 +233,13 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     bits) so a SQL oracle can recompute it digit-for-digit.
 
     Stages (each array materialized once — see module docstring):
-      _toks  distinct tokens
-      _digs  per token: array of 16 ints, digit i = int(md5(w)[i], 16)
+      _toks     distinct tokens
+      _his/_los per token: the two 32-bit halves of the 64-bit hash,
+                decoded with ONE conv() each (not one per hex digit)
       bit b of the fingerprint = 1 iff more than half the tokens have
-      bit (b % 4) of digit (b // 4) set.
+      bit (b %% 32) of their lo (b < 32) / hi (b >= 32) half set
+      (size-of-filter with a constant mask: measured marginally faster
+      than an aggregate-fold of (v >> k) & 1 on local[32]).
     Bit 63 contributes -2^63 (two's complement) so the fingerprint is an
     ordinary signed BIGINT on both engines, added first so intermediate
     sums never overflow.
@@ -213,32 +254,26 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
             F.col("_toks"), lambda w: F.substring(F.md5(w), 1, 16)
         ).alias("_hs"),
     )
-    d = h.select(
+    v = h.select(
         "doc_id",
         "_n",
         F.transform(
             F.col("_hs"),
-            lambda s: F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda i: F.conv(F.substring(s, i, F.lit(1)), 16, 10).cast(
-                    "int"
-                ),
-            ),
-        ).alias("_digs"),
+            lambda s: F.conv(F.substring(s, 1, F.lit(8)), 16, 10).cast("long"),
+        ).alias("_his"),
+        F.transform(
+            F.col("_hs"),
+            lambda s: F.conv(F.substring(s, 9, F.lit(8)), 16, 10).cast("long"),
+        ).alias("_los"),
     )
 
     n = F.col("_n")
 
     def bit_term(b: int) -> Column:
-        digit_pos, mask = b // 4 + 1, 1 << (b % 4)
+        src = F.col("_los") if b < 32 else F.col("_his")
+        mask = 1 << (b % 32)
         ones = F.size(
-            F.filter(
-                F.col("_digs"),
-                lambda dd: F.element_at(dd, digit_pos).bitwiseAND(
-                    F.lit(mask)
-                )
-                != F.lit(0),
-            )
+            F.filter(src, lambda x: x.bitwiseAND(F.lit(mask)) != F.lit(0))
         )
         weight = -(1 << 63) if b == 63 else (1 << b)
         return F.when(ones * 2 > n, F.lit(weight).cast("long")).otherwise(
@@ -249,7 +284,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     fp = bit_term(bits - 1)
     for b in range(bits - 1):
         fp = fp + bit_term(b)
-    return d.select("doc_id", fp.alias("simhash"))
+    return v.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -285,19 +320,14 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.blk", "b.bv")
-    pairs = _capped_bucket_pairs(blocks, ["blk", "bv"], max_bucket_size)
-    sig = fp.select(
-        F.col("doc_id").alias("_id"), F.col("simhash").alias("_fp")
+    pairs = _capped_bucket_pairs(
+        blocks, ["blk", "bv"], max_bucket_size, payload="simhash"
     )
     return (
-        pairs.join(sig, pairs.doc_a == sig._id)
-        .withColumnRenamed("_fp", "_fp_a")
-        .drop("_id")
-        .join(sig, pairs.doc_b == sig._id)
-        .withColumn(
+        pairs.withColumn(
             "hamming",
             F.bit_count(
-                F.col("_fp_a").bitwiseXOR(F.col("_fp"))
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ),
         )
         .filter(F.col("hamming") <= max_distance)
