@@ -52,9 +52,13 @@ def _docs(spark, sf_dir):
 
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction pipeline incl. output span decomposition (no SQL oracle:
-    the transform is the engine itself; correctness is pinned by the
-    byte-exact fixture suite in tests/)."""
+    """Extraction pipeline incl. output span decomposition, checked
+    against a repo-shipped golden parquet: the transform itself is not
+    SQL-expressible, but its outcome IS — the oracle reads the expected
+    (doc_id, status, counts, md md5) rows generated from the byte-exact
+    fixture suite (reference goldens: test/index.test.js:130-135), so
+    the driver's row/schema/hash checks bind live extraction to the
+    reference behavior."""
     out = _extract_fixture_docs(spark)
     return out.select(
         "doc_id",
@@ -63,6 +67,7 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_blocks",
         "n_chars",
         F.size("spans").alias("n_spans"),
+        F.md5("md").alias("md_md5"),
     ).orderBy("doc_id")
 
 
@@ -310,6 +315,44 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation (streaming operator run in batch
+    mode — identical plan semantics; the watermark is a no-op on batch)."""
+    from helix_html2md_spark.operators.relational import load
+    from helix_html2md_spark.streaming.stream import windowed_event_counts
+
+    out = windowed_event_counts(
+        load(spark, sf_dir, "events"), window="1 hour"
+    )
+    return out.select(
+        "window_start", "event_type", "n_events", "sum_value"
+    ).orderBy("window_start", "event_type")
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Structured Streaming extraction: write the fixture
+    spans table to a landing dir, run the availableNow stream through
+    the identical Arrow transform + checkpointed sink, read the sink
+    back.  Oracled against the same golden parquet as extract_spans —
+    the stream must produce byte-identical markdown."""
+    import tempfile
+
+    from helix_html2md_spark.sources.fixtures import fixture_documents
+    from helix_html2md_spark.streaming.stream import stream_extract
+
+    base = tempfile.mkdtemp(prefix="graft_stream_q_")
+    docs, cfg = fixture_documents(spark)
+    docs.select("doc_id", "spans").write.parquet(f"{base}/in")
+    q = stream_extract(
+        spark, f"{base}/in", f"{base}/out", f"{base}/cp", config=cfg
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    return out.select(
+        "doc_id", "status", F.md5("md").alias("md_md5")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
@@ -333,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_cand_pairs": q_minhash_cand_pairs,
         "simhash_neardup": q_simhash_neardup,
+        "windowed_counts": q_windowed_counts,
+        "stream_extract": q_stream_extract,
     }
 
 
@@ -344,8 +389,20 @@ _TOKENS = "list_filter(str_split_regex(trim(text), '\\s+'), x -> x <> '')"
 _STOP = "['the','a','of','and','to','in','is','it']"
 
 
+_GOLDEN_EXTRACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "data", "golden_extract.parquet", "*.parquet",
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_spans": f"""
+            SELECT doc_id, status, n_images, n_blocks, n_chars,
+                   n_spans, md_md5
+            FROM read_parquet('{_GOLDEN_EXTRACT}')
+            ORDER BY doc_id
+        """,
         "span_assembly": """
             SELECT doc_id,
                    length(text) AS orig_len,
@@ -492,6 +549,20 @@ def oracle_sql() -> dict[str, str]:
                    6) AS cosine
             FROM embeddings WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "windowed_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        "stream_extract": f"""
+            SELECT doc_id, status, md_md5
+            FROM read_parquet('{_GOLDEN_EXTRACT}')
+            ORDER BY doc_id
         """,
         "simhash": _simhash_oracle(),
         "minhash_cand_pairs": _cand_pairs_oracle(),

@@ -232,16 +232,11 @@ def _fast_parse(html: str) -> Element:
             builder.handle_endtag(name)
             continue
         raw_attrs = m.group("attrs") or ""
-        self_closing = raw_attrs.rstrip().endswith("/")
         attrs = []
-        if raw_attrs and raw_attrs.strip("/ \t\r\n"):
+        last_end = 0
+        if raw_attrs:
             for am in _ATTR_RE.finditer(raw_attrs):
-                key = am.group(1)
-                if key == "/":
-                    continue
-                key = key.lower().rstrip("/")
-                if not key:
-                    continue
+                key = am.group(1).lower()
                 val = am.group(3)
                 if val is None:
                     val = am.group(4)
@@ -250,6 +245,14 @@ def _fast_parse(html: str) -> Element:
                 if val is not None and "&" in val:
                     val = unescape(val)
                 attrs.append((key, val))
+                last_end = am.end()
+        # self-closing ONLY when a '/' sits immediately before '>' AND is
+        # not part of an unquoted attribute value (html.parser: the value
+        # pattern consumes '/', the name pattern does not; '/ >' is NOT
+        # self-closing) — so check what's left AFTER attribute parsing,
+        # e.g. <a href=http://x/> is a plain start tag with the '/'
+        # inside the value
+        self_closing = raw_attrs.endswith("/") and last_end < len(raw_attrs)
         if self_closing:
             builder.handle_startendtag(name, attrs)
             continue

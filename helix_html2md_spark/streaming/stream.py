@@ -25,13 +25,17 @@ def stream_extract(
     output_dir: str,
     checkpoint_dir: str,
     *,
+    config=None,
+    defaults: dict | None = None,
     available_now: bool = True,
 ):
     """Tail a spans-table directory and extract incrementally.
 
     Per-file exactly-once: the file-source checkpoint records consumed
     files; the parquet sink is append-only.  Uses the identical Arrow
-    batch transform as the batch path (no per-row Python).
+    batch transform as the batch path (no per-row Python).  ``config``
+    is an optional small static per-doc-config DataFrame, broadcast
+    stream-static joined on doc_id exactly like the batch operator.
     """
     docs = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -40,11 +44,13 @@ def stream_extract(
     )
     from ..operators.extract import gate_oversized, prepare_for_extract
 
+    df = docs.select("doc_id", "spans")
+    if config is not None:
+        df = df.join(F.broadcast(config), "doc_id", "left")
     # same JVM admission gate as the batch path (gate-before-Python holds
     # on the stream too; a when-projection is stream-safe)
-    df = gate_oversized(
-        prepare_for_extract(docs.select("doc_id", "spans"), {}), {}
-    )
+    defaults = defaults or {}
+    df = gate_oversized(prepare_for_extract(df, defaults), defaults)
     extracted = df.drop("_html_len").mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA
     )
@@ -132,7 +138,10 @@ def windowed_event_counts(
         .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            # decimal-exact sum, double terminal type (oracle-identical)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

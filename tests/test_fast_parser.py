@@ -40,6 +40,52 @@ def test_synthetic_tree_identical():
         assert dump(parse_html_stdlib(h)) == dump(_fast_parse(h)), i
 
 
+def test_unquoted_attr_trailing_slash():
+    """An unquoted attribute value ending in '/' must NOT make the tag
+    self-closing (html.parser: the value pattern consumes the '/')."""
+    cases = [
+        '<a href=http://example.com/>click</a>',
+        '<a href=/docs/>click</a>',
+        "<div data-x=a/>inside</div>",
+        "<br/>",  # still self-closing
+        '<img src="x.png"/>',  # quoted value + '/>' still self-closing
+        "<input disabled/>",  # valueless attr + '/>' still self-closing
+        "<a href=x/ >t</a>",
+    ]
+    for h in cases:
+        assert dump(parse_html_stdlib(h)) == dump(_fast_parse(h)), h
+    # the anchor must CONTAIN its text and keep the full value
+    tree = _fast_parse("<a href=http://example.com/>click</a>")
+    a = tree.children[0]
+    assert a.tag == "a" and a.attrs["href"] == "http://example.com/"
+    assert isinstance(a.children[0], Text) and a.children[0].value == "click"
+
+
+def test_attr_syntax_fuzz_tree_identical():
+    """Differential fuzz over attribute syntax variants: quoted /
+    unquoted (incl. values ending in '/') / valueless / self-closing."""
+    rng = random.Random(23)
+    vals = ["x", "http://e.com/", "/a/b/", "a-b_c", "q?r=1/", ""]
+
+    def attr():
+        k = rng.choice(["href", "src", "data-x", "alt", "disabled"])
+        style = rng.randrange(4)
+        if style == 0:
+            return k
+        v = rng.choice(vals)
+        if style == 1:
+            return f'{k}="{v}"'
+        if style == 2:
+            return f"{k}='{v}'"
+        return f"{k}={v}" if v else k
+    for _ in range(300):
+        attrs = " ".join(attr() for _ in range(rng.randint(0, 3)))
+        slash = rng.choice(["", "/", " /", "/ "])
+        tag = rng.choice(["a", "span", "div", "br", "img"])
+        h = f"<p>t1<{tag} {attrs}{slash}>t2</{tag}>t3</p>"
+        assert dump(parse_html_stdlib(h)) == dump(_fast_parse(h)), h
+
+
 def test_structured_random_output_identical():
     import helix_html2md_spark.core.html2md as H
     from helix_html2md_spark.core.transform import ConstraintsError
