@@ -285,23 +285,42 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banded candidate pairs with the heavy-bucket star fallback."""
+    """LSH banded candidate pairs with the heavy-bucket star fallback.
+    The engine computes the full pair set; the driver-visible result is
+    the per-doc_a aggregate (count + min/max partner) so the compare
+    stays O(docs) while still pinning the exact pair set — any missing
+    or extra pair shifts a count or an endpoint."""
     from helix_html2md_spark.operators.dedup import minhash_candidate_pairs
 
-    return minhash_candidate_pairs(_docs(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
+    pairs = minhash_candidate_pairs(_docs(spark, sf_dir))
+    return (
+        pairs.groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_b").alias("min_doc_b"),
+            F.max("doc_b").alias("max_doc_b"),
+        )
+        .orderBy("doc_a")
     )
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs over SimHash (block-bucketed,
-    bit_count(a XOR b) <= r verification)."""
+    bit_count(a XOR b) <= r verification); per-doc_a aggregate output
+    (see q_minhash_cand_pairs)."""
     from helix_html2md_spark.operators.dedup import simhash_near_dup_pairs
 
     out = simhash_near_dup_pairs(_docs(spark, sf_dir), max_distance=8)
-    return out.select(
-        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("doc_a", "doc_b")
+    return (
+        out.groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_b").alias("min_doc_b"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+            F.max("hamming").cast("int").alias("max_hamming"),
+        )
+        .orderBy("doc_a")
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,7 +685,9 @@ def _cand_pairs_oracle() -> str:
         WITH {_SIG_CTE},
         buckets AS ({bands}),
         {cap}
-        SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+        SELECT doc_a, count(*) AS n_pairs,
+               min(doc_b) AS min_doc_b, max(doc_b) AS max_doc_b
+        FROM pairs GROUP BY doc_a ORDER BY doc_a
     """
 
 
@@ -688,14 +709,19 @@ def _simhash_neardup_oracle(max_distance: int = 8) -> str:
         WITH {_SIMHASH_CTE},
         fp AS (SELECT doc_id, cast({_simhash_terms()} AS bigint) AS simhash FROM d),
         buckets AS ({blocks}),
-        {cap}
-        SELECT p.doc_a, p.doc_b,
-               cast(bit_count(xor(fa.simhash, fb.simhash)) AS int) AS hamming
-        FROM pairs p
-        JOIN fp fa ON p.doc_a = fa.doc_id
-        JOIN fp fb ON p.doc_b = fb.doc_id
-        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_distance}
-        ORDER BY doc_a, doc_b
+        {cap},
+        kept AS (
+          SELECT p.doc_a, p.doc_b,
+                 cast(bit_count(xor(fa.simhash, fb.simhash)) AS int) AS hamming
+          FROM pairs p
+          JOIN fp fa ON p.doc_a = fa.doc_id
+          JOIN fp fb ON p.doc_b = fb.doc_id
+          WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_distance})
+        SELECT doc_a, count(*) AS n_pairs,
+               min(doc_b) AS min_doc_b,
+               cast(min(hamming) AS int) AS min_hamming,
+               cast(max(hamming) AS int) AS max_hamming
+        FROM kept GROUP BY doc_a ORDER BY doc_a
     """
 
 
