@@ -334,6 +334,59 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline: LSH candidates -> exact token-set
+    Jaccard verification (threshold 0.5); per-doc_a aggregate output."""
+    from helix_html2md_spark.operators.dedup import jaccard_verified_pairs
+
+    out = jaccard_verified_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return (
+        out.groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_b").alias("min_doc_b"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: every doc
+    in a dup cluster labeled with the cluster's min doc_id (iterative
+    min-label propagation; oracle = DuckDB recursive CTE)."""
+    from helix_html2md_spark.operators.dedup import (
+        dup_components, minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(_docs(spark, sf_dir))
+    return dup_components(pairs).orderBy("doc_id")
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer stats: segment count, non-whitespace token
+    count, and an md5 over the joined token stream (pins the exact
+    segmentation, not just the counts)."""
+    from helix_html2md_spark.functions.text import bpe_tokens
+
+    docs = _docs(spark, sf_dir)
+    segs = docs.select("doc_id", bpe_tokens(F.col("text")).alias("_segs"))
+    nonws = F.filter(F.col("_segs"), lambda t: ~t.rlike(r"^\s+$"))
+    return segs.select(
+        "doc_id",
+        F.size("_segs").alias("n_segments"),
+        F.size(nonws).alias("n_bpe_tokens"),
+        F.md5(F.array_join(nonws, "|")).alias("stream_md5"),
+    ).orderBy("doc_id")
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pipeline: quality gates + exact dedup."""
+    from helix_html2md_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming operator run in batch
     mode — identical plan semantics; the watermark is a no-op on batch)."""
@@ -397,6 +450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
+        "neardup_verified": q_neardup_verified,
+        "dup_components": q_dup_components,
+        "bpe_token_stats": q_bpe_token_stats,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -569,6 +626,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "neardup_verified": _neardup_verified_oracle(),
+        "dup_components": _dup_components_oracle(),
+        "bpe_token_stats": _bpe_oracle(),
+        "clean_corpus": _clean_corpus_oracle(),
         "windowed_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type,
@@ -722,6 +783,100 @@ def _simhash_neardup_oracle(max_distance: int = 8) -> str:
                cast(min(hamming) AS int) AS min_hamming,
                cast(max(hamming) AS int) AS max_hamming
         FROM kept GROUP BY doc_a ORDER BY doc_a
+    """
+
+
+def _cand_pairs_cte() -> str:
+    """WITH-clause body producing the capped LSH candidate `pairs` CTE."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS h FROM sig" for b in range(4)
+    )
+    cap = _CAP_PAIRS.format(keys="band, h", cap=256)
+    return f"{_SIG_CTE},\n  buckets AS ({bands}),\n  {cap}"
+
+
+def _neardup_verified_oracle(threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_cand_pairs_cte()},
+        t AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents),
+        j AS (
+          SELECT p.doc_a, p.doc_b,
+                 round(len(list_intersect(a.toks, b.toks))
+                       / greatest(len(list_distinct(a.toks || b.toks)), 1),
+                       6) AS jaccard
+          FROM pairs p
+          JOIN t a ON p.doc_a = a.doc_id
+          JOIN t b ON p.doc_b = b.doc_id)
+        SELECT doc_a, count(*) AS n_pairs,
+               min(doc_b) AS min_doc_b,
+               round(max(jaccard), 6) AS max_jaccard
+        FROM j WHERE jaccard >= {threshold}
+        GROUP BY doc_a ORDER BY doc_a
+    """
+
+
+def _dup_components_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_cand_pairs_cte()},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        walk(node, label) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+        SELECT node AS doc_id, min(label) AS component
+        FROM walk GROUP BY node ORDER BY doc_id
+    """
+
+
+def _bpe_oracle() -> str:
+    # the pre-tokenizer pattern contains a single quote: double it for SQL
+    pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+".replace(
+        "'", "''"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '{pat}') AS segs
+          FROM documents),
+        f AS (
+          SELECT doc_id, segs,
+                 list_filter(segs,
+                             t -> NOT regexp_matches(t, '^\\s+$')) AS nonws
+          FROM s)
+        SELECT doc_id,
+               len(segs) AS n_segments,
+               len(nonws) AS n_bpe_tokens,
+               md5(list_aggregate(nonws, 'string_agg', '|')) AS stream_md5
+        FROM f ORDER BY doc_id
+    """
+
+
+def _clean_corpus_oracle() -> str:
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 length({_TOKENS}) AS n_tokens,
+                 round(list_sum(list_transform({_TOKENS}, x -> length(x)))
+                       / greatest(length({_TOKENS}), 1), 6) AS mean_token_len,
+                 round(length(list_distinct({_TOKENS}))
+                       / greatest(length({_TOKENS}), 1), 6) AS unique_ratio,
+                 round(length(list_filter({_TOKENS}, x -> list_contains({_STOP}, x)))
+                       / greatest(length({_TOKENS}), 1), 6) AS stopword_ratio,
+                 md5(text) AS content_hash
+          FROM documents)
+        SELECT doc_id, n_tokens, mean_token_len, unique_ratio,
+               stopword_ratio, content_hash
+        FROM f
+        WHERE n_tokens >= 10 AND n_tokens <= 100000
+          AND mean_token_len <= 12.0
+          AND unique_ratio >= 0.3
+          AND stopword_ratio >= 0.01
+        QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+        ORDER BY doc_id
     """
 
 

@@ -66,6 +66,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer (GPT-2-ish): contraction suffixes, space-glued
+# letter runs, digit runs, punctuation runs, whitespace runs.  Pure
+# alternation, no lookaround — identical leftmost-first semantics in
+# Java regex (Spark) and RE2 (DuckDB), so it is SQL-oracle-checkable.
+BPE_PRETOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-token segments (the units a byte-pair encoder would
+    merge within); whitespace runs are kept as segments so that
+    concat(tokens) == original text (lossless segmentation)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(col) -> Column:
+    """Count of non-whitespace BPE pre-tokens (≈ LLM token estimate)."""
+    return F.size(
+        F.filter(bpe_tokens(col), lambda t: ~t.rlike(r"^\s+$"))
+    )
+
+
 # DuckDB oracle fragments (must mirror the Spark formulas exactly)
 SQL_TOKENS = "list_filter(str_split_regex(trim({c}), '\\s+'), x -> x <> '')"
 SQL_STOPWORDS = "['" + "','".join(STOPWORDS) + "']"

@@ -183,6 +183,96 @@ def minhash_candidate_pairs(
     return _capped_bucket_pairs(buckets, ["band", "h"], max_bucket_size)
 
 
+def jaccard_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """The classic two-stage near-dup pipeline: LSH banding for recall
+    (cheap, shuffle-bounded) then EXACT token-set Jaccard on the
+    surviving candidate pairs for precision.
+
+    Scale shape: the expensive all-pairs kernel runs only on LSH
+    candidates (linear-ish in corpus size with bounded buckets), and the
+    two token-set joins shuffle the candidate pair table — small relative
+    to the corpus — not the corpus itself.
+    """
+    pairs = minhash_candidate_pairs(docs, n_bands, max_bucket_size)
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("_t")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair table: every document
+    gets the MIN doc_id of its component as ``component`` (the canonical
+    representative to keep).
+
+    Iterative min-label propagation: each round, a node's label becomes
+    min(own, neighbors'); converged when no label changes.  Rounds
+    needed = graph diameter, which for LSH dup graphs is tiny (heavy
+    buckets emit star pairs — diameter 2).  Each round is one join + one
+    aggregate; lineage is truncated with localCheckpoint every round so
+    the plan doesn't grow unboundedly (the standard Spark pattern for
+    iterative graph algorithms; at cluster scale the same loop
+    checkpoints to reliable storage).
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("_nbr"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def shingles_of(toks: Column, k: int = 3) -> Column:
     """k-gram shingles over a (materialized) token array column."""
     n = F.size(toks)

@@ -1,0 +1,81 @@
+"""Composed training-corpus cleaning pipeline: quality gates + exact
+dedup in one declarative plan (the canonical pre-training data filter).
+
+Everything is JVM-side (array functions + one window), so Catalyst fuses
+the quality features into the scan projection and the only shuffle is
+the dedup window on the content hash.  At 100 TB: filters run before the
+shuffle (map-side row reduction), the window key (md5) is uniformly
+distributed — no skew — and the output is a pure row subset, so the plan
+is a scan -> project -> filter -> one exchange -> filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import STOPWORDS, tokens
+
+
+def clean_corpus(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_mean_token_len: float = 12.0,
+    min_unique_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Quality-gate + exact-dedup filter.
+
+    Keeps documents that (a) pass the heuristic quality gates used by
+    large-scale pretraining pipelines (length band, mean token length,
+    vocabulary diversity, stopword presence) and (b) are the FIRST
+    (min doc_id) copy of their exact content hash.  Returns the
+    surviving rows with their features and the per-doc keep diagnostics.
+    """
+    toks = F.array_distinct(tokens(F.col("text")))
+    all_toks = tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    n_tok = F.size(all_toks)
+    featured = docs.select(
+        "doc_id",
+        "text",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                all_toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            )
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+        F.round(
+            F.size(toks) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("unique_ratio"),
+        F.round(
+            F.size(F.filter(all_toks, lambda w: F.array_contains(stop, w)))
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.md5("text").alias("content_hash"),
+    )
+    gated = featured.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("unique_ratio") >= min_unique_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        gated.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_token_len",
+            "unique_ratio",
+            "stopword_ratio",
+            "content_hash",
+        )
+    )

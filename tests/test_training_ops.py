@@ -85,6 +85,63 @@ def test_candidate_pairs_heavy_bucket_capped(spark):
     assert all(r["doc_a"] == 0 for r in pairs)
 
 
+def test_jaccard_verified_pairs(spark, docs):
+    from helix_html2md_spark.operators.dedup import jaccard_verified_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert got[(1, 3)] == pytest.approx(7 / 9, abs=1e-6)  # one-word edit
+    assert (1, 4) not in got
+
+
+def test_dup_components_transitive(spark):
+    from helix_html2md_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_bpe_tokens_lossless(spark, docs):
+    from helix_html2md_spark.functions.text import bpe_tokens
+    from pyspark.sql import functions as F
+
+    out = docs.select(
+        "doc_id",
+        "text",
+        F.array_join(bpe_tokens(F.col("text")), "").alias("rejoined"),
+        bpe_tokens(F.col("text")).alias("segs"),
+    ).collect()
+    for r in out:
+        assert r["rejoined"] == r["text"], r["doc_id"]  # lossless segmentation
+    one = spark.createDataFrame([("it's 42 foo-bar!",)], "text string")
+    segs = one.select(bpe_tokens(F.col("text")).alias("s")).head()["s"]
+    assert segs == ["it", "'s", " 42", " foo", "-", "bar", "!"]
+
+
+def test_clean_corpus_gates_and_dedup(spark):
+    from helix_html2md_spark.operators.pipeline import clean_corpus
+
+    good = "the cat sat on the mat and it was a good day in the sun"
+    rows = [
+        (1, good),                      # keeper
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, "short text"),              # too few tokens
+        (4, " ".join(["uniqueword"] * 40)),  # unique_ratio too low, no stopwords
+        (5, good + " extra words of the same flavor to stay distinct"),
+    ]
+    docs = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in rows]
+    )
+    kept = sorted(r["doc_id"] for r in clean_corpus(docs).collect())
+    assert kept == [1, 5]
+
+
 def test_cosine_topk(spark):
     from helix_html2md_spark.operators.similarity import bucketed_topk, cosine_topk
 
