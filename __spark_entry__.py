@@ -387,6 +387,31 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+_N_PLANES, _EMB_DIM = 4, 64
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: deterministic hyperplane-LSH buckets ->
+    exact cosine >= 0.35 verification; per-vec_a aggregate output."""
+    from helix_html2md_spark.operators.similarity import (
+        cosine_neardup_pairs, rademacher_planes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_neardup_pairs(
+        emb, threshold=0.35, planes=rademacher_planes(_N_PLANES, _EMB_DIM)
+    )
+    return (
+        out.groupBy("vec_a")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("vec_b").alias("min_vec_b"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+        .orderBy("vec_a")
+    )
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming operator run in batch
     mode — identical plan semantics; the watermark is a no-op on batch)."""
@@ -450,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
+        "embedding_neardup": q_embedding_neardup,
         "neardup_verified": q_neardup_verified,
         "dup_components": q_dup_components,
         "bpe_token_stats": q_bpe_token_stats,
@@ -626,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "embedding_neardup": _embedding_neardup_oracle(),
         "neardup_verified": _neardup_verified_oracle(),
         "dup_components": _dup_components_oracle(),
         "bpe_token_stats": _bpe_oracle(),
@@ -793,6 +820,53 @@ def _cand_pairs_cte() -> str:
     )
     cap = _CAP_PAIRS.format(keys="band, h", cap=256)
     return f"{_SIG_CTE},\n  buckets AS ({bands}),\n  {cap}"
+
+
+def _embedding_neardup_oracle(threshold: float = 0.35) -> str:
+    from helix_html2md_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(_N_PLANES, _EMB_DIM)
+
+    def dot(plane):
+        lits = ", ".join(str(v) for v in plane)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            "p -> cast(p[1] AS double) * p[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    norm = (
+        "sqrt(list_sum(list_transform({e}, x -> cast(x AS double) "
+        "* cast(x AS double))))"
+    )
+    pair_dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double)))"
+    )
+    cap = _CAP_PAIRS.format(keys="bucket", cap=256)
+    return f"""
+        WITH bkt AS (
+          SELECT vec_id AS doc_id, embedding, ({bucket}) AS bucket
+          FROM embeddings),
+        buckets AS (SELECT doc_id, bucket FROM bkt),
+        {cap},
+        v AS (
+          SELECT p.doc_a AS vec_a, p.doc_b AS vec_b,
+                 round({pair_dot}
+                       / ({norm.format(e='a.embedding')}
+                          * {norm.format(e='b.embedding')}), 6) AS cosine
+          FROM pairs p
+          JOIN bkt a ON p.doc_a = a.doc_id
+          JOIN bkt b ON p.doc_b = b.doc_id)
+        SELECT vec_a, count(*) AS n_pairs,
+               min(vec_b) AS min_vec_b,
+               round(max(cosine), 6) AS max_cosine
+        FROM v WHERE cosine >= {threshold}
+        GROUP BY vec_a ORDER BY vec_a
+    """
 
 
 def _neardup_verified_oracle(threshold: float = 0.5) -> str:

@@ -131,6 +131,58 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Scale path: random-hyperplane LSH buckets the vectors (cosine-similar
+    vectors agree on sign bits with high probability), candidate pairs
+    form ONLY within a bucket (skew-capped like the MinHash LSH), then
+    exact cosine verifies each candidate.  The embeddings ride through
+    the pair generation as payload columns, so verification never joins
+    back into the bucketing pipeline.  With ``planes=None`` every vector
+    lands in one bucket — exact all-pairs, for small/oracle runs only.
+    """
+    from .dedup import _capped_bucket_pairs
+
+    if planes:
+        src = hyperplane_buckets(emb, planes)
+    else:
+        src = emb.withColumn("bucket", F.lit(0))
+    buckets = src.select(
+        F.col("vec_id").alias("doc_id"),
+        "bucket",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    pairs = _capped_bucket_pairs(
+        buckets, ["bucket"], max_bucket_size, payload="vec"
+    )
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return (
+        pairs.select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# deterministic ±1 hyperplanes: plane i, component j = +1 iff bit i of j
+# is set — integer literals, identical in the SQL oracle
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [1.0 if (j >> i) & 1 else -1.0 for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
 def bucketed_topk(
     emb: DataFrame, query_vec: list[float], planes: list[list[float]], k: int = 10
 ) -> DataFrame:

@@ -161,6 +161,34 @@ def test_cosine_topk(spark):
     assert btop[0]["vec_id"] == 1  # same bucket as the query
 
 
+def test_cosine_neardup_pairs(spark):
+    from helix_html2md_spark.operators.similarity import (
+        cosine_neardup_pairs, rademacher_planes,
+    )
+
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.01, 0.0], "label": 0},
+        {"vec_id": 2, "embedding": [0.99, 0.01, 0.0, 0.0], "label": 0},  # ~dup of 1
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0, 0.0], "label": 1},  # orthogonal
+        {"vec_id": 4, "embedding": [-1.0, 0.0, 0.0, 0.01], "label": 2},  # opposite
+    ]
+    emb = spark.createDataFrame(rows)
+    # brute (no planes): exactly the >= threshold pairs
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] > 0.99
+    # bucketed: near-dups share all sign bits, so (1,2) survives; the
+    # opposite vector can never share a bucket with 1
+    planes = rademacher_planes(2, 4)
+    got_b = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.9, planes=planes).collect()
+    }
+    assert got_b == {(1, 2)}
+
+
 def test_quality_features(spark, docs):
     from helix_html2md_spark.functions.text import quality_features
 
