@@ -73,7 +73,8 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span assembly invariant on the driver's documents table: chunk text
-    into spans, reassemble with array_sort + aggregate, report lengths."""
+    into spans, reassemble with array_sort + array_join (O(n), the same
+    assembly kernel the extraction operator uses), report lengths."""
     docs = _docs(spark, sf_dir)
     chunk = 256
     spans = F.transform(
@@ -90,10 +91,8 @@ def q_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk"),
         ),
     )
-    assembled = F.aggregate(
-        F.array_sort(spans),
-        F.lit(""),
-        lambda acc, s: F.concat(acc, s["chunk"]),
+    assembled = F.array_join(
+        F.transform(F.array_sort(spans), lambda s: s["chunk"]), ""
     )
     return docs.select(
         "doc_id",

@@ -15,6 +15,7 @@ like &#x26;) parses into the same tree shape rehype-parse would emit.
 from __future__ import annotations
 
 import re
+from collections import deque
 from html.parser import HTMLParser
 
 
@@ -53,15 +54,19 @@ class Element:
         return [c for c in self.children if isinstance(c, Element)]
 
     def find_all(self, tag: str):
+        # BFS (deque keeps popleft O(1)); order is part of the contract —
+        # find() takes the first BFS match
         out = []
-        stack = [self]
-        while stack:
-            n = stack.pop(0)
+        queue = deque((self,))
+        popleft = queue.popleft
+        append = queue.append
+        while queue:
+            n = popleft()
             for c in n.children:
                 if isinstance(c, Element):
                     if c.tag == tag:
                         out.append(c)
-                    stack.append(c)
+                    append(c)
         return out
 
     def find(self, tag: str):

@@ -76,17 +76,31 @@ _SPACE_SPLIT_RE = re.compile(r"( +)")
 _STRONG_RUN_RE = re.compile(r"\*\*(?:[^*\\]|\\.)+\*\*")
 
 
+_TOKENIZE_CACHE: dict = {}
+
+
 def _tokenize(text: str, atom_limit: int):
     """Split text into (token, following_space_run) pairs.
 
-    ``**...**`` runs are atomic while <= atom_limit chars.
+    ``**...**`` runs are atomic while <= atom_limit chars.  Results are
+    memoized (read-only downstream): cells repeat heavily in boilerplate
+    corpora, and min-content + wrap both tokenize the same lines.
     """
+    key = (text, atom_limit)
+    hit = _TOKENIZE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if "**" not in text:
         # fast path: regex split yields the same word/space token stream
         # as the char scanner; the merge step is shared
         tokens = [p for p in _SPACE_SPLIT_RE.split(text) if p != ""]
-        return _merge_tokens(tokens)
-    return _tokenize_slow(text, atom_limit)
+        out = _merge_tokens(tokens)
+    else:
+        out = _tokenize_slow(text, atom_limit)
+    if len(_TOKENIZE_CACHE) >= 16384:
+        _TOKENIZE_CACHE.clear()
+    _TOKENIZE_CACHE[key] = out
+    return out
 
 
 def _tokenize_slow(text: str, atom_limit: int):
@@ -124,25 +138,26 @@ def _tokenize_slow(text: str, atom_limit: int):
 def _merge_tokens(tokens: list[str]):
     """Produce (word, space_after) pairs from a word/space token stream."""
     out = []
+    append = out.append
     k = 0
-    while k < len(tokens):
+    n = len(tokens)
+    while k < n:
         w = tokens[k]
-        sp = ""
-        if w.startswith(" "):
+        if w[0] == " ":
             # leading spaces attach to next word as prefix
-            if k + 1 < len(tokens) and not tokens[k + 1].startswith(" "):
-                out.append((w + tokens[k + 1], ""))
+            if k + 1 < n and tokens[k + 1][0] != " ":
+                append((w + tokens[k + 1], ""))
                 k += 2
-                continue
-            out.append((w, ""))
-            k += 1
+            else:
+                append((w, ""))
+                k += 1
             continue
-        if k + 1 < len(tokens) and tokens[k + 1].startswith(" "):
-            sp = tokens[k + 1]
+        if k + 1 < n and tokens[k + 1][0] == " ":
+            append((w, tokens[k + 1]))
             k += 2
         else:
+            append((w, ""))
             k += 1
-        out.append((w, sp))
     return out
 
 

@@ -114,6 +114,96 @@ def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id string, doc_id string, frame_idx int, ts_ms int, "
+    "frame_sha1 string, frame binary"
+)
+
+
+def decode_frame(payload: bytes, ts_ms: int):  # pragma: no cover
+    """Real frame-decoder slot (pyav/ffmpeg on a production cluster)."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "inject a decoder via sample_frames(decoder=...)"
+    )
+
+
+def fake_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic frame stand-in: keyed hash of (payload, timestamp)."""
+    return hashlib.sha1(payload + ts_ms.to_bytes(8, "big")).digest()
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    decoder: Callable[[bytes, int], bytes] = fake_frame,
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled
+    timestamp (0, every_ms, 2*every_ms, ... up to duration, capped).
+
+    Partition-preserving mapInPandas: a video's frames are emitted by
+    the task that holds the video row — no shuffle, and the fan-out
+    factor is bounded by ``max_frames`` so a 10-hour outlier cannot blow
+    up one task's output.  Real decode plugs in via ``decoder``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "doc_id": [], "frame_idx": [],
+                "ts_ms": [], "frame_sha1": [], "frame": [],
+            }
+            for row in pdf.itertuples(index=False):
+                if row.kind != "video":
+                    continue
+                payload = bytes(row.payload) if row.payload is not None else b""
+                dur = int(row.duration_ms or 0)
+                n_frames = min(dur // every_ms + 1, max_frames)
+                for fi in range(n_frames):
+                    ts = fi * every_ms
+                    frame = decoder(payload, ts)
+                    out["media_id"].append(row.media_id)
+                    out["doc_id"].append(row.doc_id)
+                    out["frame_idx"].append(fi)
+                    out["ts_ms"].append(ts)
+                    out["frame_sha1"].append(hashlib.sha1(frame).hexdigest())
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def audio_chunks(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunk manifest: JVM-side explode of chunk boundaries per
+    audio row (no decode — pure metadata; byte-range decode happens at
+    the consumer with the codec slot).  One sequence/explode, no Python.
+    """
+    n_chunks = F.greatest(
+        F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
+    )
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            "doc_id",
+            "duration_ms",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "_c"
+            ),
+        )
+        .select(
+            "media_id",
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * chunk_ms).alias("start_ms"),
+            F.least(
+                (F.col("chunk_idx") + 1) * chunk_ms, F.col("duration_ms")
+            ).alias("end_ms"),
+        )
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """JVM-side metadata aggregation (no decode needed)."""
     return (

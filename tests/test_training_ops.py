@@ -215,11 +215,65 @@ def test_multimodal_features(spark):
     assert feats2 == {k: v["feature"] for k, v in by_id.items()}
 
 
+def test_frame_sampling_deterministic(spark):
+    from helix_html2md_spark.operators.multimodal import (
+        sample_frames, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, every_ms=1000, max_frames=5).collect()
+    videos = {r["media_id"] for r in frames}
+    assert videos  # kind cycles image/audio/video -> ~10 videos
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == list(range(len(rows)))  # dense 0..n-1
+        assert len(rows) <= 5  # max_frames cap
+        assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+    # deterministic: same input -> same frame hashes
+    again = {
+        (r["media_id"], r["frame_idx"]): r["frame_sha1"]
+        for r in sample_frames(media, every_ms=1000, max_frames=5).collect()
+    }
+    assert again == {
+        (r["media_id"], r["frame_idx"]): r["frame_sha1"] for r in frames
+    }
+
+
+def test_audio_chunks(spark):
+    from helix_html2md_spark.operators.multimodal import (
+        audio_chunks, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    chunks = audio_chunks(media, chunk_ms=3000).collect()
+    assert chunks
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("kind = 'audio'").collect()
+    }
+    by_media = {}
+    for r in chunks:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert rows[0]["start_ms"] == 0
+        assert rows[-1]["end_ms"] == durations[mid]  # covers full duration
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_ms"] == a["end_ms"] == a["start_ms"] + 3000
+
+
 def test_multimodal_decode_stub_raises():
-    from helix_html2md_spark.operators.multimodal import decode_image
+    from helix_html2md_spark.operators.multimodal import (
+        decode_frame, decode_image,
+    )
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_frame(b"\x00\x00\x00\x18ftyp", 0)
 
 
 def test_ivf_topk_recall(spark):
