@@ -84,6 +84,29 @@ def test_oversized_html_gated_jvm_side(spark):
     assert "html source larger than 1MB" in out[0]["error"]
 
 
+def test_hostile_docs_degrade_per_row(spark):
+    """Pathological documents (recursion-blowing nesting, megabyte-scale
+    attributes) must yield per-row parse_error/ok, never a task failure —
+    one poisoned doc out of 10^12 cannot kill the job."""
+    deep = "<main>" + "<div>" * 5000 + "x" + "</div>" * 5000 + "</main>"
+    bigattr = '<main><p ' + "a" * 200_000 + '="x">hi</p></main>'
+    rows = [
+        {"doc_id": d, "spans": [
+            {"kind": "html", "text": h, "media_ref": "", "offset": 0}
+        ]}
+        for d, h in (("deep", deep), ("bigattr", bigattr), ("fine", "<main><p>ok</p></main>"))
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r for r in extract_documents(docs, None, num_partitions=2).collect()}
+    assert out["fine"]["status"] == "ok" and out["fine"]["md"] == "ok"
+    assert out["bigattr"]["status"] == "ok" and out["bigattr"]["md"] == "hi"
+    assert out["deep"]["status"] == "parse_error"
+    assert "RecursionError" in out["deep"]["error"]
+
+
 def test_weighted_placement_mode(spark):
     """The explicit weight-class round-robin mode produces the same rows
     as the default hash mode (placement only changes partitioning)."""
