@@ -449,6 +449,38 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END applyInPandasWithState sessionizer: events written to a
+    landing dir as ONE file (one availableNow microbatch, deterministic),
+    streamed through the custom stateful operator, sink read back.  The
+    operator emits gap-closed sessions; each user's final session stays
+    in state, so the oracle is SQL gap-sessionization minus the last
+    session per user."""
+    import tempfile
+
+    from helix_html2md_spark.streaming.stream import stateful_sessionize
+
+    base = tempfile.mkdtemp(prefix="graft_state_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.coalesce(1).write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    q = (
+        stateful_sessionize(stream, use_timeout=False)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/cp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("user_id", "n_events", "closed_by")
+        .orderBy("user_id", "n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
@@ -479,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "bpe_token_stats": q_bpe_token_stats,
         "clean_corpus": q_clean_corpus,
+        "stateful_sessions": q_stateful_sessions,
     }
 
 
@@ -650,6 +683,30 @@ def oracle_sql() -> dict[str, str]:
                    6) AS cosine
             FROM embeddings WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "stateful_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                              OR epoch(ts) - epoch(prev_ts) > 1800
+                         THEN 1 ELSE 0 END AS new_session
+              FROM g),
+            s AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              FROM f),
+            agg AS (
+              SELECT user_id, session_seq, cast(count(*) AS int) AS n_events
+              FROM s GROUP BY user_id, session_seq),
+            last AS (SELECT user_id, max(session_seq) AS mx FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.n_events, 'gap' AS closed_by
+            FROM agg a JOIN last l
+              ON a.user_id = l.user_id AND a.session_seq <> l.mx
+            ORDER BY a.user_id, a.n_events
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "neardup_verified": _neardup_verified_oracle(),

@@ -65,12 +65,20 @@ def stream_extract(
     return writer.start()
 
 
-def stateful_sessionize(events_stream, gap_minutes: int = 30):
+def stateful_sessionize(
+    events_stream, gap_minutes: int = 30, use_timeout: bool = True
+):
     """Custom stateful streaming operator: per-user session aggregation
     via ``applyInPandasWithState`` (GroupState + processing-time timeout).
 
     Emits a row per CLOSED session (closed by a gap > ``gap_minutes`` in
     event time within the batch, or by state timeout between batches).
+
+    ``use_timeout=False`` disables the processing-time timeout: needed
+    for bounded ``availableNow`` replays — with a timeout configured, the
+    query keeps scheduling "cleaning up state" batches until every
+    group's wall-clock timeout fires (gap_minutes later), so an
+    available-now run would not terminate for half an hour.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -89,9 +97,13 @@ def stateful_sessionize(events_stream, gap_minutes: int = 30):
             return
         rows = []
         cur = state.get if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        # a group's rows may arrive as SEVERAL Arrow chunks in arbitrary
+        # order — concatenate before sorting, else a gap spanning a chunk
+        # boundary is detected (or missed) nondeterministically
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            all_rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, value in zip(all_rows["ts"], all_rows["value"]):
                 t = ts.timestamp()
                 if cur is None:
                     cur = (t, t, 0, 0.0)
@@ -103,7 +115,8 @@ def stateful_sessionize(events_stream, gap_minutes: int = 30):
                     cur = (start, t, n + 1, total + float(value))
         if cur is not None:
             state.update(cur)
-            state.setTimeoutDuration(gap * 1000)
+            if use_timeout:
+                state.setTimeoutDuration(gap * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [r[0] for r in rows],
@@ -118,7 +131,11 @@ def stateful_sessionize(events_stream, gap_minutes: int = 30):
         outputStructType="user_id long, n_events int, sum_value double, closed_by string",
         stateStructType="start double, last double, n int, total double",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
