@@ -114,6 +114,61 @@ def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id string, doc_id string, width int, height int, "
+    "out_width int, out_height int, resized_sha1 string, resized binary"
+)
+
+
+def resize_pixels(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of a (h, w) float array — pure numpy,
+    deterministic; the real path swaps in PIL/libvips via the decoder."""
+    h, w = arr.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode,
+) -> DataFrame:
+    """Resize image rows to (out_w, out_h): decode (injectable codec
+    slot; deterministic stand-in by default), nearest-neighbor resample
+    in numpy, re-encode as raw bytes.  Arrow-batched, image rows only,
+    partition-preserving — no shuffle, no per-row Python crossing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "doc_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "resized_sha1": [],
+                "resized": [],
+            }
+            for row in pdf.itertuples(index=False):
+                if row.kind != "image":
+                    continue
+                payload = bytes(row.payload) if row.payload is not None else b""
+                arr = decoder(payload)
+                side = max(int(len(arr) ** 0.5), 1)
+                img = arr[: side * side].reshape(side, side)
+                resized = resize_pixels(img, out_w, out_h)
+                blob = (resized * 255).astype(np.uint8).tobytes()
+                out["media_id"].append(row.media_id)
+                out["doc_id"].append(row.doc_id)
+                out["width"].append(int(row.width))
+                out["height"].append(int(row.height))
+                out["out_width"].append(out_w)
+                out["out_height"].append(out_h)
+                out["resized_sha1"].append(hashlib.sha1(blob).hexdigest())
+                out["resized"].append(blob)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = (
     "media_id string, doc_id string, frame_idx int, ts_ms int, "
     "frame_sha1 string, frame binary"

@@ -242,6 +242,26 @@ def test_frame_sampling_deterministic(spark):
     }
 
 
+def test_resize_images(spark):
+    from helix_html2md_spark.operators.multimodal import (
+        resize_images, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    resized = resize_images(media, out_w=8, out_h=8).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(resized) == n_images
+    for r in resized:
+        assert r["out_width"] == 8 and r["out_height"] == 8
+        assert len(r["resized"]) == 64  # 8x8 uint8
+    # deterministic
+    again = {
+        r["media_id"]: r["resized_sha1"]
+        for r in resize_images(media, out_w=8, out_h=8).collect()
+    }
+    assert again == {r["media_id"]: r["resized_sha1"] for r in resized}
+
+
 def test_audio_chunks(spark):
     from helix_html2md_spark.operators.multimodal import (
         audio_chunks, synthetic_media,
