@@ -87,28 +87,40 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
 
     # single cold run per query (identical-plan reruns would hit the
     # Spark 4.1 result cache and report fantasy numbers); the session is
-    # already warm from the extraction pass
+    # already warm from the extraction pass.
+    # extract_spans is covered by the headline extraction job; the two
+    # streaming end-to-end queries measure stream-machinery fixed costs
+    # (microbatch planning, checkpoint fsync), not engine throughput —
+    # they stay in the CORRECTNESS contract but out of the perf suite.
+    skip = {"extract_spans", "stream_extract", "stateful_sessions"}
     times = {}
     for name, fn in E.queries().items():
-        if name == "extract_spans":
-            continue  # covered by the headline extraction job
+        if name in skip:
+            continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
     return times
 
 
-def _scaling_level(cpus: int, path: str) -> None:
+def _scaling_level(
+    cpus: int, path: str, n_runs: int = 2, warmup_path: str | None = None
+) -> None:
     """Child-process entry: one parallelism level in a fresh JVM (session
-    churn inside one JVM skews later measurements)."""
+    churn inside one JVM skews later measurements).
+
+    ``warmup_path``: a SMALLER corpus to warm JIT + python workers on —
+    warmth is input-size-independent, and a full-size warmup pass at
+    local[2] costs as much as the measurement itself.
+    """
     from helix_html2md_spark.session import build_session
 
     s = build_session(
         f"bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
     )
-    run_extraction(s, path)  # warmup
-    walls = [run_extraction(s, path)[0] for _ in range(2)]
+    run_extraction(s, warmup_path or path)  # warmup
+    walls = [run_extraction(s, path)[0] for _ in range(n_runs)]
     print(json.dumps({"wall_sec": round(min(walls), 3)}))
     s.stop()
 
@@ -118,7 +130,11 @@ def main() -> None:
 
     if "--scaling-level" in sys.argv:
         i = sys.argv.index("--scaling-level")
-        _scaling_level(int(sys.argv[i + 1]), sys.argv[i + 2])
+        n_runs = 1 if "--one-run" in sys.argv else 2
+        wp = None
+        if "--warmup-path" in sys.argv:
+            wp = sys.argv[sys.argv.index("--warmup-path") + 1]
+        _scaling_level(int(sys.argv[i + 1]), sys.argv[i + 2], n_runs, wp)
         return
 
     scaling_mode = "--scaling" in sys.argv
@@ -166,13 +182,16 @@ def main() -> None:
         scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
         spark.stop()
         walls2: dict[int, float] = {}
-        # per-level minimum over visits; local[8] gets TWO visits — its
-        # runs are short, so one episodic host-load spike can fake a 25%
-        # scaling loss, while local[2]'s long runs average noise out
-        for cpus in (2, 8, 8):
+        # per-level minimum over visits; warmup runs on the SMALL corpus
+        # (warmth is input-size-independent) and each visit measures ONE
+        # salted run, keeping the whole default bench inside a ~5 min
+        # budget (--scaling runs the full best-of-two/interleaved
+        # protocol; BASELINE.md records its numbers)
+        for cpus in (2, 8):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--scaling-level", str(cpus), scal_path],
+                 "--scaling-level", str(cpus), scal_path, "--one-run",
+                 "--warmup-path", path],
                 capture_output=True, text=True, check=True,
             )
             w = json.loads(
