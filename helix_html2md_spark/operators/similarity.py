@@ -159,7 +159,7 @@ def cosine_neardup_pairs(
         F.col("embedding").cast("array<double>").alias("vec"),
     )
     pairs = _capped_bucket_pairs(
-        buckets, ["bucket"], max_bucket_size, payload="vec"
+        buckets, ["bucket"], max_bucket_size, payload="vec", dedup=False
     )
     cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
         _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
