@@ -146,6 +146,14 @@ def cosine_neardup_pairs(
     the pair generation as payload columns, so verification never joins
     back into the bucketing pipeline.  With ``planes=None`` every vector
     lands in one bucket — exact all-pairs, for small/oracle runs only.
+
+    Scale note: the bucket key has 2^len(planes) distinct values, which
+    bounds the self-join's shuffle parallelism AND the per-bucket pair
+    count — size len(planes) so that corpus_size / 2^planes stays well
+    under max_bucket_size times the recall you can afford (more planes =
+    more parallelism + fewer candidates, lower recall per table; use
+    multiple plane TABLES or band rotations to recover recall, exactly
+    like MinHash banding).
     """
     from .dedup import _capped_bucket_pairs
 
