@@ -304,7 +304,8 @@ def q_minhash_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-distance near-dup pairs over SimHash (block-bucketed,
+    """Hamming-distance near-dup pairs over SimHash (block-bucketed with
+    the derived n_blocks = r+1 for EXACT pigeonhole recall,
     bit_count(a XOR b) <= r verification); per-doc_a aggregate output
     (see q_minhash_cand_pairs)."""
     from helix_html2md_spark.operators.dedup import simhash_near_dup_pairs
@@ -836,17 +837,21 @@ def _cand_pairs_oracle() -> str:
 
 
 def _simhash_neardup_oracle(max_distance: int = 8) -> str:
+    from helix_html2md_spark.operators.dedup import simhash_blocks
+
     # logical (unsigned) shift of the signed fingerprint: add 2^64 to
-    # negatives in HUGEINT space, then shift+mask
+    # negatives in HUGEINT space, then shift+mask; block layout comes
+    # from the same simhash_blocks() the operator uses (n_blocks =
+    # max_distance + 1 -> exact pigeonhole recall)
     u = (
         "(cast(simhash AS hugeint) + CASE WHEN simhash < 0 "
         "THEN cast(18446744073709551616 AS hugeint) ELSE 0 END)"
     )
     blocks = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {i} AS blk, "
-        f"cast(({u} >> {i * 16}) & 65535 AS bigint) AS bv "
+        f"cast(({u} >> {off}) & {(1 << width) - 1} AS bigint) AS bv "
         "FROM fp"
-        for i in range(4)
+        for i, (off, width) in enumerate(simhash_blocks(max_distance + 1))
     )
     cap = _CAP_PAIRS.format(keys="blk, bv", cap=256)
     return f"""
@@ -980,7 +985,8 @@ def _bpe_oracle() -> str:
         SELECT doc_id,
                len(segs) AS n_segments,
                len(nonws) AS n_bpe_tokens,
-               md5(list_aggregate(nonws, 'string_agg', '|')) AS stream_md5
+               md5(coalesce(list_aggregate(nonws, 'string_agg', '|'), ''))
+                 AS stream_md5
         FROM f ORDER BY doc_id
     """
 

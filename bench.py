@@ -94,12 +94,17 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
     # they stay in the CORRECTNESS contract but out of the perf suite.
     skip = {"extract_spans", "stream_extract", "stateful_sessions"}
     times = {}
+    from helix_html2md_spark.operators.dedup import release_persisted
+
     for name, fn in E.queries().items():
         if name in skip:
             continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        # free the fingerprint/pair tables the dedup ops cached for this
+        # query — otherwise the battery leaks one cached table per query
+        release_persisted()
     return times
 
 

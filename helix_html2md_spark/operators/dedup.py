@@ -29,6 +29,22 @@ N_BANDS = 4
 # md5 hex alphabet used for digit -> int decoding on both engines
 _HEX = "0123456789abcdef"
 
+# DataFrames persisted by the pair-generation operators (fingerprint /
+# pair tables cached at diamond points).  Spark only evicts these by LRU;
+# a long-lived session running many dedup queries would otherwise
+# accumulate dead cached tables, so callers that materialize results
+# should call release_persisted() afterwards (bench.py does, per query).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every table cached by the dedup/similarity operators."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def exact_dup_stats(docs: DataFrame) -> DataFrame:
     """Per-source doc counts vs distinct content hashes (exact dedup)."""
@@ -124,6 +140,7 @@ def _capped_bucket_pairs(
     # window cols), a few dozen bytes/row, disk-backed — exactly what a
     # production pipeline would checkpoint to a fingerprint table.
     tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(tagged)
 
     pl_cols = [payload] if payload else []
     light = tagged.filter(F.col("_n") <= max_bucket_size).select(
@@ -201,11 +218,27 @@ def jaccard_verified_pairs(
 
     Scale shape: the expensive all-pairs kernel runs only on LSH
     candidates (linear-ish in corpus size with bounded buckets), and the
-    two token-set joins shuffle the candidate pair table — small relative
-    to the corpus — not the corpus itself.
+    corpus-sized token table is SEMI-JOIN PRUNED to the doc_ids that
+    actually appear in a candidate pair BEFORE tokenization — at 100 TB
+    most documents have no candidate partner, so without the prune both
+    verify joins would shuffle every document's token array (the pair
+    table outgrows the broadcast threshold long before the corpus stops
+    growing).  The prune shuffles only (doc_id) — bytes, not arrays —
+    and the pair table is persisted so its three consumers (two id
+    projections + the verify join) don't re-run the LSH stage.
     """
-    pairs = minhash_candidate_pairs(docs, n_bands, max_bucket_size)
-    toks = docs.select(
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = minhash_candidate_pairs(docs, n_bands, max_bucket_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.append(pairs)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = docs.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("_t")
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
@@ -229,27 +262,41 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     gets the MIN doc_id of its component as ``component`` (the canonical
     representative to keep).
 
-    Iterative min-label propagation: each round, a node's label becomes
-    min(own, neighbors'); converged when no label changes.  Rounds
-    needed = graph diameter, which for LSH dup graphs is tiny (heavy
-    buckets emit star pairs — diameter 2).  Each round is one join + one
-    aggregate; lineage is truncated with localCheckpoint every round so
-    the plan doesn't grow unboundedly (the standard Spark pattern for
-    iterative graph algorithms; at cluster scale the same loop
-    checkpoints to reliable storage).
+    Min-label propagation WITH pointer jumping: each round a node's
+    label becomes min(own, neighbors') and then chases one hop through
+    the label table (label <- label(label)), so label distances halve
+    per round and convergence needs O(log diameter) rounds, not
+    O(diameter) — a 1000-hop chain (pathological, but possible from
+    pair tables built by other tools) converges in ~10 rounds instead
+    of blowing the iteration budget.  For LSH dup graphs (heavy buckets
+    emit star pairs — diameter ~2) this is 1–2 rounds.
+
+    Cost shape per round: one eager localCheckpoint job doing the two
+    joins (lineage truncated so plans don't grow; at cluster scale swap
+    for reliable checkpointing), plus a near-free scan of the
+    checkpointed blocks for the convergence flag — the changed-label
+    check is FOLDED into the update pass as a ``_changed`` column
+    instead of re-joining old vs new labels (which doubled each round's
+    cost).  The symmetric edge table is checkpointed once up front so
+    iterations never re-run the upstream pair pipeline.  Warns if the
+    iteration budget runs out before convergence (labels would be
+    silently wrong otherwise).
     """
+    import warnings
+
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -257,25 +304,46 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("_nbr"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
+        upd = (
+            labels.select("doc_id", F.col("component").alias("_old"))
+            .join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
+                "_old",
                 F.least(
-                    F.col("component"), F.coalesce("_nbr", F.col("component"))
-                ).alias("component"),
+                    F.col("_old"), F.coalesce("_nbr", F.col("_old"))
+                ).alias("_c1"),
+            )
+        )
+        # pointer jump: label <- min(label, label(label)); labels only
+        # ever hold node ids, so the self-lookup join always resolves
+        ptr = upd.select(
+            F.col("doc_id").alias("_pid"), F.col("_c1").alias("_pc")
+        )
+        comp = F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
+        new_labels = (
+            upd.join(ptr, upd._c1 == ptr._pid, "left")
+            .select(
+                "doc_id",
+                comp.alias("component"),
+                (comp != F.col("_old")).cast("int").alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        changed = int(
+            new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
         )
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed > 0:
+        warnings.warn(
+            f"dup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component labels are "
+            "incomplete — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -383,22 +451,48 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return v.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_blocks(n_blocks: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) of each pigeonhole block; widths differ by at most
+    one when n_blocks doesn't divide the fingerprint width.  Shared with
+    the SQL oracle so both engines bucket identically."""
+    base, extra = divmod(bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_distance: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
     max_bucket_size: int = 256,
+    approximate: bool = False,
 ) -> DataFrame:
     """Hamming-distance near-dup join over SimHash fingerprints.
 
-    Pigeonhole bucketing: fingerprints within Hamming distance r < n_blocks
-    agree exactly on at least one of the n_blocks 16-bit blocks, so the
-    self-join is keyed by (block_idx, block_value) — never all-pairs —
-    then verified with bit_count(a XOR b) <= r.  Heavy blocks (identical
-    boilerplate) fall back to star pairing like the MinHash LSH path.
+    Pigeonhole bucketing: fingerprints within Hamming distance
+    r < n_blocks agree exactly on at least one of the n_blocks blocks
+    (r differing bits can touch at most r blocks), so the self-join is
+    keyed by (block_idx, block_value) — never all-pairs — then verified
+    with bit_count(a XOR b) <= r.  ``n_blocks`` defaults to
+    max_distance + 1, the smallest count with EXACT recall; passing a
+    smaller n_blocks (coarser blocks = fewer explode rows) drops the
+    guarantee to probabilistic recall and must be acknowledged with
+    ``approximate=True``.  Heavy blocks (identical boilerplate) fall
+    back to star pairing like the MinHash LSH path.
     """
+    if n_blocks is None:
+        n_blocks = max_distance + 1
+    if n_blocks <= max_distance and not approximate:
+        raise ValueError(
+            f"n_blocks={n_blocks} <= max_distance={max_distance} only finds "
+            "distance >= n_blocks pairs probabilistically; pass "
+            "approximate=True to accept that, or leave n_blocks unset"
+        )
     fp = simhash(docs)
-    width = 64 // n_blocks
     blocks = fp.select(
         "doc_id",
         "simhash",
@@ -407,11 +501,13 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", i * width)
+                        F.shiftrightunsigned("simhash", off)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bv"),
                     )
-                    for i in range(n_blocks)
+                    for i, (off, width) in enumerate(
+                        simhash_blocks(n_blocks)
+                    )
                 ]
             )
         ).alias("b"),

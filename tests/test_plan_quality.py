@@ -91,3 +91,20 @@ def test_broadcast_anti_join_resume(spark, tmp_path):
     todo = remaining_documents(docs, out)
     plan = _plan(todo)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_jaccard_verify_prunes_corpus_side(spark):
+    """The exact-Jaccard verify stage must not shuffle the whole corpus's
+    token arrays: the token table is semi-join pruned to candidate
+    doc_ids BEFORE tokenization (at 100 TB most docs have no candidate
+    pair; without the prune both verify joins shuffle every document's
+    token array once the pair table outgrows the broadcast threshold)."""
+    from helix_html2md_spark.operators.dedup import jaccard_verified_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _optimized(jaccard_verified_pairs(docs))
+    assert "LeftSemi" in plan
+    # the prune keys on doc_id only — token arrays never enter the semi
+    # join's shuffle
+    semi_line = next(l for l in plan.splitlines() if "LeftSemi" in l)
+    assert "doc_id" in semi_line and "_t" not in semi_line

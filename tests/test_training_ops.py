@@ -311,3 +311,74 @@ def test_ivf_topk_recall(spark):
     approx = {r["vec_id"] for r in ivf_topk(rest, qv, cents, k=10, nprobe=3).collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_dup_components_long_chain(spark):
+    """A 40-hop path graph converges within the default iteration budget:
+    pointer jumping halves label distances per round (O(log diameter)),
+    where plain neighbor-min propagation would need 40 rounds."""
+    from helix_html2md_spark.operators.dedup import dup_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["doc_id"]: r["component"] for r in dup_components(pairs).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_dup_components_nonconvergence_warns(spark):
+    """Exhausting max_iter with labels still changing must WARN, not
+    silently return wrong components."""
+    import warnings
+
+    from helix_html2md_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dup_components(pairs, max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "did not converge" in str(w.message)
+        for w in caught
+    )
+
+
+def test_simhash_pigeonhole_invariant():
+    """n_blocks <= max_distance silently loses recall -> must raise unless
+    the caller opts into the approximate regime; derived block layouts
+    always cover all 64 bits."""
+    from helix_html2md_spark.operators.dedup import (
+        simhash_blocks, simhash_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="probabilistically"):
+        simhash_near_dup_pairs(None, max_distance=8, n_blocks=4)
+    for n_blocks in (2, 3, 4, 7, 9, 17, 64):
+        blocks = simhash_blocks(n_blocks)
+        assert len(blocks) == n_blocks
+        assert sum(w for _, w in blocks) == 64
+        assert blocks[0][0] == 0
+        for (off_a, w_a), (off_b, _) in zip(blocks, blocks[1:]):
+            assert off_b == off_a + w_a  # contiguous, non-overlapping
+
+
+def test_release_persisted(spark, docs):
+    """Pair generation caches fingerprint tables at diamond points;
+    release_persisted() must free them all."""
+    from helix_html2md_spark.operators.dedup import (
+        _PERSISTED, jaccard_verified_pairs, release_persisted,
+    )
+
+    release_persisted()
+    jaccard_verified_pairs(docs, threshold=0.5).collect()
+    assert len(_PERSISTED) >= 2  # bucket table + pair table
+    handles = list(_PERSISTED)
+    release_persisted()
+    assert not _PERSISTED
+    assert all(not h.is_cached for h in handles)
