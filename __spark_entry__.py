@@ -412,6 +412,112 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SEEDS, _IVF_NPROBE = 16, 4
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+_MEDIA = os.path.join(_DATA_DIR, "media.parquet")
+
+
+def _media(spark):
+    """Deterministic multimodal fixture table (binary payloads + typed
+    metadata), committed at data/media.parquet; the same rows
+    operators/multimodal.synthetic_media produces — see
+    scratch/gen_golden_media.py and tests/test_golden_media.py."""
+    return spark.read.parquet(_MEDIA)
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind media metadata rollup — pure JVM (no decode), oracled by
+    straight SQL over the same parquet."""
+    from helix_html2md_spark.operators.multimodal import media_stats
+
+    return media_stats(_media(spark))
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk manifest (JVM-side sequence/explode of 5s chunk
+    boundaries, no decode) — oracled by SQL range-unnest."""
+    from helix_html2md_spark.operators.multimodal import audio_chunks
+
+    return audio_chunks(_media(spark)).orderBy("media_id", "chunk_idx")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (the codec
+    slot runs the deterministic stand-in decoder); feature vectors are
+    pinned by feature_md5 = md5 of their float32 bytes.  Oracle = golden
+    parquet produced by an independent pure-numpy implementation
+    (scratch/gen_golden_media.py), re-derived in
+    tests/test_golden_media.py."""
+    from helix_html2md_spark.operators.multimodal import extract_features
+
+    return extract_features(_media(spark)).select(
+        "media_id", "doc_id", "kind", "n_bytes", "sha1", "feature_md5"
+    ).orderBy("media_id")
+
+
+def q_resized_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize to 32x32 (nearest-neighbor numpy resample over the
+    stand-in decode), pinned by resized_sha1; golden-parquet oracle."""
+    from helix_html2md_spark.operators.multimodal import resize_images
+
+    return resize_images(_media(spark), out_w=32, out_h=32).select(
+        "media_id", "doc_id", "out_width", "out_height", "resized_sha1"
+    ).orderBy("media_id")
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 fps, capped fan-out), frames pinned by
+    sha1; golden-parquet oracle."""
+    from helix_html2md_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark), every_ms=1000, max_frames=32).select(
+        "media_id", "doc_id", "frame_idx", "ts_ms", "frame_sha1"
+    ).orderBy("media_id", "frame_idx")
+
+
+def q_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via hyperplane-LSH bucket pruning: brute-force cosine
+    only within the query's sign-bucket (deterministic Rademacher
+    planes, so the DuckDB oracle recomputes the identical buckets)."""
+    from helix_html2md_spark.operators.similarity import (
+        bucketed_topk, rademacher_planes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return bucketed_topk(
+        emb.filter(F.col("vec_id") != 0),
+        list(qv),
+        rademacher_planes(_N_PLANES, _EMB_DIM),
+        k=10,
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-k: coarse-quantize every vector to its nearest
+    seed centroid (vec_id < 16 embeddings — deterministic, bounded
+    collect), probe the query's nprobe best cells, exact cosine within.
+    Cell scores round to 6dp on both engines so assignment is
+    bit-stable across Spark and the DuckDB oracle."""
+    from helix_html2md_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _IVF_SEEDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        seeds[0],
+        seeds,
+        k=10,
+        nprobe=_IVF_NPROBE,
+    )
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming operator run in batch
     mode — identical plan semantics; the watermark is a no-op on batch)."""
@@ -505,6 +611,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_cand_pairs": q_minhash_cand_pairs,
         "simhash_neardup": q_simhash_neardup,
+        "bucketed_topk": q_bucketed_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_stats": q_media_stats,
+        "audio_chunks": q_audio_chunks,
+        "media_features": q_media_features,
+        "resized_images": q_resized_images,
+        "frame_samples": q_frame_samples,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
         "embedding_neardup": q_embedding_neardup,
@@ -710,6 +823,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a.user_id, a.n_events
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
+        "bucketed_topk": _bucketed_topk_oracle(),
+        "ivf_topk": _ivf_topk_oracle(),
+        "media_stats": f"""
+            SELECT kind,
+                   count(*) AS n_items,
+                   cast(sum(octet_length(payload)) AS bigint) AS total_bytes,
+                   max(width) AS max_width
+            FROM read_parquet('{_MEDIA}')
+            GROUP BY kind ORDER BY kind
+        """,
+        "audio_chunks": f"""
+            WITH a AS (
+              SELECT media_id, doc_id, duration_ms,
+                     unnest(range(greatest(
+                       cast(ceil(duration_ms / 5000.0) AS int), 1
+                     ))) AS ci
+              FROM read_parquet('{_MEDIA}')
+              WHERE kind = 'audio')
+            SELECT media_id, doc_id,
+                   cast(ci AS int) AS chunk_idx,
+                   cast(ci * 5000 AS int) AS start_ms,
+                   cast(least((ci + 1) * 5000, duration_ms) AS int) AS end_ms
+            FROM a ORDER BY media_id, chunk_idx
+        """,
+        "media_features": f"""
+            SELECT media_id, doc_id, kind, n_bytes, sha1, feature_md5
+            FROM read_parquet('{_DATA_DIR}/golden_media_features.parquet')
+            ORDER BY media_id
+        """,
+        "resized_images": f"""
+            SELECT media_id, doc_id, out_width, out_height, resized_sha1
+            FROM read_parquet('{_DATA_DIR}/golden_media_resized.parquet')
+            ORDER BY media_id
+        """,
+        "frame_samples": f"""
+            SELECT media_id, doc_id, frame_idx, ts_ms, frame_sha1
+            FROM read_parquet('{_DATA_DIR}/golden_media_frames.parquet')
+            ORDER BY media_id, frame_idx
+        """,
         "neardup_verified": _neardup_verified_oracle(),
         "dup_components": _dup_components_oracle(),
         "bpe_token_stats": _bpe_oracle(),
@@ -883,7 +1035,10 @@ def _cand_pairs_cte() -> str:
     return f"{_SIG_CTE},\n  buckets AS ({bands}),\n  {cap}"
 
 
-def _embedding_neardup_oracle(threshold: float = 0.35) -> str:
+def _bucket_sql(emb_col: str = "embedding") -> str:
+    """Hyperplane-LSH bucket id of ``emb_col`` — mirrors
+    similarity.hyperplane_buckets with the deterministic Rademacher
+    planes, so Spark and DuckDB bucket identically."""
     from helix_html2md_spark.operators.similarity import rademacher_planes
 
     planes = rademacher_planes(_N_PLANES, _EMB_DIM)
@@ -891,14 +1046,89 @@ def _embedding_neardup_oracle(threshold: float = 0.35) -> str:
     def dot(plane):
         lits = ", ".join(str(v) for v in plane)
         return (
-            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            f"list_sum(list_transform(list_zip({emb_col}, [{lits}]), "
             "p -> cast(p[1] AS double) * p[2]))"
         )
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+
+# cosine(embedding, query) with the query vector drawn from CTE q(qv);
+# both engines fold the same float32->double values sequentially
+_COS_VS_Q = """
+  round(
+    list_sum(list_transform(
+        list_zip(embedding, (SELECT qv FROM q)),
+        p -> cast(p[1] AS double) * cast(p[2] AS double)))
+    / (sqrt(list_sum(list_transform(
+           embedding, x -> cast(x AS double) * cast(x AS double))))
+       * (SELECT sqrt(list_sum(list_transform(
+              qv, x -> cast(x AS double) * cast(x AS double))))
+          FROM q)),
+  6)
+"""
+
+
+def _bucketed_topk_oracle() -> str:
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT ({_bucket_sql('qv')}) AS b FROM q)
+        SELECT vec_id, label, {_COS_VS_Q} AS cosine
+        FROM embeddings
+        WHERE vec_id != 0
+          AND ({_bucket_sql('embedding')}) = (SELECT b FROM qb)
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _ivf_topk_oracle() -> str:
+    # mirrors similarity.ivf_assign/ivf_topk: seed centroids = the
+    # vec_id < _IVF_SEEDS embeddings; cell score = round(dot/norm(c), 6)
+    # with first-index (lowest cid) tiebreak; probe = top-nprobe cells by
+    # the query's centroid score (stable ascending-cid tiebreak)
+    dot_sc = (
+        "list_sum(list_transform(list_zip(e.embedding, s.cv), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double)))"
+    )
+    qdot_sc = (
+        "list_sum(list_transform(list_zip(q.qv, s.cv), "
+        "p -> cast(p[1] AS double) * cast(p[2] AS double)))"
+    )
+    cnorm = (
+        "sqrt(list_sum(list_transform(s.cv, "
+        "x -> cast(x AS double) * cast(x AS double))))"
+    )
+    return f"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding AS cv
+          FROM embeddings WHERE vec_id < {_IVF_SEEDS}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, e.label, e.embedding, s.cid,
+                 round({dot_sc} / {cnorm}, 6) AS score
+          FROM embeddings e CROSS JOIN seeds s
+          WHERE e.vec_id != 0),
+        assigned AS (
+          SELECT vec_id, label, embedding, cid AS cell
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                FROM scored)
+          WHERE rn = 1),
+        probe AS (
+          SELECT s.cid FROM seeds s CROSS JOIN q
+          ORDER BY {qdot_sc} / {cnorm} DESC, s.cid
+          LIMIT {_IVF_NPROBE})
+        SELECT vec_id, label, {_COS_VS_Q} AS cosine
+        FROM assigned a JOIN probe p ON a.cell = p.cid
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+def _embedding_neardup_oracle(threshold: float = 0.35) -> str:
+    bucket = _bucket_sql("embedding")
     norm = (
         "sqrt(list_sum(list_transform({e}, x -> cast(x AS double) "
         "* cast(x AS double))))"

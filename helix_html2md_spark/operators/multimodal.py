@@ -25,7 +25,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id string, doc_id string, kind string, n_bytes int, "
-    "sha1 string, feature array<float>"
+    "sha1 string, feature array<float>, feature_md5 string"
 )
 
 
@@ -53,11 +53,15 @@ def extract_features(
 
     One Python crossing per batch; the per-row work is vectorized numpy
     over the decoded arrays.  Real decode plugs in via ``decoder``.
+    ``feature_md5`` is md5 over the float32 bytes of the pooled vector —
+    a content address that pins the exact feature values through any
+    later storage round-trip (and lets a golden-parquet oracle verify
+    the whole decode->pool pipeline with a string compare).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, hashes, sizes = [], [], []
+            feats, hashes, sizes, fmd5 = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 hashes.append(hashlib.sha1(b).hexdigest())
@@ -67,7 +71,9 @@ def extract_features(
                 pooled = arr[: dim * (len(arr) // dim)].reshape(
                     -1, dim
                 ).mean(axis=0) if len(arr) >= dim else np.zeros(dim, np.float32)
-                feats.append([float(x) for x in pooled])
+                pooled32 = np.asarray(pooled, dtype=np.float32)
+                feats.append([float(x) for x in pooled32])
+                fmd5.append(hashlib.md5(pooled32.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -76,6 +82,7 @@ def extract_features(
                     "n_bytes": sizes,
                     "sha1": hashes,
                     "feature": feats,
+                    "feature_md5": fmd5,
                 }
             )
 

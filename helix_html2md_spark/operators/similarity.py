@@ -66,12 +66,19 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """IVF coarse quantization: nearest-centroid cell id per vector.
 
     All JVM-side: K dot products per row inside codegen; no shuffle.
+    Scores are rounded to 6 decimals before the argmax (first maximal
+    index wins ties) so a SQL oracle recomputing the same doubles
+    assigns identical cells — near-ties can't flip on last-bit float
+    differences between engines.
     """
     e = F.col("embedding").cast("array<double>")
     scores = F.array(
         *[
-            _dot(e, F.array(*[F.lit(float(v)) for v in c]))
-            / F.lit(sum(v * v for v in c) ** 0.5 or 1.0)
+            F.round(
+                _dot(e, F.array(*[F.lit(float(v)) for v in c]))
+                / F.lit(sum(v * v for v in c) ** 0.5 or 1.0),
+                6,
+            )
             for c in centroids
         ]
     )

@@ -44,9 +44,13 @@ def test_battery_queries_stay_jvm_side(spark):
     import __spark_entry__ as E
 
     for name, fn in E.queries().items():
-        # extraction queries run the (intentional) mapInPandas transform;
-        # stream_extract executes a streaming job, not a lazy plan
-        if name in ("extract_spans", "stream_extract"):
+        # extraction + media decode queries run the (intentional)
+        # mapInPandas transform; stream_extract executes a streaming
+        # job, not a lazy plan
+        if name in (
+            "extract_spans", "stream_extract",
+            "media_features", "resized_images", "frame_samples",
+        ):
             continue
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         assert "BatchEvalPython" not in plan, name
