@@ -518,6 +518,35 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse over the committed deterministic PDF table
+    (data/pdfs.parquet): single-pass JVM admission gate (size + %PDF-
+    magic) -> one mapInPandas running the pure content-stream parser
+    (core/pdfparse.py).  Span sequences are pinned by spans_md5 (md5 of
+    the kind/text/media_ref stream); oracle = golden parquet whose rows
+    come from synth_pdf's construction-time expectations, independent of
+    the parser (scratch/gen_golden_pdf.py, re-derived in
+    tests/test_golden_pdf.py)."""
+    from helix_html2md_spark.operators.pdf import parse_pdf_documents
+
+    pdfs = spark.read.parquet(os.path.join(_DATA_DIR, "pdfs.parquet"))
+    out = parse_pdf_documents(pdfs)
+    span_repr = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x1f",
+            F.coalesce(s["kind"], F.lit("")),
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+        ),
+    )
+    return out.select(
+        "doc_id", "status", "error", "n_headings", "n_text", "n_images",
+        "n_chars",
+        F.md5(F.array_join(span_repr, "\x1e")).alias("spans_md5"),
+    ).orderBy("doc_id")
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming operator run in batch
     mode — identical plan semantics; the watermark is a no-op on batch)."""
@@ -618,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "resized_images": q_resized_images,
         "frame_samples": q_frame_samples,
+        "pdf_extract": q_pdf_extract,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
         "embedding_neardup": q_embedding_neardup,
@@ -861,6 +891,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, doc_id, frame_idx, ts_ms, frame_sha1
             FROM read_parquet('{_DATA_DIR}/golden_media_frames.parquet')
             ORDER BY media_id, frame_idx
+        """,
+        "pdf_extract": f"""
+            SELECT doc_id, status, error, n_headings, n_text, n_images,
+                   n_chars, spans_md5
+            FROM read_parquet('{_DATA_DIR}/golden_pdf_spans.parquet')
+            ORDER BY doc_id
         """,
         "neardup_verified": _neardup_verified_oracle(),
         "dup_components": _dup_components_oracle(),

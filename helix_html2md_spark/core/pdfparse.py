@@ -1,0 +1,409 @@
+"""Pure-Python PDF layout parser: PDF bytes -> ordered content spans.
+
+The north rule asks for "PDF/layout parse" alongside the HTML transform;
+the reference service is HTML-only (/root/reference/src/index.js has no
+PDF path), so this surface is designed Spark-first from the published PDF
+1.4 object model (ISO 32000 subset): body objects, FlateDecode content
+streams, BT/ET text objects with Td/TD/Tm/T* positioning, Tj/TJ/' show
+operators, and Do-invoked image XObjects.
+
+Output model matches the extraction span contract
+(operators/extract.py SPAN_TYPE): ``(kind, text, media_ref, order)``
+where kind is ``heading`` / ``text`` / ``image``.  Layout recovery:
+
+* text runs carry (page, y, x, font_size); runs sharing a page and a
+  y-baseline (rounded) fold into one line, left-to-right
+* reading order = page asc, baseline y desc (PDF origin is bottom-left),
+  x asc — the standard single-column layout ordering
+* a line whose max font size >= ``heading_min_size`` becomes a heading
+* image XObjects become ``image`` spans content-addressed by the sha1 of
+  their (decoded) stream bytes, mirroring the media-hash convention of
+  the HTML path (media_1<sha1>, /root/reference/test/index.test.js:123)
+
+No third-party PDF library is available in this container and none is
+used: zlib is stdlib.  The parser is lenient — a malformed object or
+stream degrades that object, not the document (same per-row resilience
+contract as the HTML transform).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+__all__ = ["parse_pdf", "PdfError"]
+
+
+class PdfError(ValueError):
+    """Raised when the document is not parseable as PDF at all."""
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+
+# content-stream tokens: names, numbers, strings, hex strings, arrays,
+# and bare operators
+_TOK_RE = re.compile(
+    rb"/[^\s/\[\]()<>{}%]+"  # name
+    rb"|[-+]?\d*\.?\d+"  # number
+    rb"|\((?:\\.|[^\\()])*\)"  # literal string (no nested parens)
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]+"  # operator
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_pdf_string(tok: bytes) -> str:
+    """Literal ``(...)`` or hex ``<...>`` string token -> text."""
+    if tok.startswith(b"<"):
+        hexdigits = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hexdigits) % 2:
+            hexdigits += b"0"
+        return bytes.fromhex(hexdigits.decode("ascii")).decode(
+            "latin-1", "replace"
+        )
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt.isdigit():  # octal \ddd (1-3 digits)
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(body[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            out += _ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1", "replace")
+
+
+# -- minimal object-dictionary reader ---------------------------------------
+
+_DICT_TOK_RE = re.compile(
+    rb"<<|>>|\[|\]|/[^\s/\[\]()<>{}%]+|\d+\s+\d+\s+R"
+    rb"|[-+]?\d*\.?\d+|\((?:\\.|[^\\()])*\)|true|false|null"
+)
+
+
+def _parse_value(toks: list[bytes], pos: int):
+    t = toks[pos]
+    if t == b"<<":
+        d = {}
+        pos += 1
+        while pos < len(toks) and toks[pos] != b">>":
+            if not toks[pos].startswith(b"/"):
+                pos += 1  # lenient: skip stray token
+                continue
+            key = toks[pos][1:].decode("latin-1")
+            val, pos = _parse_value(toks, pos + 1)
+            d[key] = val
+        return d, pos + 1
+    if t == b"[":
+        arr = []
+        pos += 1
+        while pos < len(toks) and toks[pos] != b"]":
+            val, pos = _parse_value(toks, pos)
+            arr.append(val)
+        return arr, pos + 1
+    if t.startswith(b"/"):
+        return ("name", t[1:].decode("latin-1")), pos + 1
+    m = re.fullmatch(rb"(\d+)\s+(\d+)\s+R", t)
+    if m:
+        return ("ref", int(m.group(1))), pos + 1
+    if re.fullmatch(rb"[-+]?\d*\.?\d+", t):
+        return float(t), pos + 1
+    if t in (b"true", b"false", b"null"):
+        return t == b"true", pos + 1
+    return _decode_pdf_string(t), pos + 1
+
+
+def _parse_dict(raw: bytes) -> dict:
+    start = raw.find(b"<<")
+    if start < 0:
+        return {}
+    toks = _DICT_TOK_RE.findall(raw[start:])
+    try:
+        val, _ = _parse_value(toks, 0)
+    except (IndexError, ValueError):
+        return {}
+    return val if isinstance(val, dict) else {}
+
+
+def _stream_bytes(body: bytes, info: dict) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    data = m.group(1)
+    # spec: stream data ends before the EOL preceding `endstream`
+    if data.endswith(b"\r\n"):
+        data = data[:-2]
+    elif data.endswith(b"\n") or data.endswith(b"\r"):
+        data = data[:-1]
+    filt = info.get("Filter")
+    names = []
+    if isinstance(filt, tuple) and filt[0] == "name":
+        names = [filt[1]]
+    elif isinstance(filt, list):
+        names = [f[1] for f in filt if isinstance(f, tuple)]
+    for name in names:
+        if name == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        else:  # unsupported filter: keep raw (images are hashed, not read)
+            return data
+    return data
+
+
+class _Obj:
+    __slots__ = ("num", "info", "stream")
+
+    def __init__(self, num, info, stream):
+        self.num, self.info, self.stream = num, info, stream
+
+
+def _load_objects(data: bytes) -> dict[int, _Obj]:
+    objs: dict[int, _Obj] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body = m.group(3)
+        info = _parse_dict(body)
+        objs[num] = _Obj(num, info, _stream_bytes(body, info))
+    return objs
+
+
+def _deref(objs: dict[int, _Obj], val):
+    if isinstance(val, tuple) and val[0] == "ref":
+        obj = objs.get(val[1])
+        return obj.info if obj else None
+    return val
+
+
+def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
+    """Pages in /Root -> /Pages -> /Kids order; object-number fallback."""
+    pages = []
+    for obj in objs.values():
+        t = obj.info.get("Type")
+        if t == ("name", "Catalog"):
+            root_pages = _deref(objs, obj.info.get("Pages")) or {}
+            kids = root_pages.get("Kids") or []
+            for kid in kids:
+                if isinstance(kid, tuple) and kid[0] == "ref":
+                    page = objs.get(kid[1])
+                    if page is not None:
+                        pages.append(page)
+            if pages:
+                return pages
+    return sorted(
+        (o for o in objs.values() if o.info.get("Type") == ("name", "Page")),
+        key=lambda o: o.num,
+    )
+
+
+# -- content-stream interpreter ----------------------------------------------
+
+# kerning gap (thousandths of text space) below which a TJ adjustment
+# reads as an inter-word space
+_TJ_SPACE = -180.0
+
+
+def _run_content(stream: bytes, xobjects: dict, objs: dict[int, _Obj]):
+    """Yield ('run', y, x, size, text) and ('image', y, x, sha1) events."""
+    size = 12.0
+    leading = 0.0
+    lx = ly = 0.0  # text line origin
+    cx = 0.0  # estimated pen x within the line
+    cm_y = 0.0
+    cm_x = 0.0
+    stack: list[bytes] = []
+
+    def show(text: str):
+        nonlocal cx
+        if text:
+            yield_events.append(("run", ly, cx, size, text))
+            cx += 0.5 * size * len(text)
+
+    yield_events: list[tuple] = []
+    for tok in _TOK_RE.finditer(stream):
+        t = tok.group(0)
+        if t in (b"[", b"]"):
+            stack.append(t)
+            continue
+        if (
+            t.startswith(b"/")
+            or t.startswith(b"(")
+            or t.startswith(b"<")
+            or re.fullmatch(rb"[-+]?\d*\.?\d+", t)
+        ):
+            stack.append(t)
+            continue
+        # operator
+        if t == b"Tf" and len(stack) >= 1:
+            try:
+                size = float(stack[-1])
+            except ValueError:
+                pass
+        elif t in (b"Td", b"TD") and len(stack) >= 2:
+            try:
+                tx, ty = float(stack[-2]), float(stack[-1])
+                lx, ly = lx + tx, ly + ty
+                cx = lx
+                if t == b"TD":
+                    leading = -ty
+            except ValueError:
+                pass
+        elif t == b"Tm" and len(stack) >= 6:
+            try:
+                lx, ly = float(stack[-2]), float(stack[-1])
+                cx = lx
+            except ValueError:
+                pass
+        elif t == b"TL" and stack:
+            try:
+                leading = float(stack[-1])
+            except ValueError:
+                pass
+        elif t == b"T*":
+            ly -= leading
+            cx = lx
+        elif t == b"BT":
+            lx = ly = cx = 0.0
+        elif t in (b"Tj", b"'") and stack:
+            if t == b"'":
+                ly -= leading
+                cx = lx
+            s = stack[-1]
+            if s.startswith(b"(") or s.startswith(b"<"):
+                show(_decode_pdf_string(s))
+        elif t == b"TJ":
+            # consume back to the matching [
+            parts: list[str] = []
+            i = len(stack) - 1
+            while i >= 0 and stack[i] != b"[":
+                i -= 1
+            for el in stack[i + 1 :] if i >= 0 else []:
+                if el.startswith(b"(") or el.startswith(b"<"):
+                    parts.append(_decode_pdf_string(el))
+                else:
+                    try:
+                        if float(el) <= _TJ_SPACE:
+                            parts.append(" ")
+                    except ValueError:
+                        pass
+            show("".join(parts))
+        elif t == b"cm" and len(stack) >= 6:
+            try:
+                cm_x, cm_y = float(stack[-2]), float(stack[-1])
+            except ValueError:
+                pass
+        elif t == b"Do" and stack and stack[-1].startswith(b"/"):
+            name = stack[-1][1:].decode("latin-1")
+            ref = xobjects.get(name)
+            obj = (
+                objs.get(ref[1])
+                if isinstance(ref, tuple) and ref[0] == "ref"
+                else None
+            )
+            if obj is not None and obj.info.get("Subtype") == ("name", "Image"):
+                digest = hashlib.sha1(obj.stream or b"").hexdigest()
+                yield_events.append(("image", cm_y, cm_x, digest))
+        stack.clear()
+    return yield_events
+
+
+def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
+    """Parse PDF bytes into ordered layout spans.
+
+    Returns ``[{kind, text, media_ref, order}, ...]`` in reading order
+    (page asc, baseline y desc, x asc).  Raises :class:`PdfError` if the
+    bytes are not a PDF at all; individual malformed objects degrade
+    leniently.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("missing %PDF- header")
+    objs = _load_objects(data)
+    if not objs:
+        raise PdfError("no objects")
+
+    events: list[tuple] = []  # (page, -y, x, payload)
+    for pageno, page in enumerate(_page_order(objs)):
+        res = _deref(objs, page.info.get("Resources")) or {}
+        xobjects = _deref(objs, res.get("XObject")) or {}
+        contents = page.info.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        stream = b""
+        for ref in refs:
+            if isinstance(ref, tuple) and ref[0] == "ref":
+                obj = objs.get(ref[1])
+                if obj is not None and obj.stream is not None:
+                    stream += obj.stream + b"\n"
+        for ev in _run_content(stream, xobjects, objs):
+            if ev[0] == "run":
+                _, y, x, size, text = ev
+                events.append((pageno, -round(y, 1), x, ("t", size, text)))
+            else:
+                _, y, x, digest = ev
+                events.append((pageno, -round(y, 1), x, ("i", digest)))
+
+    events.sort(key=lambda e: (e[0], e[1], e[2]))
+
+    spans: list[dict] = []
+
+    def flush_line(parts: list[tuple[float, str]]):
+        text = "".join(p[1] for p in parts).strip()
+        if not text:
+            return
+        kind = (
+            "heading"
+            if max(p[0] for p in parts) >= heading_min_size
+            else "text"
+        )
+        spans.append(
+            {
+                "kind": kind,
+                "text": text,
+                "media_ref": None,
+                "order": len(spans),
+            }
+        )
+
+    line_key = None
+    line_parts: list[tuple[float, str]] = []
+    for page, ny, x, payload in events:
+        if payload[0] == "i":
+            if line_parts:
+                flush_line(line_parts)
+                line_parts = []
+            line_key = None
+            spans.append(
+                {
+                    "kind": "image",
+                    "text": None,
+                    "media_ref": f"pdfimg:{payload[1]}",
+                    "order": len(spans),
+                }
+            )
+            continue
+        key = (page, ny)
+        if key != line_key and line_parts:
+            flush_line(line_parts)
+            line_parts = []
+        line_key = key
+        line_parts.append((payload[1], payload[2]))
+    if line_parts:
+        flush_line(line_parts)
+    return spans

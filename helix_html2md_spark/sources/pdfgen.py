@@ -1,0 +1,183 @@
+"""Deterministic minimal PDF writer for tests and synthetic corpora.
+
+Produces valid PDF 1.4 bytes (header, numbered objects, FlateDecode
+content streams, image XObjects, xref table with correct offsets,
+trailer) from a declarative page spec, so the PDF layout parser
+(core/pdfparse.py) can be exercised against documents whose expected
+span sequence is known by construction — the expectations in
+tests/test_pdfparse.py are handwritten, not derived from the parser.
+
+No third-party dependency: zlib is stdlib.  Everything is a pure
+function of its arguments (north-rule determinism: resumable re-runs
+must produce identical snapshots).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+__all__ = ["build_pdf", "synth_pdf"]
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
+    """Build a PDF from page specs.
+
+    Each page is a list of ops:
+
+    * ``("text", x, y, size, "string")`` — one positioned text run
+    * ``("tj", x, y, size, ["a", -300, "b"])`` — a TJ array with
+      kerning adjustments (thousandths; <= -180 reads as a space)
+    * ``("image", x, y, raw_bytes)`` — an RGB image XObject stub
+    """
+    objects: list[bytes] = []  # bodies, object number = index + 1
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    font_num = None
+    page_nums = []
+    pages_num_placeholder = add(b"")  # /Pages node, patched at the end
+
+    for page in pages:
+        content_parts: list[bytes] = []
+        xobjects: dict[str, int] = {}
+        for op in page:
+            if op[0] == "text":
+                _, x, y, size, s = op
+                content_parts.append(
+                    f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET"
+                    .encode("latin-1")
+                )
+            elif op[0] == "tj":
+                _, x, y, size, arr = op
+                items = "".join(
+                    f"({_esc(el)}) " if isinstance(el, str) else f"{el:g} "
+                    for el in arr
+                )
+                content_parts.append(
+                    f"BT /F1 {size:g} Tf {x:g} {y:g} Td [{items}] TJ ET"
+                    .encode("latin-1")
+                )
+            elif op[0] == "image":
+                _, x, y, raw = op
+                img_stream = zlib.compress(raw, 6)
+                img_num = add(
+                    b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4"
+                    b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+                    b" /Filter /FlateDecode /Length "
+                    + str(len(img_stream)).encode()
+                    + b" >>\nstream\n" + img_stream + b"\nendstream"
+                )
+                name = f"Im{img_num}"
+                xobjects[name] = img_num
+                content_parts.append(
+                    f"q 1 0 0 1 {x:g} {y:g} cm /{name} Do Q".encode("latin-1")
+                )
+        raw_content = b"\n".join(content_parts)
+        if compress:
+            data = zlib.compress(raw_content, 6)
+            filt = b" /Filter /FlateDecode"
+        else:
+            data, filt = raw_content, b""
+        content_num = add(
+            b"<< /Length " + str(len(data)).encode() + filt
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        if font_num is None:
+            font_num = add(
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+            )
+        xobj = b""
+        if xobjects:
+            refs = b" ".join(
+                f"/{name} {num} 0 R".encode() for name, num in xobjects.items()
+            )
+            xobj = b" /XObject << " + refs + b" >>"
+        page_nums.append(
+            add(
+                b"<< /Type /Page /Parent "
+                + str(pages_num_placeholder).encode()
+                + b" 0 R /MediaBox [0 0 612 792] /Resources << /Font"
+                b" << /F1 " + str(font_num).encode() + b" 0 R >>" + xobj
+                + b" >> /Contents " + str(content_num).encode() + b" 0 R >>"
+            )
+        )
+
+    kids = b" ".join(str(n).encode() + b" 0 R" for n in page_nums)
+    objects[pages_num_placeholder - 1] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_nums)).encode() + b" >>"
+    )
+    catalog_num = add(
+        b"<< /Type /Catalog /Pages "
+        + str(pages_num_placeholder).encode() + b" 0 R >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root " + str(catalog_num).encode() + b" 0 R >>\n"
+        b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+_WORDS = (
+    "analytics engine span layout parse shuffle broadcast partition "
+    "column corpus heading stream batch vector token cluster page"
+).split()
+
+
+def synth_pdf(seed: int) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic synthetic PDF + its expected (kind, text/media) list.
+
+    Pure function of ``seed`` (no RNG state): page/line counts and words
+    are arithmetic in the seed, so a corpus regenerates identically —
+    and the expected span sequence is constructed alongside the bytes,
+    independent of the parser.
+    """
+    n_pages = 1 + seed % 3
+    expected: list[tuple[str, str | None]] = []
+    pages = []
+    import hashlib
+
+    for p in range(n_pages):
+        ops: list[tuple] = []
+        title = f"Section {seed}-{p}"
+        ops.append(("text", 72, 740, 24, title))
+        expected.append(("heading", title))
+        n_lines = 2 + (seed + p) % 4
+        y = 700
+        for li in range(n_lines):
+            words = [
+                _WORDS[(seed * 7 + p * 5 + li * 3 + w) % len(_WORDS)]
+                for w in range(6)
+            ]
+            line = " ".join(words)
+            ops.append(("text", 72, y, 11, line))
+            expected.append(("text", line))
+            y -= 16
+        if (seed + p) % 2 == 0:
+            raw = bytes(
+                ((seed * 31 + p * 17 + i) % 256) for i in range(48)
+            )
+            ops.append(("image", 72, y - 60, raw))
+            # the parser hashes DECODED stream bytes (content address is
+            # filter-independent)
+            expected.append(("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}"))
+        pages.append(ops)
+    return build_pdf(pages), expected

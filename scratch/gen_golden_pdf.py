@@ -1,0 +1,106 @@
+"""Generate the committed PDF-extraction fixtures:
+
+* data/pdfs.parquet            — deterministic input table of PDF bytes
+  (sources/pdfgen.synth_pdf seeds 0..31 + two poison rows)
+* data/golden_pdf_spans.parquet — expected parse_pdf_documents output
+
+Independence axis: the expected span sequences come from synth_pdf's
+CONSTRUCTION-TIME expectation list (built arithmetically alongside the
+bytes), never from running the parser — the parser under test has no
+hand in the golden.  The generator<->parser agreement itself is pinned
+by the handwritten literal cases in tests/test_pdfparse.py (TJ kerning,
+escapes, hex strings, page order), and tests/test_golden_pdf.py
+re-derives every golden row a third time.
+
+Rerun after any intentional change to pdfgen or the span contract:
+    python scratch/gen_golden_pdf.py
+"""
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+DATA = os.path.join(ROOT, "data")
+N_SEEDS = 32
+
+from helix_html2md_spark.sources.pdfgen import synth_pdf  # noqa: E402
+
+RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
+
+
+def spans_md5(expected) -> str:
+    parts = []
+    for kind, val in expected:
+        text = val if kind != "image" else ""
+        media = val if kind == "image" else ""
+        parts.append(f"{kind}{FS}{text}{FS}{media}")
+    return hashlib.md5(RS.join(parts).encode("utf-8")).hexdigest()
+
+
+def main():
+    inputs = {"doc_id": [], "payload": []}
+    golden = {
+        "doc_id": [], "status": [], "error": [], "n_headings": [],
+        "n_text": [], "n_images": [], "n_chars": [], "spans_md5": [],
+    }
+
+    def grow(doc_id, status, error, expected):
+        golden["doc_id"].append(doc_id)
+        golden["status"].append(status)
+        golden["error"].append(error)
+        golden["n_headings"].append(
+            sum(1 for k, _ in expected if k == "heading")
+        )
+        golden["n_text"].append(sum(1 for k, _ in expected if k == "text"))
+        golden["n_images"].append(
+            sum(1 for k, _ in expected if k == "image")
+        )
+        golden["n_chars"].append(
+            sum(len(v) for k, v in expected if k != "image")
+        )
+        golden["spans_md5"].append(spans_md5(expected))
+
+    for seed in range(N_SEEDS):
+        data, expected = synth_pdf(seed)
+        doc_id = f"pdf-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # poison rows: per-row degradation is part of the contract
+    inputs["doc_id"].append("pdf-not-a-pdf")
+    inputs["payload"].append(b"GIF89a not a pdf at all")
+    grow(
+        "pdf-not-a-pdf", "constraint_error",
+        "not a PDF (missing %PDF- magic)", [],
+    )
+    inputs["doc_id"].append("pdf-corrupt")
+    inputs["payload"].append(b"%PDF-1.4\nno objects here, just noise\n")
+    grow("pdf-corrupt", "parse_error", "no objects", [])
+
+    pq.write_table(
+        pa.table(inputs, schema=pa.schema(
+            [("doc_id", pa.string()), ("payload", pa.binary())]
+        )),
+        os.path.join(DATA, "pdfs.parquet"),
+    )
+    pq.write_table(
+        pa.table(golden, schema=pa.schema([
+            ("doc_id", pa.string()), ("status", pa.string()),
+            ("error", pa.string()), ("n_headings", pa.int32()),
+            ("n_text", pa.int32()), ("n_images", pa.int32()),
+            ("n_chars", pa.int32()), ("spans_md5", pa.string()),
+        ])),
+        os.path.join(DATA, "golden_pdf_spans.parquet"),
+    )
+    print(f"pdfs.parquet: {len(inputs['doc_id'])} rows")
+    print(f"golden_pdf_spans.parquet: {len(golden['doc_id'])} rows")
+
+
+if __name__ == "__main__":
+    main()

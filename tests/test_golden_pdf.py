@@ -1,0 +1,96 @@
+"""Golden-parquet binding for the PDF layout-parse driver query.
+
+Three independent derivations must agree:
+
+1. the committed data/golden_pdf_spans.parquet (written by
+   scratch/gen_golden_pdf.py from synth_pdf construction-time
+   expectations — the parser never touches it)
+2. a re-derivation here from the same expectations (guards against a
+   stale or hand-edited committed file)
+3. the live pipeline: parse_pdf over the committed pdfs.parquet bytes,
+   and the full Spark driver query q_pdf_extract
+"""
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+
+from helix_html2md_spark.core.pdfparse import parse_pdf
+from helix_html2md_spark.sources.pdfgen import synth_pdf
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(ROOT, "data")
+RS, FS = "\x1e", "\x1f"
+N_SEEDS = 32
+
+
+def _md5_of(expected):
+    parts = []
+    for kind, val in expected:
+        text = val if kind != "image" else ""
+        media = val if kind == "image" else ""
+        parts.append(f"{kind}{FS}{text}{FS}{media}")
+    return hashlib.md5(RS.join(parts).encode("utf-8")).hexdigest()
+
+
+def _golden():
+    t = pq.read_table(os.path.join(DATA, "golden_pdf_spans.parquet"))
+    return {r["doc_id"]: r for r in t.to_pylist()}
+
+
+def test_golden_matches_construction_expectations():
+    golden = _golden()
+    assert len(golden) == N_SEEDS + 2
+    for seed in range(N_SEEDS):
+        _, expected = synth_pdf(seed)
+        row = golden[f"pdf-{seed:04d}"]
+        assert row["status"] == "ok"
+        assert row["spans_md5"] == _md5_of(expected)
+        assert row["n_headings"] == sum(
+            1 for k, _ in expected if k == "heading"
+        )
+        assert row["n_text"] == sum(1 for k, _ in expected if k == "text")
+        assert row["n_images"] == sum(
+            1 for k, _ in expected if k == "image"
+        )
+        assert row["n_chars"] == sum(
+            len(v) for k, v in expected if k != "image"
+        )
+    assert golden["pdf-not-a-pdf"]["status"] == "constraint_error"
+    assert golden["pdf-corrupt"]["status"] == "parse_error"
+    assert golden["pdf-corrupt"]["spans_md5"] == _md5_of([])
+
+
+def test_committed_pdf_bytes_parse_to_golden():
+    golden = _golden()
+    inputs = pq.read_table(os.path.join(DATA, "pdfs.parquet")).to_pylist()
+    for row in inputs:
+        if not row["doc_id"].startswith("pdf-0"):
+            continue
+        spans = parse_pdf(row["payload"])
+        expected = [
+            (
+                s["kind"],
+                s["text"] if s["kind"] != "image" else s["media_ref"],
+            )
+            for s in spans
+        ]
+        assert _md5_of(expected) == golden[row["doc_id"]]["spans_md5"]
+
+
+def test_driver_query_matches_golden(spark):
+    import __spark_entry__ as E
+
+    golden = _golden()
+    out = E.q_pdf_extract(spark, "unused").collect()
+    assert len(out) == len(golden)
+    for r in out:
+        g = golden[r["doc_id"]]
+        assert (
+            r["status"], r["error"], r["n_headings"], r["n_text"],
+            r["n_images"], r["n_chars"], r["spans_md5"],
+        ) == (
+            g["status"], g["error"], g["n_headings"], g["n_text"],
+            g["n_images"], g["n_chars"], g["spans_md5"],
+        ), r["doc_id"]

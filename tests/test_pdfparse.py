@@ -1,0 +1,187 @@
+"""PDF layout parser + Spark operator tests.
+
+The oracle direction is non-circular: `synth_pdf` constructs the
+expected span sequence ALONGSIDE the bytes (pure arithmetic in the
+seed), and the handwritten cases below pin concrete operator semantics
+(TJ kerning, Tm/TD/T* positioning, hex strings, escapes, page order,
+heading classification) with literal expected values.
+"""
+
+import hashlib
+import zlib
+
+import pytest
+
+from helix_html2md_spark.core.pdfparse import PdfError, parse_pdf
+from helix_html2md_spark.sources.pdfgen import build_pdf, synth_pdf
+
+
+def kinds_texts(spans):
+    return [
+        (s["kind"], s["text"] if s["kind"] != "image" else s["media_ref"])
+        for s in spans
+    ]
+
+
+def test_single_text_line():
+    pdf = build_pdf([[("text", 72, 700, 11, "hello world")]])
+    assert kinds_texts(parse_pdf(pdf)) == [("text", "hello world")]
+
+
+def test_heading_by_font_size():
+    pdf = build_pdf(
+        [[("text", 72, 740, 24, "Title"), ("text", 72, 700, 11, "body")]]
+    )
+    assert kinds_texts(parse_pdf(pdf)) == [
+        ("heading", "Title"), ("text", "body"),
+    ]
+
+
+def test_reading_order_y_desc_then_x():
+    # emitted out of order in the stream; layout must re-order by y desc
+    pdf = build_pdf(
+        [[
+            ("text", 72, 600, 11, "third"),
+            ("text", 200, 700, 11, " right"),
+            ("text", 72, 700, 11, "first"),
+            ("text", 72, 650, 11, "second"),
+        ]]
+    )
+    assert [s["text"] for s in parse_pdf(pdf)] == [
+        "first right", "second", "third",
+    ]
+
+
+def test_tj_kerning_space_threshold():
+    # adjustment <= -180 reads as a space; milder kerning does not
+    pdf = build_pdf(
+        [[("tj", 72, 700, 11, ["Hel", -50, "lo", -300, "world"])]],
+        compress=False,
+    )
+    assert [s["text"] for s in parse_pdf(pdf)] == ["Hello world"]
+
+
+def test_string_escapes_and_hex():
+    pdf = build_pdf([[("text", 72, 700, 11, r"a(b)c\d")]])
+    assert parse_pdf(pdf)[0]["text"] == r"a(b)c\d"
+    # hand-rolled content stream with a hex string and octal escape
+    raw = b"BT /F1 11 Tf 72 700 Td <48656C6C6F> Tj ET\n" \
+          b"BT /F1 11 Tf 72 680 Td (\\101\\102) Tj ET"
+    pdf2 = build_pdf([[]])  # valid skeleton, then splice content
+    pdf3 = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf3 = pdf3.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf3 = pdf3.replace(
+        b"/Length 31", b"/Length " + str(len(raw)).encode()
+    )
+    spans = parse_pdf(pdf3)
+    assert [s["text"] for s in spans] == ["Hello", "AB"]
+    assert pdf2  # skeleton itself parses (no spans)
+    assert parse_pdf(pdf2) == []
+
+
+def test_multipage_order():
+    pdf = build_pdf(
+        [
+            [("text", 72, 100, 11, "page1-bottom")],
+            [("text", 72, 700, 11, "page2-top")],
+        ]
+    )
+    assert [s["text"] for s in parse_pdf(pdf)] == [
+        "page1-bottom", "page2-top",
+    ]
+
+
+def test_image_span_content_addressed():
+    raw = bytes(range(48))
+    pdf = build_pdf(
+        [[("text", 72, 700, 11, "cap"), ("image", 72, 500, raw)]]
+    )
+    spans = parse_pdf(pdf)
+    assert kinds_texts(spans) == [
+        ("text", "cap"),
+        ("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}"),
+    ]
+    # same image under a different filter config hashes identically:
+    # the content address is of DECODED bytes
+    pdf_u = build_pdf(
+        [[("text", 72, 700, 11, "cap"), ("image", 72, 500, raw)]],
+        compress=False,
+    )
+    assert kinds_texts(parse_pdf(pdf_u)) == kinds_texts(spans)
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfError):
+        parse_pdf(b"plain text")
+
+
+def test_corrupt_stream_degrades_not_raises():
+    pdf = bytearray(build_pdf([[("text", 72, 700, 11, "hello")]]))
+    i = pdf.find(b"stream\n") + len(b"stream\n")
+    pdf[i : i + 4] = b"\x00\x00\x00\x00"  # corrupt the zlib header
+    assert parse_pdf(bytes(pdf)) == []  # page degrades, parse survives
+
+
+def test_synth_pdf_expected_sequence():
+    for seed in range(40):
+        data, expected = synth_pdf(seed)
+        assert kinds_texts(parse_pdf(data)) == expected, f"seed {seed}"
+
+
+def test_order_field_is_dense():
+    data, _ = synth_pdf(3)
+    spans = parse_pdf(data)
+    assert [s["order"] for s in spans] == list(range(len(spans)))
+
+
+# --- Spark operator ---------------------------------------------------------
+
+
+def test_operator_end_to_end(spark):
+    from helix_html2md_spark.operators.pdf import parse_pdf_documents
+
+    rows = []
+    expect = {}
+    for seed in range(8):
+        data, expected = synth_pdf(seed)
+        rows.append((f"pdf-{seed:03d}", bytearray(data)))
+        expect[f"pdf-{seed:03d}"] = expected
+    rows.append(("bad-magic", bytearray(b"not a pdf at all")))
+    rows.append(("too-big", bytearray(b"%PDF-" + b"x" * 8192)))
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = parse_pdf_documents(df, max_pdf_size=4096).orderBy("doc_id")
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    assert got["bad-magic"]["status"] == "parse_error" or (
+        got["bad-magic"]["status"] == "constraint_error"
+    )
+    assert "magic" in got["bad-magic"]["error"]
+    assert got["too-big"]["status"] == "constraint_error"
+    assert "larger than" in got["too-big"]["error"]
+    for seed in range(8):
+        row = got[f"pdf-{seed:03d}"]
+        assert row["status"] == "ok"
+        assert [
+            (s["kind"], s["text"] if s["kind"] != "image" else s["media_ref"])
+            for s in row["spans"]
+        ] == expect[f"pdf-{seed:03d}"]
+        assert row["n_headings"] == sum(
+            1 for k, _ in expect[f"pdf-{seed:03d}"] if k == "heading"
+        )
+
+
+def test_operator_gate_is_jvm_side(spark):
+    """Size/magic admission runs before the Python stage: the plan has
+    exactly one scan, no Union, and the gate expressions sit below
+    MapInPandas (same discipline as test_plan_quality.py for HTML)."""
+    from helix_html2md_spark.operators.pdf import parse_pdf_documents
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"%PDF-x"))], "doc_id string, payload binary"
+    )
+    plan = parse_pdf_documents(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan  # single-pass, not ok/rejected branches
+    assert plan.count("MapInPandas") == 1  # exactly one Python crossing
+    # the gate CASE WHEN lives in a native Project BELOW MapInPandas
+    assert plan.index("MapInPandas") < plan.index("Project")
+    assert "CASE WHEN" in plan and "_gate_error" in plan
