@@ -547,6 +547,27 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip (Arc90-readability-style text/link-density
+    scoring, core/boilerplate.py) over the committed deterministic page
+    table: single-pass JVM size gate -> one mapInPandas.  Content text
+    is pinned by content_md5; oracle = golden parquet built from
+    synth_boiler_page's construction-time expectations, independent of
+    the stripper (scratch/gen_golden_boiler.py, re-derived in
+    tests/test_boilerplate.py)."""
+    from helix_html2md_spark.operators.boilerplate import (
+        strip_boilerplate_documents,
+    )
+
+    pages = spark.read.parquet(os.path.join(_DATA_DIR, "boiler_pages.parquet"))
+    out = strip_boilerplate_documents(pages)
+    return out.select(
+        "doc_id", "status", "content_tag", "text_len", "link_density",
+        "n_paras", "score",
+        F.md5(F.coalesce("content_text", F.lit(""))).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming operator run in batch
     mode — identical plan semantics; the watermark is a no-op on batch)."""
@@ -648,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resized_images": q_resized_images,
         "frame_samples": q_frame_samples,
         "pdf_extract": q_pdf_extract,
+        "boilerplate": q_boilerplate,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
         "embedding_neardup": q_embedding_neardup,
@@ -896,6 +918,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, status, error, n_headings, n_text, n_images,
                    n_chars, spans_md5
             FROM read_parquet('{_DATA_DIR}/golden_pdf_spans.parquet')
+            ORDER BY doc_id
+        """,
+        "boilerplate": f"""
+            SELECT doc_id, status, content_tag, text_len, link_density,
+                   n_paras, score, content_md5
+            FROM read_parquet('{_DATA_DIR}/golden_boiler.parquet')
             ORDER BY doc_id
         """,
         "neardup_verified": _neardup_verified_oracle(),

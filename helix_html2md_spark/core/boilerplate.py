@@ -1,0 +1,179 @@
+"""HTML boilerplate stripping: pick the main-content subtree heuristically.
+
+The north rule's pipeline names "HTML boilerplate strip" explicitly; the
+reference covers only the structural `<main>` selection
+(/root/reference/src/index.js via @adobe/helix-html2md — S4 in SURVEY
+§2A).  Real web pages frequently have no `<main>`: this module adds the
+standard content-extraction heuristic for that case, implemented from
+the published Arc90 readability algorithm family (also the basis of
+boilerpipe's density features):
+
+1. drop noise subtrees (script/style/nav/header/footer/aside/form and
+   elements whose class/id smells like navigation, ads, or comments)
+2. score every paragraph by length and comma count; add its points to
+   its parent container and half to its grandparent
+3. the candidate with the highest accumulated score, corrected by
+   (1 - link_density), is the content root; ties break on document
+   order (first wins) so the result is deterministic
+
+Pure function of the HTML string — no RNG, no wall clock (north-rule
+determinism for resumable re-runs).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import Element, Text, parse_html
+
+__all__ = ["strip_boilerplate"]
+
+_NOISE_TAGS = {
+    "script", "style", "noscript", "template", "nav", "header", "footer",
+    "aside", "form", "iframe", "button",
+}
+_NOISE_HINT = re.compile(
+    r"nav|menu|sidebar|footer|header|banner|\bad\b|ads|advert|comment|"
+    r"share|social|promo|cookie|breadcrumb",
+    re.I,
+)
+_CANDIDATE_TAGS = {"div", "article", "section", "main", "td", "body"}
+_WS = re.compile(r"\s+")
+
+
+def _norm(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def _text(el: Element) -> str:
+    """Subtree text with element boundaries as spaces, normalized.
+
+    The fast parser drops whitespace-only text nodes between elements,
+    so naive concatenation would glue adjacent blocks ("Titlefirst
+    para"); joining text nodes with spaces keeps block boundaries and
+    _norm collapses any doubling.
+    """
+    parts: list[str] = []
+
+    def walk(n: Element) -> None:  # document order (DFS)
+        for c in n.children:
+            if isinstance(c, Text):
+                parts.append(c.value)
+            else:
+                walk(c)
+
+    walk(el)
+    return _norm(" ".join(parts))
+
+
+def _is_noise(el: Element) -> bool:
+    if el.tag in _NOISE_TAGS:
+        return True
+    hint = f"{el.attrs.get('class') or ''} {el.attrs.get('id') or ''}"
+    return bool(hint.strip()) and bool(_NOISE_HINT.search(hint))
+
+
+def _clean(el: Element) -> None:
+    el.children = [
+        c
+        for c in el.children
+        if not (isinstance(c, Element) and _is_noise(c))
+    ]
+    for c in el.element_children():
+        _clean(c)
+
+
+def _link_text_len(el: Element) -> int:
+    total = 0
+    stack = [(el, el.tag == "a")]
+    while stack:
+        node, in_link = stack.pop()
+        for c in node.children:
+            if isinstance(c, Text):
+                if in_link:
+                    total += len(_norm(c.value))
+            else:
+                stack.append((c, in_link or c.tag == "a"))
+    return total
+
+
+def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
+    """Return the heuristically-selected main content of an HTML page.
+
+    Output keys: ``status`` ("ok" / "no_content"), ``content_tag``,
+    ``content_text`` (whitespace-normalized), ``text_len``,
+    ``link_density`` (4dp), ``n_paras`` (scoring paragraphs inside the
+    winner), ``score`` (rounded int).
+    """
+    root = parse_html(html)
+    body = root.find("body") or root
+    _clean(body)
+
+    # document-order candidate index for deterministic tie-breaking
+    order: dict[int, int] = {}
+    parent_of: dict[int, Element] = {}
+    seq = [body]
+    i = 0
+    while i < len(seq):
+        el = seq[i]
+        order[id(el)] = i
+        for c in el.element_children():
+            parent_of[id(c)] = el
+            seq.append(c)
+        i += 1
+
+    scores: dict[int, float] = {}
+    para_counts: dict[int, int] = {}
+    for p in [body] if body.tag == "p" else body.find_all("p"):
+        text = _text(p)
+        if len(text) < min_para_len:
+            continue
+        pts = 1.0 + text.count(",") + min(len(text) // 100, 3)
+        parent = parent_of.get(id(p))
+        while parent is not None and parent.tag not in _CANDIDATE_TAGS:
+            parent = parent_of.get(id(parent))
+        if parent is None:
+            parent = body
+        scores[id(parent)] = scores.get(id(parent), 0.0) + pts
+        para_counts[id(parent)] = para_counts.get(id(parent), 0) + 1
+        gp = parent_of.get(id(parent))
+        while gp is not None and gp.tag not in _CANDIDATE_TAGS:
+            gp = parent_of.get(id(gp))
+        if gp is not None:
+            scores[id(gp)] = scores.get(id(gp), 0.0) + pts / 2.0
+
+    if not scores:
+        return {
+            "status": "no_content", "content_tag": None,
+            "content_text": "", "text_len": 0, "link_density": 0.0,
+            "n_paras": 0, "score": 0,
+        }
+
+    by_id = {id(el): el for el in seq}
+    best_el, best_final = None, None
+    for el_id, raw in scores.items():
+        el = by_id.get(el_id)
+        if el is None:
+            continue
+        text_len = len(_text(el))
+        link_len = _link_text_len(el)
+        density = (link_len / text_len) if text_len else 1.0
+        final = raw * (1.0 - density)
+        key = (-final, order.get(el_id, 1 << 30))
+        if best_final is None or key < best_final:
+            best_final, best_el = key, el
+
+    el = best_el
+    text = _text(el)
+    text_len = len(text)
+    link_len = _link_text_len(el)
+    density = round((link_len / text_len) if text_len else 1.0, 4)
+    return {
+        "status": "ok",
+        "content_tag": el.tag,
+        "content_text": text,
+        "text_len": text_len,
+        "link_density": density,
+        "n_paras": para_counts.get(id(el), 0),
+        "score": int(round(-best_final[0])),
+    }

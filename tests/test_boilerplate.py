@@ -1,0 +1,139 @@
+"""Boilerplate-strip heuristic + Spark operator + golden binding.
+
+Handwritten cases pin the scoring spec (noise removal, paragraph
+points, link-density correction, ties); the synthetic corpus checks
+generator<->stripper agreement; the golden parquet is re-derived from
+construction-time expectations and checked against the live operator.
+"""
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+
+from helix_html2md_spark.core.boilerplate import strip_boilerplate
+from helix_html2md_spark.sources.boilergen import synth_boiler_page
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(ROOT, "data")
+N_SEEDS = 32
+
+
+def test_picks_paragraph_container_over_body():
+    html = """<html><body>
+    <div id="wrap"><div id="content">
+      <p>a long enough paragraph, with a comma and plenty of words here</p>
+      <p>another long enough paragraph that scores points for its length</p>
+    </div></div>
+    <div><a href="/x">chrome link</a></div>
+    </body></html>"""
+    out = strip_boilerplate(html)
+    assert out["status"] == "ok"
+    assert out["content_tag"] == "div"
+    assert out["n_paras"] == 2
+    assert "chrome link" not in out["content_text"]
+
+
+def test_noise_subtrees_removed():
+    html = """<html><body>
+    <nav><p>navigation paragraph long enough to score, twice over even</p></nav>
+    <div class="sidebar"><p>sidebar paragraph long enough to score points</p></div>
+    <article><p>the real content paragraph, long enough to score well</p></article>
+    </body></html>"""
+    out = strip_boilerplate(html)
+    assert out["content_tag"] == "article"
+    assert "navigation" not in out["content_text"]
+    assert "sidebar" not in out["content_text"]
+
+
+def test_link_density_penalty():
+    html = """<html><body>
+    <div id="farm">
+      <p><a href="/1">a very long teaser link text, full of words, yes</a></p>
+      <p><a href="/2">another very long teaser link text, also wordy</a></p>
+      <p><a href="/3">a third very long teaser link, keeps on going</a></p>
+    </div>
+    <div id="real">
+      <p>one honest paragraph of body text, unlinked and plain spoken</p>
+    </div>
+    </body></html>"""
+    out = strip_boilerplate(html)
+    assert out["content_tag"] == "div"
+    assert "honest paragraph" in out["content_text"]
+    assert out["link_density"] == 0.0
+
+
+def test_no_content():
+    assert strip_boilerplate("")["status"] == "no_content"
+    assert strip_boilerplate("<html><body><p>tiny</p></body></html>")[
+        "status"
+    ] == "no_content"
+
+
+def test_score_formula():
+    # one paragraph: 1 point + 2 commas + min(len//100, 3)
+    p = "x" * 40 + ", " + "y" * 40 + ", " + "z" * 40  # len 124 -> +1
+    html = f"<html><body><div><p>{p}</p></div></body></html>"
+    out = strip_boilerplate(html)
+    assert out["score"] == 1 + 2 + 1
+    assert out["link_density"] == 0.0
+
+
+def test_synthetic_corpus_round_trip():
+    for seed in range(N_SEEDS):
+        html, expected = synth_boiler_page(seed)
+        assert strip_boilerplate(html) == expected, f"seed {seed}"
+
+
+def test_golden_matches_expectations():
+    t = pq.read_table(os.path.join(DATA, "golden_boiler.parquet"))
+    golden = {r["doc_id"]: r for r in t.to_pylist()}
+    assert len(golden) == N_SEEDS + 2
+    for seed in range(N_SEEDS):
+        _, exp = synth_boiler_page(seed)
+        g = golden[f"page-{seed:04d}"]
+        assert g["status"] == "ok"
+        assert g["content_tag"] == exp["content_tag"]
+        assert g["score"] == exp["score"]
+        assert g["content_md5"] == hashlib.md5(
+            exp["content_text"].encode("utf-8")
+        ).hexdigest()
+    assert golden["page-empty"]["status"] == "no_content"
+    assert golden["page-links-only"]["status"] == "no_content"
+
+
+def test_operator_matches_golden(spark):
+    import __spark_entry__ as E
+
+    t = pq.read_table(os.path.join(DATA, "golden_boiler.parquet"))
+    golden = {r["doc_id"]: r for r in t.to_pylist()}
+    out = E.q_boilerplate(spark, "unused").collect()
+    assert len(out) == len(golden)
+    for r in out:
+        g = golden[r["doc_id"]]
+        assert (
+            r["status"], r["content_tag"], r["text_len"],
+            r["link_density"], r["n_paras"], r["score"], r["content_md5"],
+        ) == (
+            g["status"], g["content_tag"], g["text_len"],
+            g["link_density"], g["n_paras"], g["score"], g["content_md5"],
+        ), r["doc_id"]
+
+
+def test_operator_gate_and_plan(spark):
+    from helix_html2md_spark.operators.boilerplate import (
+        strip_boilerplate_documents,
+    )
+
+    df = spark.createDataFrame(
+        [("big", "<html>" + "x" * 2000), ("ok", "<html><body></body></html>")],
+        "doc_id string, html string",
+    )
+    out = strip_boilerplate_documents(df, max_html_size=1024)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["big"]["status"] == "constraint_error"
+    assert got["ok"]["status"] == "no_content"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.index("MapInPandas") < plan.index("Project")
