@@ -547,6 +547,27 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy offline sequence packing (concat-and-chunk into 1024-token
+    training packs): deterministic doc_id order, one window cumsum —
+    pure JVM, exactly SQL-expressible."""
+    from helix_html2md_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=1024).orderBy(
+        "doc_id"
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (512-token windows, 64-token
+    overlap): per-row sequence + posexplode, embarrassingly parallel."""
+    from helix_html2md_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=512, overlap=64
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate strip (Arc90-readability-style text/link-density
     scoring, core/boilerplate.py) over the committed deterministic page
@@ -670,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "pdf_extract": q_pdf_extract,
         "boilerplate": q_boilerplate,
+        "pack_sequences": q_pack_sequences,
+        "doc_chunks": q_doc_chunks,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
         "embedding_neardup": q_embedding_neardup,
@@ -925,6 +948,38 @@ def oracle_sql() -> dict[str, str]:
                    n_paras, score, content_md5
             FROM read_parquet('{_DATA_DIR}/golden_boiler.parquet')
             ORDER BY doc_id
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+              FROM t)
+            SELECT doc_id, n_tokens, 0 AS shard,
+                   cast(floor(start / 1024.0) AS bigint) AS pack_id,
+                   cast(start % 1024 AS bigint) AS offset_in_pack
+            FROM c ORDER BY doc_id
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            n AS (
+              SELECT doc_id, toks, len(toks) AS n
+              FROM t WHERE len(toks) > 0),
+            s AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0,
+                       ((n - 1) // 448) * 448 + 1, 448)) AS st
+              FROM n)
+            SELECT doc_id,
+                   cast(st // 448 AS int) AS chunk_idx,
+                   cast(st AS int) AS start_tok,
+                   cast(least(st + 512, n) AS int) AS end_tok,
+                   array_to_string(
+                     toks[st + 1 : least(st + 512, n)], ' ') AS chunk_text
+            FROM s ORDER BY doc_id, chunk_idx
         """,
         "neardup_verified": _neardup_verified_oracle(),
         "dup_components": _dup_components_oracle(),

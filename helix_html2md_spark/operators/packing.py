@@ -1,0 +1,113 @@
+"""Training-sequence assembly: pack documents into fixed token budgets
+and split long documents into overlapping context windows.
+
+Both are standard LLM training-data-pipeline steps downstream of
+extraction + dedup, and both are expressed ENTIRELY in native Spark SQL
+(window cumsum / sequence+explode) — zero Python in the plan, exactly
+oracle-able in ANSI SQL.
+
+Scale shape:
+
+* ``pack_sequences`` — the classic greedy offline packing: order
+  documents deterministically, run a cumulative token sum, and assign
+  pack_id = floor((cumsum - n_tokens) / seq_len).  One global-ordering
+  shuffle (range partition), one window pass.  At 100 TB a single total
+  order is the honest cost of bit-reproducible packing; for
+  throughput-over-reproducibility, pass ``partition_by_shard=True`` to
+  pack within deterministic doc_id shards instead — per-shard windows
+  parallelize with no global sort (the default in a 1000-executor run,
+  at the price of ~one ragged tail per shard).
+* ``chunk_documents`` — per-row ``sequence`` + ``posexplode``; embar-
+  rassingly parallel, fan-out bounded by ceil(n_tokens / stride).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import tokens
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    *,
+    partition_by_shard: bool = False,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Assign each document to a training pack of ``seq_len`` tokens.
+
+    Greedy in deterministic doc_id order: a document starts in the pack
+    where its first token lands; ``offset_in_pack`` is its start
+    position within that pack (documents longer than the remaining
+    room simply flow into subsequent packs — standard concat-and-chunk
+    packing, where pack boundaries may split documents).
+    """
+    n_tok = F.size(tokens(F.col("text")))
+    base = docs.select("doc_id", n_tok.alias("n_tokens"))
+    if partition_by_shard:
+        shard = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+        base = base.withColumn("shard", shard)
+        w = Window.partitionBy("shard").orderBy("doc_id")
+    else:
+        base = base.withColumn("shard", F.lit(0))
+        w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.floor(start / seq_len).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(seq_len)).cast("long").alias("offset_in_pack"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping context windows.
+
+    Emits (doc_id, chunk_idx, start_tok, end_tok, chunk_text) where
+    chunks start every ``chunk_tokens - overlap`` tokens.  Chunk text is
+    re-assembled from the token array with ``slice`` + ``array_join``
+    (whitespace-normalized by construction).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    # chunk start offsets: 0, stride, 2*stride, ... < n (empty docs -> no rows)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            ((F.col("_n") - 1) / stride).cast("int") * stride, F.lit(0)
+        ),
+        F.lit(stride),
+    )
+    exploded = base.filter(F.col("_n") > 0).select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    end_tok = F.least(F.col("start_tok") + chunk_tokens, F.col("_n"))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start_tok").cast("int").alias("start_tok"),
+        end_tok.cast("int").alias("end_tok"),
+        F.array_join(
+            F.slice(
+                "_toks",
+                F.col("start_tok") + 1,
+                end_tok - F.col("start_tok"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

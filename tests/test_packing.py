@@ -1,0 +1,72 @@
+"""Sequence packing + context-window chunking operator tests."""
+
+from pyspark.sql import functions as F
+
+from helix_html2md_spark.operators.packing import (
+    chunk_documents, pack_sequences,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i:03d}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+
+
+def test_pack_sequences_greedy_cumsum(spark):
+    # 3 docs of 4, 5, 8 tokens; seq_len=8 -> starts 0, 4, 9
+    docs = _docs(spark, ["a b c d", "e f g h i", "j k l m n o p q"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, seq_len=8).collect()
+    }
+    assert (out["d000"]["pack_id"], out["d000"]["offset_in_pack"]) == (0, 0)
+    assert (out["d001"]["pack_id"], out["d001"]["offset_in_pack"]) == (0, 4)
+    assert (out["d002"]["pack_id"], out["d002"]["offset_in_pack"]) == (1, 1)
+    assert out["d002"]["n_tokens"] == 8
+
+
+def test_pack_sequences_sharded_is_deterministic(spark):
+    docs = _docs(spark, ["w x y z"] * 20)
+    a = pack_sequences(docs, seq_len=8, partition_by_shard=True).collect()
+    b = pack_sequences(docs, seq_len=8, partition_by_shard=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every doc is packed exactly once
+    assert len(a) == 20
+
+
+def test_chunk_documents_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = _docs(spark, [text])
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 2: starts 0,2,4,6,8
+    assert [(r["start_tok"], r["end_tok"]) for r in out] == [
+        (0, 4), (2, 6), (4, 8), (6, 10), (8, 10),
+    ]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[-1]["chunk_text"] == "t8 t9"
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_chunk_documents_short_and_empty(spark):
+    docs = _docs(spark, ["only two", "   "])
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    assert len(out) == 1  # empty doc emits no chunks
+    assert out[0]["chunk_text"] == "only two"
+    assert (out[0]["start_tok"], out[0]["end_tok"]) == (0, 2)
+
+
+def test_plans_are_pure_jvm(spark):
+    """Both operators must stay inside codegen: no Python eval nodes,
+    and packing has exactly one window exchange."""
+    docs = _docs(spark, ["a b c"] * 4)
+    for df in (
+        pack_sequences(docs, seq_len=8),
+        chunk_documents(docs, chunk_tokens=4, overlap=1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "MapInPandas" not in plan
