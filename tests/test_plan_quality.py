@@ -50,6 +50,7 @@ def test_battery_queries_stay_jvm_side(spark):
         if name in (
             "extract_spans", "stream_extract",
             "media_features", "resized_images", "frame_samples",
+            "pdf_extract", "boilerplate",
         ):
             continue
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
