@@ -193,14 +193,22 @@ def _deref(objs: dict[int, _Obj], val):
     return val
 
 
+def _deref_dict(objs: dict[int, _Obj], val) -> dict:
+    """_deref that tolerates corrupted refs resolving to non-dicts."""
+    out = _deref(objs, val)
+    return out if isinstance(out, dict) else {}
+
+
 def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
     """Pages in /Root -> /Pages -> /Kids order; object-number fallback."""
     pages = []
     for obj in objs.values():
         t = obj.info.get("Type")
         if t == ("name", "Catalog"):
-            root_pages = _deref(objs, obj.info.get("Pages")) or {}
-            kids = root_pages.get("Kids") or []
+            root_pages = _deref_dict(objs, obj.info.get("Pages"))
+            kids = root_pages.get("Kids")
+            if not isinstance(kids, list):
+                kids = []
             for kid in kids:
                 if isinstance(kid, tuple) and kid[0] == "ref":
                     page = objs.get(kid[1])
@@ -341,8 +349,8 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
 
     events: list[tuple] = []  # (page, -y, x, payload)
     for pageno, page in enumerate(_page_order(objs)):
-        res = _deref(objs, page.info.get("Resources")) or {}
-        xobjects = _deref(objs, res.get("XObject")) or {}
+        res = _deref_dict(objs, page.info.get("Resources"))
+        xobjects = _deref_dict(objs, res.get("XObject"))
         contents = page.info.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         stream = b""

@@ -137,3 +137,29 @@ def test_operator_gate_and_plan(spark):
     assert "Union" not in plan
     assert plan.count("MapInPandas") == 1
     assert plan.index("MapInPandas") < plan.index("Project")
+
+
+def test_reference_fixture_htmls_never_raise():
+    """The stripper must be total over real-world-shaped HTML: every
+    reference fixture page returns a dict, never raises."""
+    import glob
+
+    pages = glob.glob("/root/reference/test/fixtures/*.html")
+    assert pages
+    for path in pages:
+        with open(path, encoding="utf-8") as f:
+            out = strip_boilerplate(f.read())
+        assert out["status"] in ("ok", "no_content"), path
+
+
+def test_hostile_html_never_raises():
+    cases = [
+        "<p>" * 200 + "deep nesting paragraph content here",
+        "<div class='sidebar'>" * 50,
+        "<body><p>unclosed everywhere <a href='x'>link",
+        "\x00\x01 binary junk <p>yet a paragraph long enough to score</p>",
+        "<table><td><p>" + "cell text, long enough to score points " * 3,
+    ]
+    for html in cases:
+        out = strip_boilerplate(html)
+        assert out["status"] in ("ok", "no_content")

@@ -185,3 +185,30 @@ def test_operator_gate_is_jvm_side(spark):
     # the gate CASE WHEN lives in a native Project BELOW MapInPandas
     assert plan.index("MapInPandas") < plan.index("Project")
     assert "CASE WHEN" in plan and "_gate_error" in plan
+
+
+def test_mutation_resilience():
+    """Hostile-input property: byte-mutated PDFs either parse (possibly
+    to fewer spans) or raise PdfError — never an unhandled exception
+    type (the per-row degradation contract of the Spark operator)."""
+    base, _ = synth_pdf(5)
+    for pos_seed in range(60):
+        data = bytearray(base)
+        pos = (pos_seed * 2654435761) % len(data)
+        data[pos] = (data[pos] + 1 + pos_seed) % 256
+        try:
+            spans = parse_pdf(bytes(data))
+        except PdfError:
+            continue
+        assert isinstance(spans, list)
+
+
+def test_truncation_resilience():
+    base, _ = synth_pdf(2)
+    for frac in (0.1, 0.3, 0.5, 0.7, 0.9):
+        data = base[: int(len(base) * frac)]
+        try:
+            spans = parse_pdf(bytes(data))
+        except PdfError:
+            continue
+        assert isinstance(spans, list)
