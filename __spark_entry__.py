@@ -627,6 +627,37 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Structured Streaming PDF layout parse: land the
+    committed PDF table, run the availableNow stream (same JVM gate +
+    Arrow parse as batch), read the checkpointed sink back.  Oracled by
+    the same construction-time golden parquet as pdf_extract — the
+    stream must produce identical span fingerprints."""
+    import tempfile
+
+    from helix_html2md_spark.streaming.stream import stream_pdf_extract
+
+    base = tempfile.mkdtemp(prefix="graft_stream_pdf_")
+    pdfs = spark.read.parquet(os.path.join(_DATA_DIR, "pdfs.parquet"))
+    pdfs.write.parquet(f"{base}/in")
+    q = stream_pdf_extract(spark, f"{base}/in", f"{base}/out", f"{base}/cp")
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    span_repr = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x1f",
+            F.coalesce(s["kind"], F.lit("")),
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+        ),
+    )
+    return out.select(
+        "doc_id", "status",
+        F.md5(F.array_join(span_repr, "\x1e")).alias("spans_md5"),
+    ).orderBy("doc_id")
+
+
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END applyInPandasWithState sessionizer: events written to a
     landing dir as ONE file (one availableNow microbatch, deterministic),
@@ -695,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
+        "stream_pdf_extract": q_stream_pdf_extract,
         "embedding_neardup": q_embedding_neardup,
         "neardup_verified": q_neardup_verified,
         "dup_components": q_dup_components,
@@ -947,6 +979,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, status, content_tag, text_len, link_density,
                    n_paras, score, content_md5
             FROM read_parquet('{_DATA_DIR}/golden_boiler.parquet')
+            ORDER BY doc_id
+        """,
+        "stream_pdf_extract": f"""
+            SELECT doc_id, status, spans_md5
+            FROM read_parquet('{_DATA_DIR}/golden_pdf_spans.parquet')
             ORDER BY doc_id
         """,
         "pack_sequences": f"""

@@ -48,7 +48,7 @@ def test_battery_queries_stay_jvm_side(spark):
         # mapInPandas transform; stream_extract executes a streaming
         # job, not a lazy plan
         if name in (
-            "extract_spans", "stream_extract",
+            "extract_spans", "stream_extract", "stream_pdf_extract",
             "media_features", "resized_images", "frame_samples",
             "pdf_extract", "boilerplate",
         ):

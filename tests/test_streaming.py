@@ -51,3 +51,45 @@ def test_windowed_event_counts(spark, tmp_path):
     }
     assert rows[("2026-01-01 00:00:00", "click")] == 2
     assert rows[("2026-01-01 00:10:00", "view")] == 1
+
+
+def test_stream_pdf_extract_incremental(spark, tmp_path):
+    """Streaming PDF layout parse: exactly-once across a restart, spans
+    identical to the batch operator's output."""
+    from helix_html2md_spark.sources.pdfgen import synth_pdf
+    from helix_html2md_spark.streaming.stream import stream_pdf_extract
+
+    inp, out, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "cp")
+    )
+    rows1 = [(f"pdf-{s:03d}", bytearray(synth_pdf(s)[0])) for s in range(6)]
+    spark.createDataFrame(
+        rows1, "doc_id string, payload binary"
+    ).write.parquet(inp)
+    q = stream_pdf_extract(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 6
+
+    rows2 = [
+        (f"pdf-{s:03d}", bytearray(synth_pdf(s)[0])) for s in range(6, 10)
+    ]
+    spark.createDataFrame(
+        rows2, "doc_id string, payload binary"
+    ).write.mode("append").parquet(inp)
+    q2 = stream_pdf_extract(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 10  # restart processed ONLY the new files
+    assert final.filter("status = 'ok'").count() == 10
+
+    # stream output == batch operator output, span for span
+    from helix_html2md_spark.operators.pdf import parse_pdf_documents
+
+    batch = parse_pdf_documents(
+        spark.createDataFrame(rows1 + rows2, "doc_id string, payload binary")
+    )
+    got = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]] for r in final.collect()
+    }
+    for r in batch.collect():
+        assert got[r["doc_id"]] == [tuple(s) for s in r["spans"]]
