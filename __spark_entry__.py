@@ -547,6 +547,17 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via the applyInPandas grouped-UDAF
+    surface (one shuffle on label, vectorized numpy mean; the map-side
+    combine twin is pytest-checked to agree).  Oracle: per-dimension
+    avg + ordered list rebuild in SQL."""
+    from helix_html2md_spark.operators.centroids import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb).orderBy("label")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy offline sequence packing (concat-and-chunk into 1024-token
     training packs): deterministic doc_id order, one window cumsum —
@@ -724,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
+        "label_centroids": q_label_centroids,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
         "stream_pdf_extract": q_stream_pdf_extract,
@@ -985,6 +997,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, status, spans_md5
             FROM read_parquet('{_DATA_DIR}/golden_pdf_spans.parquet')
             ORDER BY doc_id
+        """,
+        "label_centroids": """
+            WITH d AS (
+              SELECT label, i,
+                     avg(CAST(embedding[i + 1] AS double)) AS m
+              FROM embeddings, unnest(range(len(embedding))) AS t(i)
+              GROUP BY label, i),
+            c AS (
+              SELECT label, list(round(m, 6) ORDER BY i) AS centroid
+              FROM d GROUP BY label),
+            n AS (
+              SELECT label, count(*) AS n_vecs
+              FROM embeddings GROUP BY label)
+            SELECT n.label, n.n_vecs, c.centroid
+            FROM n JOIN c USING (label) ORDER BY label
         """,
         "pack_sequences": f"""
             WITH t AS (

@@ -1,0 +1,85 @@
+"""Grouped embedding centroids via applyInPandas (vectorized UDAF).
+
+Per-label mean embedding — the building block for topic/cluster
+profiling and IVF retraining.  This is the one aggregation in the
+engine where the Python grouped path beats the native one: element-wise
+mean of an array column in pure Spark SQL needs posexplode ->
+groupBy(label, pos) -> avg -> sort + collect_list (two shuffles and a
+per-element row explosion of dim x n rows), while applyInPandas does ONE
+shuffle on label and a vectorized numpy mean over the Arrow batch.
+
+Scale shape: shuffle key is the label (bounded cardinality); the plain
+variant ships every vector to its label's group, and a single label's
+vectors must fit one Arrow group.  ``partial=True`` is the 100 TB path:
+a mapInPandas pass reduces each Arrow batch to (label, count, sum)
+partials BEFORE any shuffle (the classic map-side combine — what
+crosses the wire is batches-per-partition x labels rows, not vectors),
+then a tiny JVM zip_with fold merges partials per label.  Both variants
+produce identical output (means rounded to 6dp).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+CENTROID_SCHEMA = "label int, n_vecs bigint, centroid array<double>"
+
+
+def _centroid_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "n_vecs": [len(pdf)],
+            "centroid": [np.round(mat.mean(axis=0), 6).tolist()],
+        }
+    )
+
+
+def _partial_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {"label": [], "n_vecs": [], "vec_sum": []}
+        for label, g in pdf.groupby("label"):
+            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            out["label"].append(int(label))
+            out["n_vecs"].append(len(g))
+            out["vec_sum"].append(mat.sum(axis=0).tolist())
+        yield pd.DataFrame(out)
+
+
+def label_centroids(emb: DataFrame, *, partial: bool = False) -> DataFrame:
+    """Per-label mean embedding: (label, n_vecs, centroid)."""
+    if not partial:
+        return emb.select("label", "embedding").groupBy("label").applyInPandas(
+            _centroid_fn, CENTROID_SCHEMA
+        )
+    partials = emb.select("label", "embedding").mapInPandas(
+        _partial_batches,
+        "label int, n_vecs bigint, vec_sum array<double>",
+    )
+    merged = partials.groupBy("label").agg(
+        F.sum("n_vecs").alias("n_vecs"),
+        F.aggregate(
+            F.collect_list("vec_sum"),
+            F.expr("array()").cast("array<double>"),
+            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                F.zip_with(acc, v, lambda a, b: a + b)
+            ),
+        ).alias("_sum"),
+    )
+    return merged.select(
+        "label",
+        "n_vecs",
+        F.transform(
+            "_sum", lambda s: F.round(s / F.col("n_vecs"), 6)
+        ).alias("centroid"),
+    )

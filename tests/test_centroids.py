@@ -1,0 +1,58 @@
+"""Grouped embedding centroid operator (applyInPandas UDAF surface)."""
+
+import numpy as np
+
+from helix_html2md_spark.operators.centroids import label_centroids
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_centroid_matches_numpy(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    out = {r["label"]: r for r in label_centroids(emb).collect()}
+    assert set(out) == set(by_label)
+    for label, vecs in by_label.items():
+        expect = np.round(
+            np.stack(vecs).astype(np.float64).mean(axis=0), 6
+        )
+        got = np.array(out[label]["centroid"])
+        assert out[label]["n_vecs"] == len(vecs)
+        assert np.allclose(got, expect, atol=1e-9), label
+
+
+def test_partial_variant_agrees(spark):
+    """Map-side-combine twin produces the same centroids (the 100 TB
+    path: Arrow-batch partials, JVM zip_with merge)."""
+    emb = _emb(spark)
+    plain = {r["label"]: r for r in label_centroids(emb).collect()}
+    part = {
+        r["label"]: r
+        for r in label_centroids(emb, partial=True).collect()
+    }
+    assert set(plain) == set(part)
+    for label in plain:
+        assert plain[label]["n_vecs"] == part[label]["n_vecs"]
+        assert np.allclose(
+            plain[label]["centroid"], part[label]["centroid"], atol=2e-6
+        ), label
+
+
+def test_partial_shuffles_partials_not_vectors(spark):
+    """The partial variant's exchange carries (label, count, sum) rows:
+    the mapInPandas partial sits BELOW the aggregate exchange."""
+    plan = (
+        label_centroids(_emb(spark), partial=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    x = plan.find("Exchange")
+    m = plan.find("MapInPandas")
+    assert x >= 0 and m >= 0
+    assert m > x  # printed tree: below = later; partials precede shuffle
