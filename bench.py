@@ -164,6 +164,18 @@ def main() -> None:
         extract_wall = min(extract_wall, w)
     queries = {"extract_synth": round(extract_wall, 3)}
     queries.update(run_battery(spark, SF_DIR))
+    # second battery pass in a FRESH session, per-query minimum: the
+    # result cache forbids same-session reruns (identical plans report
+    # fantasy zeros), but a new session re-executes honestly — and a
+    # single cold run per query is exposed to host-noise spikes (one
+    # observed GC/load burst turned a 0.9s query into 4.5s, which would
+    # read as a regression in the round-over-round comparison)
+    spark.stop()
+    spark = build_session(
+        "bench-2", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    for name, wall in run_battery(spark, SF_DIR).items():
+        queries[name] = min(queries[name], wall)
 
     result = {
         "metric": "headline suite wall time (extraction + battery)",
