@@ -547,6 +547,18 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-segment removal (C4/RefinedWeb line dedup):
+    16-token segments, drop every occurrence of any segment appearing in
+    more than one document, reassemble in order.  Pure JVM (posexplode +
+    hash groupBy + equi-join + ordered re-agg), exact SQL oracle."""
+    from helix_html2md_spark.operators.dedup import dedup_segments
+
+    return dedup_segments(
+        _docs(spark, sf_dir), segment_tokens=16, max_df=1
+    ).orderBy("doc_id")
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid via the applyInPandas grouped-UDAF
     surface (one shuffle on label, vectorized numpy mean; the map-side
@@ -735,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
+        "dedup_segments": q_dedup_segments,
         "label_centroids": q_label_centroids,
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
@@ -997,6 +1010,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, status, spans_md5
             FROM read_parquet('{_DATA_DIR}/golden_pdf_spans.parquet')
             ORDER BY doc_id
+        """,
+        "dedup_segments": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            n AS (
+              SELECT doc_id, toks, len(toks) AS n
+              FROM t WHERE len(toks) > 0),
+            s AS (
+              SELECT doc_id, st // 16 AS seg_idx,
+                     array_to_string(
+                       toks[st + 1 : least(st + 16, n)], ' ') AS seg
+              FROM n, unnest(range(0, ((n - 1) // 16) * 16 + 1, 16))
+                       AS u(st)),
+            d AS (
+              SELECT md5(seg) AS h, count(DISTINCT doc_id) AS df
+              FROM s GROUP BY 1),
+            k AS (
+              SELECT s.doc_id, s.seg_idx, s.seg, d.df <= 1 AS keep
+              FROM s JOIN d ON md5(s.seg) = d.h),
+            a AS (
+              SELECT doc_id, count(*) AS n_segments,
+                     cast(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                          AS bigint) AS n_kept,
+                     coalesce(string_agg(CASE WHEN keep THEN seg END,
+                              ' ' ORDER BY seg_idx), '') AS kept_text
+              FROM k GROUP BY doc_id)
+            SELECT doc_id, n_segments, n_kept,
+                   length(kept_text) AS kept_len,
+                   md5(kept_text) AS kept_md5
+            FROM a ORDER BY doc_id
         """,
         "label_centroids": """
             WITH d AS (

@@ -525,3 +525,94 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_segments(
+    docs: DataFrame, segment_tokens: int = 16, max_df: int = 1
+) -> DataFrame:
+    """Corpus-level repeated-segment removal (the C4 / RefinedWeb
+    line-dedup step): drop EVERY occurrence of any segment that appears
+    in more than ``max_df`` distinct documents, and reassemble each
+    document from its surviving segments in order.
+
+    Segments are non-overlapping ``segment_tokens``-token windows (the
+    corpus-agnostic stand-in for newline-split lines; real corpora pass
+    pre-split lines the same way).  Output:
+    (doc_id, n_segments, n_kept, kept_text, kept_md5).
+
+    Scale shape: one posexplode (fan-out bounded by n_tokens/segment),
+    one groupBy on the segment hash for doc-frequency (uniform md5 key —
+    no skew), one equi-join back on the hash (both sides shuffled on the
+    same key, so AQE can co-locate), one groupBy(doc_id) to reassemble.
+    The doc-frequency table carries (hash, df) only — bytes per distinct
+    segment, never the text.
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
+    n = F.size("_t")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            ((n - 1) / segment_tokens).cast("int") * segment_tokens,
+            F.lit(0),
+        ),
+        F.lit(segment_tokens),
+    )
+    segs = (
+        toks.filter(n > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.array_join(
+                        F.slice(
+                            "_t",
+                            s + 1,
+                            F.least(
+                                s + segment_tokens, F.size("_t")
+                            ) - s,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg_md5", F.md5("seg"))
+    )
+    df_counts = segs.groupBy("seg_md5").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    kept = (
+        segs.join(df_counts, "seg_md5")
+        .withColumn("_keep", F.col("_df") <= max_df)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda st: st["seg"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            F.length("kept_text").alias("kept_len"),
+            F.md5("kept_text").alias("kept_md5"),
+        )
+    )

@@ -382,3 +382,58 @@ def test_release_persisted(spark, docs):
     release_persisted()
     assert not _PERSISTED
     assert all(not h.is_cached for h in handles)
+
+
+def test_dedup_segments_drops_cross_doc_repeats(spark):
+    from helix_html2md_spark.operators.dedup import dedup_segments
+
+    shared = " ".join(f"s{i}" for i in range(16))  # one full segment
+    docs = spark.createDataFrame(
+        [
+            ("a", shared + " " + " ".join(f"a{i}" for i in range(16))),
+            ("b", shared + " " + " ".join(f"b{i}" for i in range(16))),
+            ("c", " ".join(f"c{i}" for i in range(20))),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(docs, segment_tokens=16, max_df=1).collect()
+    }
+    # the shared 16-token segment appears in 2 docs -> dropped everywhere
+    assert (out["a"]["n_segments"], out["a"]["n_kept"]) == (2, 1)
+    assert (out["b"]["n_segments"], out["b"]["n_kept"]) == (2, 1)
+    # doc c: 20 tokens -> 2 segments (16 + 4), both unique -> kept
+    assert (out["c"]["n_segments"], out["c"]["n_kept"]) == (2, 2)
+    import hashlib
+
+    a_kept = " ".join(f"a{i}" for i in range(16))
+    assert out["a"]["kept_md5"] == hashlib.md5(a_kept.encode()).hexdigest()
+
+
+def test_dedup_segments_all_dropped_and_order(spark):
+    from helix_html2md_spark.operators.dedup import dedup_segments
+
+    same = " ".join(f"x{i}" for i in range(32))  # two identical-per-doc segs
+    docs = spark.createDataFrame(
+        [("a", same), ("b", same)], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(docs, segment_tokens=16, max_df=1).collect()
+    }
+    assert out["a"]["n_kept"] == 0
+    assert out["a"]["kept_len"] == 0  # empty reassembly, not NULL
+    # order preservation: unique doc keeps its segments in original order
+    solo = spark.createDataFrame(
+        [("s", " ".join(f"w{i}" for i in range(40)))],
+        "doc_id string, text string",
+    )
+    r = dedup_segments(solo, segment_tokens=16, max_df=1).collect()[0]
+    import hashlib
+
+    toks = [f"w{i}" for i in range(40)]
+    expect = " ".join(
+        " ".join(toks[s : s + 16]) for s in range(0, 40, 16)
+    )
+    assert r["kept_md5"] == hashlib.md5(expect.encode()).hexdigest()
