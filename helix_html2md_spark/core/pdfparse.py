@@ -183,6 +183,32 @@ def _load_objects(data: bytes) -> dict[int, _Obj]:
         body = m.group(3)
         info = _parse_dict(body)
         objs[num] = _Obj(num, info, _stream_bytes(body, info))
+    # PDF 1.5+ object streams: dict-only objects (pages, fonts,
+    # resources) packed inside a FlateDecode stream — invisible to the
+    # body scan above until unpacked.  Stream layout: /N pairs of
+    # "objnum offset" in the first /First bytes, then the object bodies.
+    for obj in list(objs.values()):
+        if obj.info.get("Type") != ("name", "ObjStm") or not obj.stream:
+            continue
+        try:
+            n = int(obj.info.get("N") or 0)
+            first = int(obj.info.get("First") or 0)
+            head = obj.stream[:first].split()
+            pairs = [
+                (int(head[i]), int(head[i + 1]))
+                for i in range(0, min(len(head) - 1, 2 * n), 2)
+            ]
+            for idx, (num, off) in enumerate(pairs):
+                end = (
+                    first + pairs[idx + 1][1]
+                    if idx + 1 < len(pairs)
+                    else len(obj.stream)
+                )
+                body = obj.stream[first + off : end]
+                if num not in objs:  # body-scan objects take precedence
+                    objs[num] = _Obj(num, _parse_dict(body), None)
+        except (ValueError, IndexError):
+            continue  # corrupted ObjStm degrades, never aborts
     return objs
 
 

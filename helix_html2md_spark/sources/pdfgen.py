@@ -23,7 +23,9 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
+def build_pdf(
+    pages: list[list[tuple]], compress: bool = True, objstm: bool = False
+) -> bytes:
     """Build a PDF from page specs.
 
     Each page is a list of ops:
@@ -32,6 +34,13 @@ def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
     * ``("tj", x, y, size, ["a", -300, "b"])`` — a TJ array with
       kerning adjustments (thousandths; <= -180 reads as a space)
     * ``("image", x, y, raw_bytes)`` — an RGB image XObject stub
+
+    ``objstm=True`` packs every dict-only object (catalog, pages node,
+    page dicts, fonts) into a PDF 1.5 compressed object stream —
+    the layout modern producers emit, where page structure is invisible
+    to a plain body scan until the ObjStm is unpacked.  (The xref table
+    keeps placeholder entries for packed objects rather than a full
+    xref stream; stream-bearing objects stay at top level, per spec.)
     """
     objects: list[bytes] = []  # bodies, object number = index + 1
 
@@ -118,10 +127,36 @@ def build_pdf(pages: list[list[tuple]], compress: bool = True) -> bytes:
         + str(pages_num_placeholder).encode() + b" 0 R >>"
     )
 
-    out = bytearray(b"%PDF-1.4\n")
+    packed: dict[int, bytes] = {}
+    if objstm:
+        # dict-only objects move into one compressed object stream;
+        # stream-bearing objects (contents, images) stay at top level
+        for i, body in enumerate(objects, start=1):
+            if b"stream" not in body:
+                packed[i] = body
+        if packed:
+            bodies = b""
+            head = b""
+            for num, body in packed.items():
+                head += f"{num} {len(bodies)} ".encode()
+                bodies += body + b"\n"
+            first = len(head)
+            payload = zlib.compress(head + bodies, 6)
+            objects.append(
+                b"<< /Type /ObjStm /N " + str(len(packed)).encode()
+                + b" /First " + str(first).encode()
+                + b" /Filter /FlateDecode /Length "
+                + str(len(payload)).encode()
+                + b" >>\nstream\n" + payload + b"\nendstream"
+            )
+
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objects, start=1):
         offsets.append(len(out))
+        if i in packed:
+            offsets[-1] = 0  # placeholder: object lives in the ObjStm
+            continue
         out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
     xref_off = len(out)
     out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
@@ -142,7 +177,9 @@ _WORDS = (
 ).split()
 
 
-def synth_pdf(seed: int) -> tuple[bytes, list[tuple[str, str | None]]]:
+def synth_pdf(
+    seed: int, objstm: bool = False
+) -> tuple[bytes, list[tuple[str, str | None]]]:
     """Deterministic synthetic PDF + its expected (kind, text/media) list.
 
     Pure function of ``seed`` (no RNG state): page/line counts and words
@@ -180,4 +217,4 @@ def synth_pdf(seed: int) -> tuple[bytes, list[tuple[str, str | None]]]:
             # filter-independent)
             expected.append(("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}"))
         pages.append(ops)
-    return build_pdf(pages), expected
+    return build_pdf(pages, objstm=objstm), expected

@@ -27,6 +27,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 DATA = os.path.join(ROOT, "data")
 N_SEEDS = 32
+N_OBJSTM = 8
 
 from helix_html2md_spark.sources.pdfgen import synth_pdf  # noqa: E402
 
@@ -68,6 +69,15 @@ def main():
     for seed in range(N_SEEDS):
         data, expected = synth_pdf(seed)
         doc_id = f"pdf-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # PDF 1.5 object-stream layout (page dicts packed in an ObjStm):
+    # same construction-time expectations, different physical layout
+    for seed in range(N_OBJSTM):
+        data, expected = synth_pdf(seed, objstm=True)
+        doc_id = f"pdf-objstm-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

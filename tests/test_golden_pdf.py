@@ -23,6 +23,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = os.path.join(ROOT, "data")
 RS, FS = "\x1e", "\x1f"
 N_SEEDS = 32
+N_OBJSTM = 8
 
 
 def _md5_of(expected):
@@ -41,10 +42,15 @@ def _golden():
 
 def test_golden_matches_construction_expectations():
     golden = _golden()
-    assert len(golden) == N_SEEDS + 2
-    for seed in range(N_SEEDS):
-        _, expected = synth_pdf(seed)
-        row = golden[f"pdf-{seed:04d}"]
+    assert len(golden) == N_SEEDS + N_OBJSTM + 2
+    for seed in range(N_SEEDS + N_OBJSTM):
+        objstm = seed >= N_SEEDS
+        _, expected = synth_pdf(seed % N_SEEDS if objstm else seed,
+                                objstm=objstm)
+        row = golden[
+            f"pdf-objstm-{seed - N_SEEDS:04d}" if objstm
+            else f"pdf-{seed:04d}"
+        ]
         assert row["status"] == "ok"
         assert row["spans_md5"] == _md5_of(expected)
         assert row["n_headings"] == sum(
@@ -66,7 +72,7 @@ def test_committed_pdf_bytes_parse_to_golden():
     golden = _golden()
     inputs = pq.read_table(os.path.join(DATA, "pdfs.parquet")).to_pylist()
     for row in inputs:
-        if not row["doc_id"].startswith("pdf-0"):
+        if golden[row["doc_id"]]["status"] != "ok":
             continue
         spans = parse_pdf(row["payload"])
         expected = [

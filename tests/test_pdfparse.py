@@ -212,3 +212,51 @@ def test_truncation_resilience():
         except PdfError:
             continue
         assert isinstance(spans, list)
+
+
+def test_objstm_layout_parses_identically():
+    """PDF 1.5 object streams: dict-only objects (catalog, pages,
+    fonts) packed in a compressed ObjStm parse to the same spans as the
+    flat 1.4 layout."""
+    raw = bytes(range(48))
+    pages = [
+        [
+            ("text", 72, 740, 24, "Title"),
+            ("text", 72, 700, 11, "body text here"),
+            ("image", 72, 500, raw),
+        ],
+        [("tj", 72, 700, 11, ["page", -300, "two"])],
+    ]
+    flat = build_pdf(pages)
+    packed = build_pdf(pages, objstm=True)
+    assert b"/ObjStm" in packed and b"/ObjStm" not in flat
+    assert parse_pdf(packed) == parse_pdf(flat)
+    assert [s["kind"] for s in parse_pdf(packed)] == [
+        "heading", "text", "image", "text",
+    ]
+
+
+def test_objstm_corrupt_degrades():
+    pages = [[("text", 72, 700, 11, "hello world wide")]]
+    packed = bytearray(build_pdf(pages, objstm=True))
+    i = packed.find(b"/ObjStm")
+    j = packed.find(b"stream\n", i) + len(b"stream\n")
+    packed[j : j + 4] = b"\x00\x00\x00\x00"  # corrupt the packed dicts
+    spans = parse_pdf(bytes(packed))  # page dicts unreachable -> no spans
+    assert spans == []
+
+
+def test_objstm_mutation_resilience():
+    pages = [
+        [("text", 72, 740, 24, "T"), ("text", 72, 700, 11, "some body line")]
+    ]
+    base = build_pdf(pages, objstm=True)
+    for pos_seed in range(40):
+        data = bytearray(base)
+        pos = (pos_seed * 2654435761) % len(data)
+        data[pos] = (data[pos] + 1 + pos_seed) % 256
+        try:
+            spans = parse_pdf(bytes(data))
+        except PdfError:
+            continue
+        assert isinstance(spans, list)
