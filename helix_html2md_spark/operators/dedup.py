@@ -559,6 +559,8 @@ def dedup_segments(
         ),
         F.lit(segment_tokens),
     )
+    from pyspark.storagelevel import StorageLevel
+
     segs = (
         toks.filter(n > 0)
         .select(
@@ -580,7 +582,14 @@ def dedup_segments(
             ).alias("seg_idx", "seg"),
         )
         .withColumn("seg_md5", F.md5("seg"))
+        # segs feeds BOTH the doc-frequency aggregate and the join back;
+        # without pinning, branch-specific column pruning defeats
+        # ReusedExchange and the tokenize+explode pipeline runs twice
+        # (the diamond-recompute failure mode the LSH operators hit in
+        # round 1).  Released by the caller via release_persisted().
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(segs)
     df_counts = segs.groupBy("seg_md5").agg(
         F.countDistinct("doc_id").alias("_df")
     )
