@@ -178,6 +178,21 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region -> nation -> grand total): one
+    grouping-sets aggregate after two broadcast joins; null grouping
+    columns mark subtotal rows, matching ANSI ROLLUP exactly."""
+    from helix_html2md_spark.operators.relational import (
+        load, region_nation_cube,
+    )
+
+    return region_nation_cube(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.operators.relational import load, user_event_sessions
 
@@ -726,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "region_rollup": q_region_rollup,
+        "region_cube": q_region_cube,
         "sessions": q_sessions,
         "event_stats": q_event_stats,
         "cosine_topk": q_cosine_topk,
@@ -867,6 +883,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "region_cube": """
+            SELECT r_name, n_name,
+                   count(*) AS n_customers,
+                   cast(sum(cast(c_acctbal AS decimal(18,2))) AS double)
+                     AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
         """,
         "sessions": """
             WITH g AS (

@@ -164,6 +164,19 @@ def _stream_bytes(body: bytes, info: dict) -> bytes | None:
                 data = zlib.decompress(data)
             except zlib.error:
                 return None
+        elif name == "ASCIIHexDecode":
+            # hex digits up to the EOD marker '>'; whitespace ignored,
+            # odd trailing digit padded with 0 (PDF 32000 §7.4.2);
+            # chains with a following FlateDecode
+            hexdigits = re.sub(
+                rb"[^0-9A-Fa-f>]", b"", data
+            ).split(b">")[0]
+            if len(hexdigits) % 2:
+                hexdigits += b"0"
+            try:
+                data = bytes.fromhex(hexdigits.decode("ascii"))
+            except ValueError:
+                return None
         else:  # unsupported filter: keep raw (images are hashed, not read)
             return data
     return data

@@ -80,6 +80,32 @@ def region_rollup(
     )
 
 
+def region_nation_cube(
+    customer, nation, region
+):
+    """Hierarchical subtotals via ROLLUP grouping sets (region -> nation
+    -> grand total): two broadcast joins feed one grouping-sets
+    aggregate — Spark expands the rollup into one shuffle with a
+    grouping-id column, no Union of per-level scans.  Null grouping
+    columns mark subtotal rows, exactly as in ANSI SQL ROLLUP."""
+    from pyspark.sql import functions as F
+
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
 def user_event_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization via windows: lag -> new-session flag ->
     running session id; per-session aggregates."""

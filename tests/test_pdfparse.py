@@ -260,3 +260,30 @@ def test_objstm_mutation_resilience():
         except PdfError:
             continue
         assert isinstance(spans, list)
+
+
+def test_asciihex_filter_and_chain():
+    """ASCIIHexDecode streams decode (incl. chained [AHx FlateDecode])."""
+    import binascii
+
+    content = b"BT /F1 11 Tf 72 700 Td (hex stream text) Tj ET"
+    # plain ASCIIHexDecode
+    hx = binascii.hexlify(content) + b">"
+    pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf = pdf.replace(
+        b"<< /Length 32 >>\nstream\nBT /F1 11 Tf 72 700 Td (x) Tj ET\nendstream",
+        b"<< /Length " + str(len(hx)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + hx + b"\nendstream",
+    )
+    assert [s["text"] for s in parse_pdf(pdf)] == ["hex stream text"]
+
+    # chained [ASCIIHexDecode FlateDecode]
+    chained = binascii.hexlify(zlib.compress(content, 6)) + b">"
+    pdf2 = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf2 = pdf2.replace(
+        b"<< /Length 32 >>\nstream\nBT /F1 11 Tf 72 700 Td (x) Tj ET\nendstream",
+        b"<< /Length " + str(len(chained)).encode()
+        + b" /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n"
+        + chained + b"\nendstream",
+    )
+    assert [s["text"] for s in parse_pdf(pdf2)] == ["hex stream text"]
