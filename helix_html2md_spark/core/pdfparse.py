@@ -90,6 +90,62 @@ def _decode_pdf_string(tok: bytes) -> str:
     return out.decode("latin-1", "replace")
 
 
+# -- /ToUnicode CMap (subset-font text decoding) -----------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(stream: bytes) -> dict[int, str]:
+    """CMap stream -> {glyph code: unicode string} (bfchar + bfrange).
+
+    Subset-embedded fonts show text as glyph codes meaningless without
+    this map — the dominant layout of modern PDF producers."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(stream):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            try:
+                dst_hex = toks[i + 1]
+                if len(dst_hex) % 4:
+                    dst_hex = dst_hex.ljust(
+                        (len(dst_hex) + 3) // 4 * 4, b"0"
+                    )
+                cmap[int(toks[i], 16)] = bytes.fromhex(
+                    dst_hex.decode("ascii")
+                ).decode("utf-16-be", "replace")
+            except ValueError:
+                continue
+    for m in _BFRANGE_RE.finditer(stream):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 2, 3):
+            try:
+                lo = int(toks[i], 16)
+                hi = int(toks[i + 1], 16)
+                dst = int(toks[i + 2], 16)
+            except ValueError:
+                continue
+            for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                cmap[c] = chr(dst + (c - lo))
+    return cmap
+
+
+def _decode_with_cmap(tok: bytes, cmap: dict[int, str]) -> str:
+    """Hex show-string of 2-byte glyph codes -> text via the CMap."""
+    hexdigits = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexdigits) % 4:
+        hexdigits = hexdigits.ljust((len(hexdigits) + 3) // 4 * 4, b"0")
+    try:
+        raw = bytes.fromhex(hexdigits.decode("ascii"))
+    except ValueError:
+        return ""
+    return "".join(
+        cmap.get((raw[i] << 8) | raw[i + 1], "")
+        for i in range(0, len(raw) - 1, 2)
+    )
+
+
 # -- minimal object-dictionary reader ---------------------------------------
 
 _DICT_TOK_RE = re.compile(
@@ -147,8 +203,15 @@ def _stream_bytes(body: bytes, info: dict) -> bytes | None:
     if not m:
         return None
     data = m.group(1)
+    # /Length is authoritative when plausible: the EOL-strip heuristic
+    # below cannot distinguish a payload that legitimately ends in \r
+    # from a writer's \r\n before `endstream` (a FlateDecode stream
+    # ending in 0x0D loses its last byte and fails to inflate)
+    length = info.get("Length")
+    if isinstance(length, float) and 0 <= int(length) <= len(data):
+        data = data[: int(length)]
     # spec: stream data ends before the EOL preceding `endstream`
-    if data.endswith(b"\r\n"):
+    elif data.endswith(b"\r\n"):
         data = data[:-2]
     elif data.endswith(b"\n") or data.endswith(b"\r"):
         data = data[:-1]
@@ -268,8 +331,15 @@ def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
 _TJ_SPACE = -180.0
 
 
-def _run_content(stream: bytes, xobjects: dict, objs: dict[int, _Obj]):
+def _run_content(
+    stream: bytes,
+    xobjects: dict,
+    objs: dict[int, _Obj],
+    fonts: dict[str, dict] | None = None,
+):
     """Yield ('run', y, x, size, text) and ('image', y, x, sha1) events."""
+    fonts = fonts or {}
+    cur_cmap: dict[int, str] | None = None
     size = 12.0
     leading = 0.0
     lx = ly = 0.0  # text line origin
@@ -304,6 +374,8 @@ def _run_content(stream: bytes, xobjects: dict, objs: dict[int, _Obj]):
                 size = float(stack[-1])
             except ValueError:
                 pass
+            if len(stack) >= 2 and stack[-2].startswith(b"/"):
+                cur_cmap = fonts.get(stack[-2][1:].decode("latin-1"))
         elif t in (b"Td", b"TD") and len(stack) >= 2:
             try:
                 tx, ty = float(stack[-2]), float(stack[-1])
@@ -334,7 +406,9 @@ def _run_content(stream: bytes, xobjects: dict, objs: dict[int, _Obj]):
                 ly -= leading
                 cx = lx
             s = stack[-1]
-            if s.startswith(b"(") or s.startswith(b"<"):
+            if s.startswith(b"<") and cur_cmap is not None:
+                show(_decode_with_cmap(s, cur_cmap))
+            elif s.startswith(b"(") or s.startswith(b"<"):
                 show(_decode_pdf_string(s))
         elif t == b"TJ":
             # consume back to the matching [
@@ -343,7 +417,9 @@ def _run_content(stream: bytes, xobjects: dict, objs: dict[int, _Obj]):
             while i >= 0 and stack[i] != b"[":
                 i -= 1
             for el in stack[i + 1 :] if i >= 0 else []:
-                if el.startswith(b"(") or el.startswith(b"<"):
+                if el.startswith(b"<") and cur_cmap is not None:
+                    parts.append(_decode_with_cmap(el, cur_cmap))
+                elif el.startswith(b"(") or el.startswith(b"<"):
                     parts.append(_decode_pdf_string(el))
                 else:
                     try:
@@ -390,6 +466,14 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
     for pageno, page in enumerate(_page_order(objs)):
         res = _deref_dict(objs, page.info.get("Resources"))
         xobjects = _deref_dict(objs, res.get("XObject"))
+        fonts: dict[str, dict] = {}
+        for fname, fref in _deref_dict(objs, res.get("Font")).items():
+            fdict = _deref_dict(objs, fref)
+            tu = fdict.get("ToUnicode")
+            if isinstance(tu, tuple) and tu[0] == "ref":
+                tobj = objs.get(tu[1])
+                if tobj is not None and tobj.stream:
+                    fonts[fname] = _parse_tounicode(tobj.stream)
         contents = page.info.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         stream = b""
@@ -398,7 +482,7 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                 obj = objs.get(ref[1])
                 if obj is not None and obj.stream is not None:
                     stream += obj.stream + b"\n"
-        for ev in _run_content(stream, xobjects, objs):
+        for ev in _run_content(stream, xobjects, objs, fonts):
             if ev[0] == "run":
                 _, y, x, size, text = ev
                 events.append((pageno, -round(y, 1), x, ("t", size, text)))

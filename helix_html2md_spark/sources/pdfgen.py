@@ -24,7 +24,10 @@ def _esc(s: str) -> str:
 
 
 def build_pdf(
-    pages: list[list[tuple]], compress: bool = True, objstm: bool = False
+    pages: list[list[tuple]],
+    compress: bool = True,
+    objstm: bool = False,
+    cmap_fonts: bool = False,
 ) -> bytes:
     """Build a PDF from page specs.
 
@@ -41,6 +44,12 @@ def build_pdf(
     to a plain body scan until the ObjStm is unpacked.  (The xref table
     keeps placeholder entries for packed objects rather than a full
     xref stream; stream-bearing objects stay at top level, per spec.)
+
+    ``cmap_fonts=True`` emits text as 2-byte glyph codes through a
+    subset-style Type0 font with a /ToUnicode CMap (Identity-H layout)
+    — the dominant encoding of modern producers, where show-strings are
+    meaningless without the CMap.  Code assignment is deterministic
+    (0x0100 + sorted index of the character).
     """
     objects: list[bytes] = []  # bodies, object number = index + 1
 
@@ -52,6 +61,45 @@ def build_pdf(
     page_nums = []
     pages_num_placeholder = add(b"")  # /Pages node, patched at the end
 
+    glyph_code: dict[str, int] = {}
+    if cmap_fonts:
+        chars = sorted(
+            {
+                ch
+                for page in pages
+                for op in page
+                if op[0] in ("text", "tj")
+                for el in ([op[4]] if op[0] == "text" else op[4])
+                if isinstance(el, str)
+                for ch in el
+            }
+        )
+        glyph_code = {ch: 0x0100 + i for i, ch in enumerate(chars)}
+        bfchars = "".join(
+            f"<{code:04X}> <{ord(ch):04X}>\n"
+            for ch, code in glyph_code.items()
+        ).encode("ascii")
+        cmap_stream = (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            + str(len(glyph_code)).encode() + b" beginbfchar\n"
+            + bfchars + b"endbfchar\nendcmap\nend\n"
+        )
+        tounicode_num = add(
+            b"<< /Length " + str(len(cmap_stream)).encode()
+            + b" >>\nstream\n" + cmap_stream + b"\nendstream"
+        )
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SyntheticSubset"
+            b" /Encoding /Identity-H /ToUnicode "
+            + str(tounicode_num).encode() + b" 0 R >>"
+        )
+
+    def _enc(s: str) -> str:
+        if not cmap_fonts:
+            return f"({_esc(s)})"
+        return "<" + "".join(f"{glyph_code[ch]:04X}" for ch in s) + ">"
+
     for page in pages:
         content_parts: list[bytes] = []
         xobjects: dict[str, int] = {}
@@ -59,13 +107,13 @@ def build_pdf(
             if op[0] == "text":
                 _, x, y, size, s = op
                 content_parts.append(
-                    f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET"
+                    f"BT /F1 {size:g} Tf {x:g} {y:g} Td {_enc(s)} Tj ET"
                     .encode("latin-1")
                 )
             elif op[0] == "tj":
                 _, x, y, size, arr = op
                 items = "".join(
-                    f"({_esc(el)}) " if isinstance(el, str) else f"{el:g} "
+                    f"{_enc(el)} " if isinstance(el, str) else f"{el:g} "
                     for el in arr
                 )
                 content_parts.append(
@@ -178,7 +226,7 @@ _WORDS = (
 
 
 def synth_pdf(
-    seed: int, objstm: bool = False
+    seed: int, objstm: bool = False, cmap_fonts: bool = False
 ) -> tuple[bytes, list[tuple[str, str | None]]]:
     """Deterministic synthetic PDF + its expected (kind, text/media) list.
 
@@ -217,4 +265,4 @@ def synth_pdf(
             # filter-independent)
             expected.append(("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}"))
         pages.append(ops)
-    return build_pdf(pages, objstm=objstm), expected
+    return build_pdf(pages, objstm=objstm, cmap_fonts=cmap_fonts), expected

@@ -28,6 +28,7 @@ sys.path.insert(0, ROOT)
 DATA = os.path.join(ROOT, "data")
 N_SEEDS = 32
 N_OBJSTM = 8
+N_CMAP = 8
 
 from helix_html2md_spark.sources.pdfgen import synth_pdf  # noqa: E402
 
@@ -78,6 +79,15 @@ def main():
     for seed in range(N_OBJSTM):
         data, expected = synth_pdf(seed, objstm=True)
         doc_id = f"pdf-objstm-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # subset-font layout (2-byte glyph codes + /ToUnicode CMap):
+    # same construction-time expectations, different text encoding
+    for seed in range(N_CMAP):
+        data, expected = synth_pdf(seed, cmap_fonts=True)
+        doc_id = f"pdf-cmap-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

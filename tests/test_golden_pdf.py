@@ -24,6 +24,7 @@ DATA = os.path.join(ROOT, "data")
 RS, FS = "\x1e", "\x1f"
 N_SEEDS = 32
 N_OBJSTM = 8
+N_CMAP = 8
 
 
 def _md5_of(expected):
@@ -42,15 +43,17 @@ def _golden():
 
 def test_golden_matches_construction_expectations():
     golden = _golden()
-    assert len(golden) == N_SEEDS + N_OBJSTM + 2
-    for seed in range(N_SEEDS + N_OBJSTM):
-        objstm = seed >= N_SEEDS
-        _, expected = synth_pdf(seed % N_SEEDS if objstm else seed,
-                                objstm=objstm)
-        row = golden[
-            f"pdf-objstm-{seed - N_SEEDS:04d}" if objstm
-            else f"pdf-{seed:04d}"
-        ]
+    assert len(golden) == N_SEEDS + N_OBJSTM + N_CMAP + 2
+    variants = (
+        [(s, {}, f"pdf-{s:04d}") for s in range(N_SEEDS)]
+        + [(s, {"objstm": True}, f"pdf-objstm-{s:04d}")
+           for s in range(N_OBJSTM)]
+        + [(s, {"cmap_fonts": True}, f"pdf-cmap-{s:04d}")
+           for s in range(N_CMAP)]
+    )
+    for seed, kwargs, doc_id in variants:
+        _, expected = synth_pdf(seed, **kwargs)
+        row = golden[doc_id]
         assert row["status"] == "ok"
         assert row["spans_md5"] == _md5_of(expected)
         assert row["n_headings"] == sum(

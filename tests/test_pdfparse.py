@@ -71,7 +71,7 @@ def test_string_escapes_and_hex():
     pdf3 = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
     pdf3 = pdf3.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
     pdf3 = pdf3.replace(
-        b"/Length 31", b"/Length " + str(len(raw)).encode()
+        b"/Length 32", b"/Length " + str(len(raw)).encode()
     )
     spans = parse_pdf(pdf3)
     assert [s["text"] for s in spans] == ["Hello", "AB"]
@@ -287,3 +287,58 @@ def test_asciihex_filter_and_chain():
         + chained + b"\nendstream",
     )
     assert [s["text"] for s in parse_pdf(pdf2)] == ["hex stream text"]
+
+
+def test_cmap_fonts_parse_identically():
+    """Subset-style Type0 fonts: 2-byte glyph codes through a /ToUnicode
+    CMap decode to the same spans as plain latin-1 strings — including
+    TJ kerning and combined with the ObjStm layout."""
+    pages = [
+        [
+            ("text", 72, 740, 24, "Title"),
+            ("text", 72, 700, 11, "body text here"),
+            ("tj", 72, 680, 11, ["ker", -300, "ned"]),
+        ]
+    ]
+    flat = build_pdf(pages)
+    cm = build_pdf(pages, cmap_fonts=True)
+    assert b"/ToUnicode" in cm and b"beginbfchar" in cm
+    assert parse_pdf(cm) == parse_pdf(flat)
+    both = build_pdf(pages, objstm=True, cmap_fonts=True)
+    assert parse_pdf(both) == parse_pdf(flat)
+
+
+def test_cmap_without_map_yields_no_text():
+    """Glyph codes WITHOUT the CMap are meaningless: stripping the
+    /ToUnicode ref must drop the text rather than emit mojibake."""
+    pages = [[("text", 72, 700, 11, "secret words")]]
+    cm = build_pdf(pages, cmap_fonts=True, compress=False)
+    broken = cm.replace(b"/ToUnicode", b"/XXUnknown1")
+    spans = parse_pdf(broken)
+    # hex codes decode through latin-1 fallback -> control chars, which
+    # strip to nothing; no fabricated text appears
+    assert all("secret" not in (s["text"] or "") for s in spans)
+
+
+def test_bfrange_decoding():
+    """beginbfrange maps code intervals (the compact subset-font form)."""
+    pages = [[("text", 72, 700, 11, "abc")]]
+    cm = build_pdf(pages, cmap_fonts=True, compress=False)
+    # rewrite the bfchar section as an equivalent bfrange: codes for
+    # 'a','b','c' are contiguous (sorted charset) starting at 0x0100
+    start = cm.find(b"3 beginbfchar")
+    end = cm.find(b"endbfchar") + len(b"endbfchar")
+    assert start > 0
+    rng = b"1 beginbfrange\n<0100> <0102> <0061>\nendbfrange"
+    cm2 = cm[:start] + rng + cm[end:]
+    # fix the CMap stream /Length after surgery
+    import re as _re
+
+    delta = len(rng) - (end - start)
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n/CIDInit", cm2)
+    cm2 = cm2.replace(
+        b"<< /Length " + m.group(1) + b" >>\nstream\n/CIDInit",
+        b"<< /Length " + str(int(m.group(1)) + delta).encode()
+        + b" >>\nstream\n/CIDInit",
+    )
+    assert [s["text"] for s in parse_pdf(cm2)] == ["abc"]
