@@ -575,14 +575,27 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid via the applyInPandas grouped-UDAF
-    surface (one shuffle on label, vectorized numpy mean; the map-side
-    combine twin is pytest-checked to agree).  Oracle: per-dimension
-    avg + ordered list rebuild in SQL."""
+    """Per-label embedding centroid via the map-side-combine twin (the
+    100 TB path: mapInPandas Arrow-batch partials below the exchange,
+    deterministic JVM fold merge; the applyInPandas variant is
+    pytest-checked to agree).  The centroid array crosses the contract
+    as micro-unit md5 (round(c*1e6) joined) — the spans_md5 convention;
+    a raw array<double> column crashes the driver's pandas-sort canon
+    (round-3 red row)."""
     from helix_html2md_spark.operators.centroids import label_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return label_centroids(emb).orderBy("label")
+    out = label_centroids(emb, partial=True)
+    micro = F.transform(
+        "centroid",
+        lambda c: F.round(c * 1e6, 0).cast("long").cast("string"),
+    )
+    return out.select(
+        "label",
+        "n_vecs",
+        F.size("centroid").alias("n_dims"),
+        F.md5(F.array_join(micro, ",")).alias("centroid_md5"),
+    ).orderBy("label")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,12 +1088,16 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, unnest(range(len(embedding))) AS t(i)
               GROUP BY label, i),
             c AS (
-              SELECT label, list(round(m, 6) ORDER BY i) AS centroid
+              SELECT label,
+                     cast(count(*) AS int) AS n_dims,
+                     string_agg(
+                       cast(cast(round(round(m, 6) * 1e6) AS bigint)
+                            AS varchar), ',' ORDER BY i) AS cstr
               FROM d GROUP BY label),
             n AS (
               SELECT label, count(*) AS n_vecs
               FROM embeddings GROUP BY label)
-            SELECT n.label, n.n_vecs, c.centroid
+            SELECT n.label, n.n_vecs, c.n_dims, md5(c.cstr) AS centroid_md5
             FROM n JOIN c USING (label) ORDER BY label
         """,
         "pack_sequences": f"""

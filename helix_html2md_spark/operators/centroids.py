@@ -14,8 +14,13 @@ vectors must fit one Arrow group.  ``partial=True`` is the 100 TB path:
 a mapInPandas pass reduces each Arrow batch to (label, count, sum)
 partials BEFORE any shuffle (the classic map-side combine — what
 crosses the wire is batches-per-partition x labels rows, not vectors),
-then a tiny JVM zip_with fold merges partials per label.  Both variants
-produce identical output (means rounded to 6dp).
+then a tiny JVM zip_with fold merges partials per label.  The merge is
+DETERMINISTIC: each partial carries its (partition_id, batch_idx) and
+the fold runs over an ``array_sort`` of the collected partials, so
+float-addition order is fixed across runs (plain np.mean re-orders under
+shuffle arrival, so the two variants agree to 6dp on test data rather
+than bit-exactly — np.round is also half-even where Spark round is
+half-up, a tie-case difference the 6dp round makes vanishingly rare).
 """
 
 from __future__ import annotations
@@ -45,11 +50,16 @@ def _partial_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     import numpy as np
+    from pyspark import TaskContext
 
-    for pdf in batches:
-        out = {"label": [], "n_vecs": [], "vec_sum": []}
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else 0
+    for bi, pdf in enumerate(batches):
+        out = {"pid": [], "bi": [], "label": [], "n_vecs": [], "vec_sum": []}
         for label, g in pdf.groupby("label"):
             mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            out["pid"].append(pid)
+            out["bi"].append(bi)
             out["label"].append(int(label))
             out["n_vecs"].append(len(g))
             out["vec_sum"].append(mat.sum(axis=0).tolist())
@@ -64,15 +74,20 @@ def label_centroids(emb: DataFrame, *, partial: bool = False) -> DataFrame:
         )
     partials = emb.select("label", "embedding").mapInPandas(
         _partial_batches,
-        "label int, n_vecs bigint, vec_sum array<double>",
+        "pid int, bi int, label int, n_vecs bigint, vec_sum array<double>",
     )
+    # array_sort over (pid, bi, ...) structs pins the fold order: the
+    # merged sum is bit-identical across runs for a deterministic input
+    # partitioning (collect_list alone arrives in shuffle-fetch order)
     merged = partials.groupBy("label").agg(
         F.sum("n_vecs").alias("n_vecs"),
         F.aggregate(
-            F.collect_list("vec_sum"),
+            F.array_sort(
+                F.collect_list(F.struct("pid", "bi", "vec_sum"))
+            ),
             F.expr("array()").cast("array<double>"),
-            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
-                F.zip_with(acc, v, lambda a, b: a + b)
+            lambda acc, v: F.when(F.size(acc) == 0, v["vec_sum"]).otherwise(
+                F.zip_with(acc, v["vec_sum"], lambda a, b: a + b)
             ),
         ).alias("_sum"),
     )

@@ -40,6 +40,25 @@ def rowset(pdf):
     return sorted(tuple(canon(v) for v in r) for r in rows)
 
 
+def list_typed_cols(pdf):
+    """Columns carrying list/array payloads — the DRIVER's canon
+    (pandas sort_values over raw objects) crashes on these with
+    'unhashable type: list' even though this sim's canon handles them
+    (round-3 label_centroids red row).  Any such column is a contract
+    bug: hash the array to md5 instead."""
+    import numpy as np
+
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype == object:
+            for v in col:
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    bad.append(c)
+                    break
+    return bad
+
+
 def main():
     import __spark_entry__ as E
     from helix_html2md_spark.session import build_session
@@ -60,6 +79,14 @@ def main():
         spdf = fn(spark, SF).toPandas()
         srows = spdf
         scols = list(spdf.columns)
+        bad = list_typed_cols(spdf)
+        if bad:
+            print(
+                f"{name:24s} LIST-TYPED COLUMNS {bad} — driver canon "
+                "would crash; hash arrays to md5 instead"
+            )
+            failures += 1
+            continue
         if name not in oracles:
             print(f"{name:24s} rows={len(srows):6d}  (no oracle - rows-only)")
             continue

@@ -38,22 +38,32 @@ def test_region_rollup_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+# streaming queries execute a job when called — no lazy plan to inspect
+_STREAMING_QUERIES = {"stream_extract", "stream_pdf_extract"}
+# queries whose ONE intentional Python crossing is a gated mapInPandas
+# (extraction / media decode / centroid map-side partials); everything
+# else in the battery must stay pure JVM
+_MAPINPANDAS_OK = {
+    "extract_spans", "media_features", "resized_images", "frame_samples",
+    "pdf_extract", "boilerplate", "label_centroids",
+}
+
+
 def test_battery_queries_stay_jvm_side(spark):
     """No Python UDFs in the relational/dedup/text battery — everything
-    whole-stage-codegen-able."""
+    whole-stage-codegen-able.  Grouped Python (applyInPandas →
+    FlatMapGroupsInPandas: whole groups cross Arrow) is banned for EVERY
+    battery query, exempted or not — the exempted queries' one allowed
+    crossing is a gated mapInPandas (map-side, bounded batches)."""
     import __spark_entry__ as E
 
     for name, fn in E.queries().items():
-        # extraction + media decode queries run the (intentional)
-        # mapInPandas transform; stream_extract executes a streaming
-        # job, not a lazy plan
-        if name in (
-            "extract_spans", "stream_extract", "stream_pdf_extract",
-            "media_features", "resized_images", "frame_samples",
-            "pdf_extract", "boilerplate",
-        ):
+        if name in _STREAMING_QUERIES:
             continue
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "FlatMapGroupsInPandas" not in plan, name
+        if name in _MAPINPANDAS_OK:
+            continue
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
