@@ -10,13 +10,16 @@ Scale shape:
 
 * ``pack_sequences`` — the classic greedy offline packing: order
   documents deterministically, run a cumulative token sum, and assign
-  pack_id = floor((cumsum - n_tokens) / seq_len).  One global-ordering
-  shuffle (range partition), one window pass.  At 100 TB a single total
-  order is the honest cost of bit-reproducible packing; for
-  throughput-over-reproducibility, pass ``partition_by_shard=True`` to
-  pack within deterministic doc_id shards instead — per-shard windows
-  parallelize with no global sort (the default in a 1000-executor run,
-  at the price of ~one ragged tail per shard).
+  pack_id = floor((cumsum - n_tokens) / seq_len).  The global cumsum is
+  a TWO-PHASE EXACT PREFIX SUM, not a single-partition window:
+  ``repartitionByRange(doc_id)`` -> per-partition window cumsum ->
+  collect the P per-partition token totals (P rows, bytes) -> broadcast
+  the cumulative offsets back and add.  Integer arithmetic makes the
+  result bit-identical to a global total order for ANY range-ordered
+  partitioning, so reproducibility costs nothing: every partition
+  cumsums in parallel and the only driver traffic is P longs.  For
+  shard-local packing semantics (ragged tail per shard, zero collect),
+  pass ``partition_by_shard=True``.
 * ``chunk_documents`` — per-row ``sequence`` + ``posexplode``; embar-
   rassingly parallel, fan-out bounded by ceil(n_tokens / stride).
 """
@@ -34,6 +37,7 @@ def pack_sequences(
     *,
     partition_by_shard: bool = False,
     n_shards: int = 256,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack of ``seq_len`` tokens.
 
@@ -45,22 +49,61 @@ def pack_sequences(
     """
     n_tok = F.size(tokens(F.col("text")))
     base = docs.select("doc_id", n_tok.alias("n_tokens"))
+
+    def emit(df: DataFrame, start) -> DataFrame:
+        start = start.cast("long")
+        return df.select(
+            "doc_id",
+            "n_tokens",
+            "shard",
+            F.floor(start / seq_len).cast("long").alias("pack_id"),
+            F.pmod(start, F.lit(seq_len)).cast("long").alias(
+                "offset_in_pack"
+            ),
+        )
+
     if partition_by_shard:
         shard = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
-        base = base.withColumn("shard", shard)
+        sharded = base.withColumn("shard", shard)
         w = Window.partitionBy("shard").orderBy("doc_id")
-    else:
-        base = base.withColumn("shard", F.lit(0))
-        w = Window.partitionBy("shard").orderBy("doc_id")
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).cast("long")
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "shard",
-        F.floor(start / seq_len).cast("long").alias("pack_id"),
-        F.pmod(start, F.lit(seq_len)).cast("long").alias("offset_in_pack"),
+        return emit(sharded, F.sum("n_tokens").over(w) - F.col("n_tokens"))
+
+    # ---- two-phase exact global prefix sum (no single-partition window)
+    # Phase 1: range-partition by doc_id, cumsum WITHIN each partition
+    # (the window's partition key is the materialized physical partition
+    # id, so every partition windows in parallel).  Phase 2: the P
+    # per-partition totals (max of a nondecreasing cumsum) come back to
+    # the driver as P longs; their running sum is each partition's
+    # global offset, broadcast-joined back.  Integer token counts make
+    # offset + local_cum bit-identical to the global-order cumsum
+    # regardless of where the sampled range bounds fell.
+    from .dedup import _PERSISTED
+
+    spark = docs.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    local = (
+        base.repartitionByRange(p, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("shard", F.lit(0))
     )
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    local = local.withColumn(
+        "_cum", F.sum("n_tokens").over(w).cast("long")
+    )
+    local = local.persist()
+    _PERSISTED.append(local)
+    totals = sorted(
+        local.groupBy("_pid").agg(F.max("_cum").alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_t"])
+    off = spark.createDataFrame(offsets, "_pid int, _off long")
+    joined = local.join(F.broadcast(off), "_pid", "left")
+    start = F.coalesce("_off", F.lit(0)) + F.col("_cum") - F.col("n_tokens")
+    return emit(joined, start)
 
 
 def chunk_documents(

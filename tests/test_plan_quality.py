@@ -69,6 +69,20 @@ def test_battery_queries_stay_jvm_side(spark):
         assert "MapInPandas" not in plan, name
 
 
+def test_pack_sequences_has_no_single_partition_window(spark):
+    """The exact-packing default path must be the two-phase prefix sum:
+    a Window.partitionBy(lit(0)) plans as `Exchange SinglePartition` and
+    funnels the whole corpus through one task at scale (round-3 weak
+    item).  The driver query's trailing orderBy plans as a range
+    exchange, which is fine — only SinglePartition is banned."""
+    import __spark_entry__ as E
+
+    df = E.queries()["pack_sequences"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets come back as a broadcast
+
+
 def test_extraction_gate_before_python(spark):
     """The maxHTMLSize admission filter must sit below (before) the
     Python stage in the plan — Catalyst can't push through an opaque UDF,
