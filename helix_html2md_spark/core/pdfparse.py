@@ -254,10 +254,26 @@ class _Obj:
 
 def _load_objects(data: bytes) -> dict[int, _Obj]:
     objs: dict[int, _Obj] = {}
+    bodies: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
-        num = int(m.group(1))
-        body = m.group(3)
+        bodies[int(m.group(1))] = m.group(3)
+    # pass 1: plain-integer object bodies (the common indirect /Length
+    # target: "5 0 obj 1234 endobj") — resolved before stream slicing so
+    # /Length N 0 R is as authoritative as a direct /Length (the EOL
+    # heuristic fallback is lossy for payloads ending in \r)
+    int_objs: dict[int, int] = {}
+    for num, body in bodies.items():
+        mm = re.fullmatch(rb"\s*([-+]?\d+)\s*", body)
+        if mm:
+            int_objs[num] = int(mm.group(1))
+    for num, body in bodies.items():
         info = _parse_dict(body)
+        length = info.get("Length")
+        if isinstance(length, tuple) and length[0] == "ref":
+            if length[1] in int_objs:
+                info["Length"] = float(int_objs[length[1]])
+            else:
+                info.pop("Length")
         objs[num] = _Obj(num, info, _stream_bytes(body, info))
     # PDF 1.5+ object streams: dict-only objects (pages, fonts,
     # resources) packed inside a FlateDecode stream — invisible to the
@@ -302,26 +318,82 @@ def _deref_dict(objs: dict[int, _Obj], val) -> dict:
 
 
 def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
-    """Pages in /Root -> /Pages -> /Kids order; object-number fallback."""
-    pages = []
+    """Pages in /Root -> /Pages tree order; object-number fallback.
+
+    Intermediate /Pages nodes (standard in real multi-page PDFs, which
+    balance the page tree) are recursed into depth-first, flattening
+    leaf Page objects in tree order; a visited set guards against
+    reference cycles in hostile input."""
+    pages: list[_Obj] = []
+    visited: set[int] = set()
+
+    def walk(node: dict) -> None:
+        kids = node.get("Kids")
+        if not isinstance(kids, list):
+            return
+        for kid in kids:
+            if not (isinstance(kid, tuple) and kid[0] == "ref"):
+                continue
+            if kid[1] in visited:
+                continue
+            visited.add(kid[1])
+            kobj = objs.get(kid[1])
+            if kobj is None:
+                continue
+            if kobj.info.get("Type") == ("name", "Pages"):
+                walk(kobj.info)
+            else:
+                pages.append(kobj)
+
     for obj in objs.values():
-        t = obj.info.get("Type")
-        if t == ("name", "Catalog"):
-            root_pages = _deref_dict(objs, obj.info.get("Pages"))
-            kids = root_pages.get("Kids")
-            if not isinstance(kids, list):
-                kids = []
-            for kid in kids:
-                if isinstance(kid, tuple) and kid[0] == "ref":
-                    page = objs.get(kid[1])
-                    if page is not None:
-                        pages.append(page)
+        if obj.info.get("Type") == ("name", "Catalog"):
+            walk(_deref_dict(objs, obj.info.get("Pages")))
             if pages:
                 return pages
     return sorted(
         (o for o in objs.values() if o.info.get("Type") == ("name", "Page")),
         key=lambda o: o.num,
     )
+
+
+# -- column detection --------------------------------------------------------
+
+# minimum empty vertical whitespace channel (text-space units) between
+# two x-clusters before they read as page columns; a 612-unit letter
+# page's gutter is ~40-80 units wide but starts ~230-320 from each
+# column's left edge, so the START-position gap for true columns is
+# large, while intra-line continuation runs and modest indents are not
+_COLUMN_GAP = 150.0
+
+
+def _column_split(page_events: list[tuple]) -> float | None:
+    """Single vertical XY-cut: return the split x for a two-column page.
+
+    Conservative by design: the largest gap between distinct run start
+    positions must exceed ``_COLUMN_GAP`` AND each side must carry >= 3
+    distinct baselines AND the sides' y-ranges must overlap (side by
+    side, not stacked).  Known tradeoff of the published XY-cut family:
+    a data TABLE with >=3 rows and a >=150-unit column gutter reads
+    column-major; single-column pages with continuation runs or indents
+    never split (continuation runs share too few baselines).
+    """
+    runs = [e for e in page_events if e[3][0] == "t"]
+    xs = sorted({e[2] for e in runs})
+    if len(xs) < 2:
+        return None
+    gap, split = 0.0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > gap:
+            gap, split = b - a, (a + b) / 2.0
+    if split is None or gap < _COLUMN_GAP:
+        return None
+    left_y = {e[1] for e in runs if e[2] < split}
+    right_y = {e[1] for e in runs if e[2] >= split}
+    if len(left_y) < 3 or len(right_y) < 3:
+        return None
+    if min(max(left_y), max(right_y)) <= max(min(left_y), min(right_y)):
+        return None
+    return split
 
 
 # -- content-stream interpreter ----------------------------------------------
@@ -342,6 +414,8 @@ def _run_content(
     cur_cmap: dict[int, str] | None = None
     size = 12.0
     leading = 0.0
+    tc = 0.0  # character spacing (Tc), text-space units per glyph
+    tw = 0.0  # word spacing (Tw), applied per ASCII space
     lx = ly = 0.0  # text line origin
     cx = 0.0  # estimated pen x within the line
     cm_y = 0.0
@@ -352,7 +426,13 @@ def _run_content(
         nonlocal cx
         if text:
             yield_events.append(("run", ly, cx, size, text))
-            cx += 0.5 * size * len(text)
+            # pen advance estimate: half-em per glyph plus the Tc/Tw
+            # spacing the producer added (ISO 32000 §9.3.2-3) — spacing
+            # shifts where SUBSEQUENT runs in this line start, which is
+            # what the x-ordered line fold consumes
+            cx += (
+                (0.5 * size + tc) * len(text) + tw * text.count(" ")
+            )
 
     yield_events: list[tuple] = []
     for tok in _TOK_RE.finditer(stream):
@@ -396,13 +476,30 @@ def _run_content(
                 leading = float(stack[-1])
             except ValueError:
                 pass
+        elif t == b"Tc" and stack:
+            try:
+                tc = float(stack[-1])
+            except ValueError:
+                pass
+        elif t == b"Tw" and stack:
+            try:
+                tw = float(stack[-1])
+            except ValueError:
+                pass
         elif t == b"T*":
             ly -= leading
             cx = lx
         elif t == b"BT":
             lx = ly = cx = 0.0
-        elif t in (b"Tj", b"'") and stack:
-            if t == b"'":
+        elif t in (b"Tj", b"'", b'"') and stack:
+            if t == b'"' and len(stack) >= 3:
+                # aw ac string " : set word/char spacing, then behave
+                # like ' (next line + show)  — ISO 32000 §9.4.3
+                try:
+                    tw, tc = float(stack[-3]), float(stack[-2])
+                except ValueError:
+                    pass
+            if t in (b"'", b'"'):
                 ly -= leading
                 cx = lx
             s = stack[-1]
@@ -490,7 +587,18 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                 _, y, x, digest = ev
                 events.append((pageno, -round(y, 1), x, ("i", digest)))
 
-    events.sort(key=lambda e: (e[0], e[1], e[2]))
+    # column-aware reading order: one optional vertical XY-cut per page
+    # (page asc, column asc, baseline y desc, x asc)
+    splits: dict[int, float | None] = {}
+    for page in {e[0] for e in events}:
+        splits[page] = _column_split([e for e in events if e[0] == page])
+    keyed = []
+    for page, ny, x, payload in events:
+        split = splits[page]
+        col = 0 if split is None or x < split else 1
+        keyed.append((page, col, ny, x, payload))
+    keyed.sort(key=lambda e: e[:4])
+    events = keyed
 
     spans: list[dict] = []
 
@@ -514,7 +622,7 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
 
     line_key = None
     line_parts: list[tuple[float, str]] = []
-    for page, ny, x, payload in events:
+    for page, col, ny, x, payload in events:
         if payload[0] == "i":
             if line_parts:
                 flush_line(line_parts)
@@ -529,7 +637,7 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                 }
             )
             continue
-        key = (page, ny)
+        key = (page, col, ny)
         if key != line_key and line_parts:
             flush_line(line_parts)
             line_parts = []

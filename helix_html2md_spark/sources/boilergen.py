@@ -74,7 +74,9 @@ def synth_boiler_page(seed: int) -> tuple[str, dict]:
     # container, so its raw score is the plain sum of paragraph points
     # (1 + commas + min(len//100, 3)); it has no links, so the
     # link-density correction is a no-op.  NOTE: the "related" link farm
-    # is class-hinted noise and is removed before scoring.
+    # SURVIVES cleaning (no _NOISE_HINT pattern matches 'related') and
+    # is scored as a candidate — it loses on the (1 - link_density)
+    # correction, whose density is ~1.0 for an all-link container.
     raw = 0.0
     for p in paras:
         assert len(p) >= 25

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import zlib
 
-__all__ = ["build_pdf", "synth_pdf"]
+__all__ = ["build_pdf", "synth_pdf", "synth_two_column_pdf"]
 
 
 def _esc(s: str) -> str:
@@ -28,15 +28,35 @@ def build_pdf(
     compress: bool = True,
     objstm: bool = False,
     cmap_fonts: bool = False,
+    nested_pages: bool = False,
+    xref_stream: bool = False,
+    indirect_length: bool = False,
 ) -> bytes:
     """Build a PDF from page specs.
 
     Each page is a list of ops:
 
     * ``("text", x, y, size, "string")`` — one positioned text run
+    * ``("text_spaced", x, y, size, "string", tc, tw)`` — a run with
+      Tc character / Tw word spacing set before the show
     * ``("tj", x, y, size, ["a", -300, "b"])`` — a TJ array with
       kerning adjustments (thousandths; <= -180 reads as a space)
     * ``("image", x, y, raw_bytes)`` — an RGB image XObject stub
+
+    ``nested_pages=True`` builds a balanced page TREE (intermediate
+    /Pages nodes with two kids each, the layout real multi-page
+    producers emit) instead of one flat /Kids array.
+
+    ``xref_stream=True`` replaces the classic xref table + trailer with
+    a PDF 1.5 cross-reference STREAM (/Type /XRef, W [1 4 2] binary
+    entries, trailer keys in the stream dict) — the layout of modern
+    producers, where a parser that insists on a classic ``xref`` keyword
+    finds none.
+
+    ``indirect_length=True`` writes every content stream's /Length as an
+    indirect reference to a plain-integer object (``N 0 R``), the form
+    streaming writers emit because the byte count is unknown until the
+    stream is written.
 
     ``objstm=True`` packs every dict-only object (catalog, pages node,
     page dicts, fonts) into a PDF 1.5 compressed object stream —
@@ -110,6 +130,12 @@ def build_pdf(
                     f"BT /F1 {size:g} Tf {x:g} {y:g} Td {_enc(s)} Tj ET"
                     .encode("latin-1")
                 )
+            elif op[0] == "text_spaced":
+                _, x, y, size, s, tcv, twv = op
+                content_parts.append(
+                    f"BT /F1 {size:g} Tf {tcv:g} Tc {twv:g} Tw "
+                    f"{x:g} {y:g} Td {_enc(s)} Tj ET".encode("latin-1")
+                )
             elif op[0] == "tj":
                 _, x, y, size, arr = op
                 items = "".join(
@@ -141,10 +167,17 @@ def build_pdf(
             filt = b" /Filter /FlateDecode"
         else:
             data, filt = raw_content, b""
-        content_num = add(
-            b"<< /Length " + str(len(data)).encode() + filt
-            + b" >>\nstream\n" + data + b"\nendstream"
-        )
+        if indirect_length:
+            len_num = add(str(len(data)).encode())
+            content_num = add(
+                b"<< /Length " + str(len_num).encode() + b" 0 R" + filt
+                + b" >>\nstream\n" + data + b"\nendstream"
+            )
+        else:
+            content_num = add(
+                b"<< /Length " + str(len(data)).encode() + filt
+                + b" >>\nstream\n" + data + b"\nendstream"
+            )
         if font_num is None:
             font_num = add(
                 b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -165,7 +198,26 @@ def build_pdf(
             )
         )
 
-    kids = b" ".join(str(n).encode() + b" 0 R" for n in page_nums)
+    if nested_pages and len(page_nums) > 1:
+        # balanced two-level page tree: root /Pages -> two intermediate
+        # /Pages nodes -> leaf pages (the shape real producers emit)
+        half = (len(page_nums) + 1) // 2
+        mids = []
+        for group in (page_nums[:half], page_nums[half:]):
+            if not group:
+                continue
+            gkids = b" ".join(str(n).encode() + b" 0 R" for n in group)
+            mids.append(
+                add(
+                    b"<< /Type /Pages /Parent "
+                    + str(pages_num_placeholder).encode()
+                    + b" 0 R /Kids [" + gkids + b"] /Count "
+                    + str(len(group)).encode() + b" >>"
+                )
+            )
+        kids = b" ".join(str(n).encode() + b" 0 R" for n in mids)
+    else:
+        kids = b" ".join(str(n).encode() + b" 0 R" for n in page_nums)
     objects[pages_num_placeholder - 1] = (
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
         + str(len(page_nums)).encode() + b" >>"
@@ -176,6 +228,7 @@ def build_pdf(
     )
 
     packed: dict[int, bytes] = {}
+    objstm_num = None
     if objstm:
         # dict-only objects move into one compressed object stream;
         # stream-bearing objects (contents, images) stay at top level
@@ -197,8 +250,11 @@ def build_pdf(
                 + str(len(payload)).encode()
                 + b" >>\nstream\n" + payload + b"\nendstream"
             )
+            objstm_num = len(objects)
 
-    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
+    out = bytearray(
+        b"%PDF-1.5\n" if (objstm or xref_stream) else b"%PDF-1.4\n"
+    )
     offsets = []
     for i, body in enumerate(objects, start=1):
         offsets.append(len(out))
@@ -207,6 +263,40 @@ def build_pdf(
             continue
         out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
     xref_off = len(out)
+
+    if xref_stream:
+        # PDF 1.5 cross-reference STREAM: /Type /XRef object carrying
+        # W [1 4 2] big-endian entry rows (type, offset-or-objstm,
+        # index) and the trailer keys in its own dict; no classic
+        # `xref` keyword or `trailer` appears in the file at all.
+        xnum = len(objects) + 1
+        packed_index = {num: i for i, num in enumerate(packed)}
+        rows = [b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+        for i, off in enumerate(offsets, start=1):
+            if i in packed:
+                rows.append(
+                    b"\x02"
+                    + (objstm_num or 0).to_bytes(4, "big")
+                    + packed_index[i].to_bytes(2, "big")
+                )
+            else:
+                rows.append(
+                    b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+                )
+        rows.append(
+            b"\x01" + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        )
+        payload = zlib.compress(b"".join(rows), 6)
+        out += (
+            str(xnum).encode() + b" 0 obj\n<< /Type /XRef /Size "
+            + str(xnum + 1).encode() + b" /W [1 4 2] /Root "
+            + str(catalog_num).encode() + b" 0 R /Filter /FlateDecode"
+            b" /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        return bytes(out)
+
     out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
     out += b"0000000000 65535 f \n"
     for off in offsets:
@@ -226,7 +316,12 @@ _WORDS = (
 
 
 def synth_pdf(
-    seed: int, objstm: bool = False, cmap_fonts: bool = False
+    seed: int,
+    objstm: bool = False,
+    cmap_fonts: bool = False,
+    nested_pages: bool = False,
+    xref_stream: bool = False,
+    indirect_length: bool = False,
 ) -> tuple[bytes, list[tuple[str, str | None]]]:
     """Deterministic synthetic PDF + its expected (kind, text/media) list.
 
@@ -265,4 +360,49 @@ def synth_pdf(
             # filter-independent)
             expected.append(("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}"))
         pages.append(ops)
-    return build_pdf(pages, objstm=objstm, cmap_fonts=cmap_fonts), expected
+    return (
+        build_pdf(
+            pages,
+            objstm=objstm,
+            cmap_fonts=cmap_fonts,
+            nested_pages=nested_pages,
+            xref_stream=xref_stream,
+            indirect_length=indirect_length,
+        ),
+        expected,
+    )
+
+
+def synth_two_column_pdf(
+    seed: int,
+) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic two-column page + its expected COLUMN-MAJOR order.
+
+    Left column starts at x=72, right at x=330 (gutter start gap 258 >
+    the parser's 150-unit channel threshold); both columns share the
+    same baseline grid, so a row-major reader would interleave them.
+    Expected order is constructed alongside the bytes: heading, all
+    left-column lines top-to-bottom, then all right-column lines.
+    """
+    n_lines = 4 + seed % 3
+    ops: list[tuple] = [("text", 72, 740, 24, f"Two Column {seed}")]
+    expected: list[tuple[str, str | None]] = [
+        ("heading", f"Two Column {seed}")
+    ]
+    left, right = [], []
+    for li in range(n_lines):
+        lwords = " ".join(
+            _WORDS[(seed * 5 + li * 3 + w) % len(_WORDS)] for w in range(4)
+        )
+        rwords = " ".join(
+            _WORDS[(seed * 3 + li * 7 + w + 1) % len(_WORDS)]
+            for w in range(4)
+        )
+        y = 700 - 16 * li
+        ops.append(("text", 72, y, 11, lwords))
+        ops.append(("text", 330, y, 11, rwords))
+        left.append(("text", lwords))
+        right.append(("text", rwords))
+    expected.extend(left)
+    expected.extend(right)
+    return build_pdf([ops]), expected

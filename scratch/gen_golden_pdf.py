@@ -29,8 +29,14 @@ DATA = os.path.join(ROOT, "data")
 N_SEEDS = 32
 N_OBJSTM = 8
 N_CMAP = 8
+N_MODERN = 6   # ObjStm + xref-stream (full PDF 1.5 producer layout)
+N_NESTED = 6   # balanced /Pages tree (intermediate nodes)
+N_INDLEN = 6   # /Length as an indirect reference
+N_TWOCOL = 6   # two-column pages, column-major expected order
 
-from helix_html2md_spark.sources.pdfgen import synth_pdf  # noqa: E402
+from helix_html2md_spark.sources.pdfgen import (  # noqa: E402
+    synth_pdf, synth_two_column_pdf,
+)
 
 RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
 
@@ -88,6 +94,38 @@ def main():
     for seed in range(N_CMAP):
         data, expected = synth_pdf(seed, cmap_fonts=True)
         doc_id = f"pdf-cmap-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # round-4 layout variants: same construction-time expectations,
+    # different physical file layouts (modern = ObjStm + xref stream;
+    # nested page tree; indirect /Length), plus two-column pages whose
+    # expected order is column-major by construction
+    for seed in range(N_MODERN):
+        data, expected = synth_pdf(seed, objstm=True, xref_stream=True)
+        doc_id = f"pdf-modern-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    for seed in range(N_NESTED):
+        data, expected = synth_pdf(seed, nested_pages=True)
+        doc_id = f"pdf-nested-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    for seed in range(N_INDLEN):
+        data, expected = synth_pdf(seed, indirect_length=True)
+        doc_id = f"pdf-indlen-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    for seed in range(N_TWOCOL):
+        data, expected = synth_two_column_pdf(seed)
+        doc_id = f"pdf-twocol-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

@@ -17,7 +17,9 @@ import os
 import pyarrow.parquet as pq
 
 from helix_html2md_spark.core.pdfparse import parse_pdf
-from helix_html2md_spark.sources.pdfgen import synth_pdf
+from helix_html2md_spark.sources.pdfgen import (
+    synth_pdf, synth_two_column_pdf,
+)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = os.path.join(ROOT, "data")
@@ -25,6 +27,10 @@ RS, FS = "\x1e", "\x1f"
 N_SEEDS = 32
 N_OBJSTM = 8
 N_CMAP = 8
+N_MODERN = 6
+N_NESTED = 6
+N_INDLEN = 6
+N_TWOCOL = 6
 
 
 def _md5_of(expected):
@@ -43,16 +49,30 @@ def _golden():
 
 def test_golden_matches_construction_expectations():
     golden = _golden()
-    assert len(golden) == N_SEEDS + N_OBJSTM + N_CMAP + 2
+    assert len(golden) == (
+        N_SEEDS + N_OBJSTM + N_CMAP
+        + N_MODERN + N_NESTED + N_INDLEN + N_TWOCOL + 2
+    )
     variants = (
         [(s, {}, f"pdf-{s:04d}") for s in range(N_SEEDS)]
         + [(s, {"objstm": True}, f"pdf-objstm-{s:04d}")
            for s in range(N_OBJSTM)]
         + [(s, {"cmap_fonts": True}, f"pdf-cmap-{s:04d}")
            for s in range(N_CMAP)]
+        + [(s, {"objstm": True, "xref_stream": True},
+            f"pdf-modern-{s:04d}") for s in range(N_MODERN)]
+        + [(s, {"nested_pages": True}, f"pdf-nested-{s:04d}")
+           for s in range(N_NESTED)]
+        + [(s, {"indirect_length": True}, f"pdf-indlen-{s:04d}")
+           for s in range(N_INDLEN)]
+        + [(s, {"two_column": True}, f"pdf-twocol-{s:04d}")
+           for s in range(N_TWOCOL)]
     )
     for seed, kwargs, doc_id in variants:
-        _, expected = synth_pdf(seed, **kwargs)
+        if kwargs.pop("two_column", False):
+            _, expected = synth_two_column_pdf(seed)
+        else:
+            _, expected = synth_pdf(seed, **kwargs)
         row = golden[doc_id]
         assert row["status"] == "ok"
         assert row["spans_md5"] == _md5_of(expected)

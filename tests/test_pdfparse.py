@@ -13,7 +13,9 @@ import zlib
 import pytest
 
 from helix_html2md_spark.core.pdfparse import PdfError, parse_pdf
-from helix_html2md_spark.sources.pdfgen import build_pdf, synth_pdf
+from helix_html2md_spark.sources.pdfgen import (
+    build_pdf, synth_pdf, synth_two_column_pdf,
+)
 
 
 def kinds_texts(spans):
@@ -318,6 +320,143 @@ def test_cmap_without_map_yields_no_text():
     # hex codes decode through latin-1 fallback -> control chars, which
     # strip to nothing; no fabricated text appears
     assert all("secret" not in (s["text"] or "") for s in spans)
+
+
+def test_nested_page_tree_order():
+    """Intermediate /Pages nodes (balanced page tree): every leaf page
+    is found, in tree order — a reader of only the root's direct /Kids
+    silently drops all descendants (round-3 ADVICE item)."""
+    pages = [
+        [("text", 72, 700, 11, f"page {i} body line")] for i in range(5)
+    ]
+    flat = build_pdf(pages)
+    nested = build_pdf(pages, nested_pages=True)
+    assert nested.count(b"/Type /Pages") == 3  # root + two intermediates
+    assert parse_pdf(nested) == parse_pdf(flat)
+    assert [s["text"] for s in parse_pdf(nested)] == [
+        f"page {i} body line" for i in range(5)
+    ]
+
+
+def test_indirect_stream_length():
+    """/Length as an indirect reference (N 0 R -> plain-int object) is
+    authoritative, same as a direct /Length: a payload whose deflate
+    bytes end in 0x0D would lose its last byte to the EOL-strip
+    fallback (round-3 ADVICE item)."""
+    pages = [
+        [
+            ("text", 72, 740, 24, "Indirect"),
+            ("text", 72, 700, 11, "length lives in its own object"),
+        ]
+    ]
+    direct = build_pdf(pages)
+    indirect = build_pdf(pages, indirect_length=True)
+    assert b" 0 R /Filter" in indirect  # /Length N 0 R emitted
+    assert parse_pdf(indirect) == parse_pdf(direct)
+    # every synth seed round-trips through the indirect-length layout
+    for seed in range(8):
+        data, expected = synth_pdf(seed, indirect_length=True)
+        assert kinds_texts(parse_pdf(data)) == expected, f"seed {seed}"
+
+
+def test_xref_stream_layout_parses():
+    """PDF 1.5 cross-reference streams: no classic `xref` table or
+    `trailer` keyword anywhere in the file; combined with ObjStm this is
+    the full modern-producer layout."""
+    pages = [
+        [
+            ("text", 72, 740, 24, "XRef"),
+            ("text", 72, 700, 11, "stream style cross reference"),
+        ],
+        [("text", 72, 700, 11, "second page")],
+    ]
+    flat = build_pdf(pages)
+    xs = build_pdf(pages, xref_stream=True)
+    assert b"\nxref\n" not in xs and b"trailer" not in xs
+    assert b"/Type /XRef" in xs
+    assert parse_pdf(xs) == parse_pdf(flat)
+    modern = build_pdf(pages, objstm=True, xref_stream=True)
+    assert b"\nxref\n" not in modern and b"/ObjStm" in modern
+    assert parse_pdf(modern) == parse_pdf(flat)
+
+
+def test_tc_tw_spacing_orders_runs():
+    """Tc/Tw spacing advances the pen estimate: two shows in one BT must
+    keep emission order in the x-ordered line fold even when spacing
+    pushes the second run far right of a naive half-em estimate."""
+    # hand-rolled: one BT, char spacing 5, word spacing 10, two Tj runs
+    raw = (
+        b"BT /F1 11 Tf 5 Tc 10 Tw 72 700 Td (aa bb) Tj (cc) Tj ET\n"
+        b"BT /F1 11 Tf 72 680 Td (plain) Tj ET"
+    )
+    pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf = pdf.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf = pdf.replace(b"/Length 32", b"/Length " + str(len(raw)).encode())
+    assert [s["text"] for s in parse_pdf(pdf)] == ["aa bbcc", "plain"]
+
+    # the quote operator: aw ac (s) " sets Tw/Tc then next-line-shows
+    raw2 = (
+        b"BT /F1 11 Tf 14 TL 72 700 Td (first line) Tj"
+        b" 10 5 (quoted line) \" ET"
+    )
+    pdf2 = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf2 = pdf2.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw2)
+    pdf2 = pdf2.replace(
+        b"/Length 32", b"/Length " + str(len(raw2)).encode()
+    )
+    assert [s["text"] for s in parse_pdf(pdf2)] == [
+        "first line", "quoted line",
+    ]
+
+
+def test_text_spaced_op_generates_tc_tw():
+    pdf = build_pdf(
+        [[("text_spaced", 72, 700, 11, "spaced out", 2, 8)]],
+        compress=False,
+    )
+    assert b"2 Tc 8 Tw" in pdf
+    assert [s["text"] for s in parse_pdf(pdf)] == ["spaced out"]
+
+
+def test_two_column_reading_order():
+    """Column-major order on a genuine two-column page (construction-
+    time expectation), row-major preserved for single-column pages with
+    continuation runs (the guard conditions)."""
+    for seed in range(6):
+        data, expected = synth_two_column_pdf(seed)
+        assert kinds_texts(parse_pdf(data)) == expected, f"seed {seed}"
+
+
+def test_two_column_guards_do_not_split_single_column():
+    # wide continuation runs on ONE shared baseline pair: right cluster
+    # has < 3 distinct baselines -> no split, row-major order stands
+    pdf = build_pdf(
+        [[
+            ("text", 72, 700, 11, "left a"),
+            ("text", 330, 700, 11, "right a"),
+            ("text", 72, 684, 11, "left b"),
+            ("text", 330, 684, 11, "right b"),
+        ]]
+    )
+    # (same-baseline runs concatenate without a synthesized separator —
+    # the long-standing fold behavior; the point here is NO column split)
+    assert [s["text"] for s in parse_pdf(pdf)] == [
+        "left aright a", "left bright b",
+    ]
+    # stacked clusters (no y-overlap) never split either
+    pdf2 = build_pdf(
+        [[
+            ("text", 72, 700, 11, "top a"),
+            ("text", 72, 684, 11, "top b"),
+            ("text", 72, 668, 11, "top c"),
+            ("text", 330, 500, 11, "box a"),
+            ("text", 330, 484, 11, "box b"),
+            ("text", 330, 468, 11, "box c"),
+        ]]
+    )
+    assert [s["text"] for s in parse_pdf(pdf2)] == [
+        "top a", "top b", "top c", "box a", "box b", "box c",
+    ]
 
 
 def test_bfrange_decoding():
