@@ -640,6 +640,31 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_extract_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED extraction: the Arc90 boilerplate strip wired INTO the
+    HTML->Markdown pipeline as the no-<main> fallback
+    (``boilerplate_fallback`` config flag; the north rule names "HTML
+    boilerplate strip" as part of the pipeline, not a side query).  Flag
+    off preserves the reference's no-main semantics byte-exactly
+    (fixture-pinned, test/fixtures/no-main.md).  Oracle: golden parquet
+    of CONSTRUCTION-TIME markdown expectations
+    (scratch/gen_golden_fallback.py — the transform never ran to build
+    them), incl. <main>-precedence rows where the fallback must NOT
+    fire."""
+    from helix_html2md_spark.operators.extract import extract_documents
+
+    pages = spark.read.parquet(
+        os.path.join(_DATA_DIR, "fallback_pages.parquet")
+    )
+    out = extract_documents(
+        pages, None, num_partitions=8,
+        defaults={"boilerplate_fallback": True},
+    )
+    return out.select(
+        "doc_id", "status", "n_chars", F.md5("md").alias("md_md5")
+    ).orderBy("doc_id")
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked windowed aggregation (streaming operator run in batch
     mode — identical plan semantics; the watermark is a no-op on batch)."""
@@ -774,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "pdf_extract": q_pdf_extract,
         "boilerplate": q_boilerplate,
+        "extract_fallback": q_extract_fallback,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "dedup_segments": q_dedup_segments,
@@ -1049,6 +1075,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_pdf_extract": f"""
             SELECT doc_id, status, spans_md5
             FROM read_parquet('{_DATA_DIR}/golden_pdf_spans.parquet')
+            ORDER BY doc_id
+        """,
+        "extract_fallback": f"""
+            SELECT doc_id, status, n_chars, md_md5
+            FROM read_parquet('{_DATA_DIR}/golden_fallback.parquet')
             ORDER BY doc_id
         """,
         "dedup_segments": f"""

@@ -26,7 +26,7 @@ import re
 
 from .dom import Element, Text, parse_html
 
-__all__ = ["strip_boilerplate"]
+__all__ = ["strip_boilerplate", "select_content"]
 
 _NOISE_TAGS = {
     "script", "style", "noscript", "template", "nav", "header", "footer",
@@ -97,15 +97,23 @@ def _link_text_len(el: Element) -> int:
     return total
 
 
-def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
-    """Return the heuristically-selected main content of an HTML page.
+def select_content(root: Element, min_para_len: int = 25) -> Element | None:
+    """Clean + score a parsed tree, return the Arc90-winner element.
 
-    Output keys: ``status`` ("ok" / "no_content"), ``content_tag``,
-    ``content_text`` (whitespace-normalized), ``text_len``,
-    ``link_density`` (4dp), ``n_paras`` (scoring paragraphs inside the
-    winner), ``score`` (rounded int).
+    Shared core of :func:`strip_boilerplate`, exposed so the extraction
+    pipeline (core/html2md.py) can fall back to the heuristic winner
+    when a page has no ``<main>``.  MUTATES the tree (noise subtrees are
+    dropped).  Returns ``None`` when no paragraph scores.
     """
-    root = parse_html(html)
+    got = _best_candidate(root, min_para_len)
+    return got[0] if got else None
+
+
+def _best_candidate(
+    root: Element, min_para_len: int
+) -> tuple[Element, tuple, dict[int, int]] | None:
+    """(winner element, its (-final, order) key, per-candidate paragraph
+    counts) — or None when nothing scores."""
     body = root.find("body") or root
     _clean(body)
 
@@ -143,11 +151,7 @@ def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
             scores[id(gp)] = scores.get(id(gp), 0.0) + pts / 2.0
 
     if not scores:
-        return {
-            "status": "no_content", "content_tag": None,
-            "content_text": "", "text_len": 0, "link_density": 0.0,
-            "n_paras": 0, "score": 0,
-        }
+        return None
 
     by_id = {id(el): el for el in seq}
     best_el, best_final = None, None
@@ -162,8 +166,25 @@ def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
         key = (-final, order.get(el_id, 1 << 30))
         if best_final is None or key < best_final:
             best_final, best_el = key, el
+    return best_el, best_final, para_counts
 
-    el = best_el
+
+def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
+    """Return the heuristically-selected main content of an HTML page.
+
+    Output keys: ``status`` ("ok" / "no_content"), ``content_tag``,
+    ``content_text`` (whitespace-normalized), ``text_len``,
+    ``link_density`` (4dp), ``n_paras`` (scoring paragraphs inside the
+    winner), ``score`` (rounded int).
+    """
+    got = _best_candidate(parse_html(html), min_para_len)
+    if got is None:
+        return {
+            "status": "no_content", "content_tag": None,
+            "content_text": "", "text_len": 0, "link_density": 0.0,
+            "n_paras": 0, "score": 0,
+        }
+    el, best_final, para_counts = got
     text = _text(el)
     text_len = len(text)
     link_len = _link_text_len(el)

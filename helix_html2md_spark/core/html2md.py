@@ -157,6 +157,21 @@ def html2md(html: str, config: dict | None = None) -> str:
     # metadata harvest may raise ConstraintsError (invalid json-ld) even
     # when <main> is missing
     entries = tr.metadata_entries(root)
+    if main is None and cfg.get("boilerplate_fallback"):
+        # no <main>: fall back to the Arc90 boilerplate-strip winner
+        # (core/boilerplate.py) and transform its subtree as ONE section
+        # (a synthetic main > div wrapper).  Off by default: the
+        # reference's no-main semantics (empty output,
+        # test/fixtures/no-main.md) are fixture-pinned.
+        from .boilerplate import select_content
+        from .dom import Element
+
+        winner = select_content(root)
+        if winner is not None:
+            wrapper_div = Element("div")
+            wrapper_div.children = list(winner.children)
+            main = Element("main")
+            main.children = [wrapper_div]
     if main is None:
         return ""
 

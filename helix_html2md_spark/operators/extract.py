@@ -57,6 +57,7 @@ EXTRACTED_SCHEMA = StructType(
 _CONFIG_COLS = (
     "source_url", "org", "site", "media_enabled", "unspread_lists",
     "external_prefixes", "max_images", "max_image_size", "max_html_size",
+    "boilerplate_fallback",
 )
 
 _MEDIA_MD_RE = re.compile(
@@ -149,6 +150,9 @@ def extract_row(html, media_spans, cfg_row) -> dict:
         "max_images": int(_scalar(cfg_row.get("max_images")) or 0) or None,
         "max_image_size": int(_scalar(cfg_row.get("max_image_size")) or 0) or None,
         "max_html_size": int(_scalar(cfg_row.get("max_html_size")) or 0) or None,
+        "boilerplate_fallback": bool(
+            _scalar(cfg_row.get("boilerplate_fallback"))
+        ),
     }
     try:
         md = html2md(html, config)

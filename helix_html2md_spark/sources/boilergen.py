@@ -12,7 +12,7 @@ and identical expectations.
 
 from __future__ import annotations
 
-__all__ = ["synth_boiler_page"]
+__all__ = ["synth_boiler_page", "synth_content_page"]
 
 _WORDS = (
     "signal content reader dense column stream engine corpus page rank "
@@ -92,3 +92,56 @@ def synth_boiler_page(seed: int) -> tuple[str, dict]:
         "score": int(round(raw)),
     }
     return html, expected
+
+
+def synth_content_page(
+    seed: int, with_main: bool = False
+) -> tuple[str, str]:
+    """(html, expected_markdown) for the COMPOSED extraction path
+    (``boilerplate_fallback=True`` in core/html2md.py).
+
+    The page has realistic chrome but NO ``<main>`` (unless
+    ``with_main``), and its ``<head>`` carries no harvestable metadata
+    (no title/meta/json-ld), so the expected markdown is arithmetic in
+    the construction: heading + paragraphs of the Arc90-winning content
+    container, one section, no metadata gridtable.  ``with_main=True``
+    pins precedence: a present ``<main>`` wins and the fallback never
+    runs, so the expectation is the main transform's output.
+    """
+    n_paras = 2 + seed % 4
+    tag = "article" if seed % 3 == 0 else "div"
+    title = f"Fallback {seed}"
+    paras = [
+        _para(seed * 13 + 5, i, 12 + (seed + i) % 9)
+        for i in range(n_paras)
+    ]
+    content = f"<h1>{title}</h1>\n" + "\n".join(
+        f"<p>{p}</p>" for p in paras
+    )
+    chrome_links = "".join(
+        f'<a href="/s{j}">section {j}</a> ' for j in range(5)
+    )
+    main_html = ""
+    if with_main:
+        main_html = (
+            f"<main><div><h2>Official {seed}</h2>"
+            f"<p>{paras[0]}</p></div></main>\n"
+        )
+    html = f"""<!DOCTYPE html>
+<html><head><style>body {{ margin: 0 }}</style>
+<script>var tracker = 1;</script></head>
+<body>
+<header><a href="/">Example Site</a> {chrome_links}</header>
+<nav><ul><li><a href="/a">archive</a></li><li><a href="/b">about</a></li></ul></nav>
+<div class="sidebar">{chrome_links}</div>
+{main_html}<{tag} id="content">
+{content}
+</{tag}>
+<div class="comments"><p>first!, a comment that is long enough to score</p></div>
+<footer><a href="/imprint">imprint</a> copyright</footer>
+</body></html>"""
+    if with_main:
+        expected_md = f"## Official {seed}\n\n{paras[0]}"
+    else:
+        expected_md = f"# {title}\n\n" + "\n\n".join(paras)
+    return html, expected_md

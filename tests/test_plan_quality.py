@@ -45,7 +45,7 @@ _STREAMING_QUERIES = {"stream_extract", "stream_pdf_extract"}
 # else in the battery must stay pure JVM
 _MAPINPANDAS_OK = {
     "extract_spans", "media_features", "resized_images", "frame_samples",
-    "pdf_extract", "boilerplate", "label_centroids",
+    "pdf_extract", "boilerplate", "label_centroids", "extract_fallback",
 }
 
 
