@@ -589,9 +589,10 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
 
     # column-aware reading order: one optional vertical XY-cut per page
     # (page asc, column asc, baseline y desc, x asc)
-    splits: dict[int, float | None] = {}
-    for page in {e[0] for e in events}:
-        splits[page] = _column_split([e for e in events if e[0] == page])
+    by_page: dict[int, list] = {}
+    for e in events:
+        by_page.setdefault(e[0], []).append(e)
+    splits = {pg: _column_split(evs) for pg, evs in by_page.items()}
     keyed = []
     for page, ny, x, payload in events:
         split = splits[page]
