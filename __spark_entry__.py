@@ -619,6 +619,29 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms with an integer-quantized idf
+    (floor(1000*N/df)) — float ln() is not bit-portable across engines,
+    so the cross-engine contract ranks on exact integer arithmetic.
+    One explode + combined count, term-keyed df join, per-doc window
+    top-k (operators/corpus.py)."""
+    from helix_html2md_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold corpus sampling (64/256 = 25%):
+    keep iff substr(md5(doc_id),1,2) < '40' — stateless, shuffle-free
+    predicate identical in any engine; per-language sample statistics
+    in one map-side-combined aggregation (operators/corpus.py)."""
+    from helix_html2md_spark.operators.corpus import hash_sample_stats
+
+    return hash_sample_stats(_docs(spark, sf_dir), numerator=64)
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate strip (Arc90-readability-style text/link-density
     scoring, core/boilerplate.py) over the committed deterministic page
@@ -800,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "boilerplate": q_boilerplate,
         "extract_fallback": q_extract_fallback,
+        "tfidf_terms": q_tfidf_terms,
+        "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "dedup_segments": q_dedup_segments,
@@ -1081,6 +1106,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, status, n_chars, md_md5
             FROM read_parquet('{_DATA_DIR}/golden_fallback.parquet')
             ORDER BY doc_id
+        """,
+        "tfidf_terms": f"""
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKENS}) AS term
+                    FROM documents)
+              GROUP BY doc_id, term),
+            d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT cast(count(*) AS double) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                     cast(tf.tf * floor(1000.0 * n.n / d.df)
+                          AS bigint) AS score
+              FROM tf JOIN d USING (term) CROSS JOIN n),
+            r AS (
+              SELECT s.*, cast(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS int) AS rank
+              FROM s)
+            SELECT doc_id, term, tf, df, score, rank
+            FROM r WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        "corpus_sample": """
+            SELECT lang,
+                   count(*) AS n_total,
+                   cast(sum(CASE WHEN
+                            substr(md5(cast(doc_id AS varchar)), 1, 2)
+                              < '40'
+                            THEN 1 ELSE 0 END) AS bigint) AS n_sampled,
+                   cast(sum(CASE WHEN
+                            substr(md5(cast(doc_id AS varchar)), 1, 2)
+                              < '40'
+                            THEN n_chars ELSE 0 END) AS bigint)
+                     AS chars_sampled
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "dedup_segments": f"""
             WITH t AS (
