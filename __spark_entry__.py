@@ -619,6 +619,37 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/relational.py::asof_join): each purchase
+    event picks up the latest strictly-prior view event of the same
+    user — union-tag + one window pass, one shuffle, no per-key row
+    explosion.  Oracle: DuckDB's NATIVE ASOF LEFT JOIN, an independent
+    implementation of the same semantics."""
+    from helix_html2md_spark.operators.relational import asof_join, load
+
+    ev = load(spark, sf_dir, "events")
+    out = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        by="user_id",
+        on="ts",
+        value_cols=["event_id"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("prior_view_id"),
+        # ts is timestamp_ntz; the ntz->ltz cast is identity under the
+        # UTC session tz (build_session pins it; the host JVM default is
+        # Etc/UTC), matching DuckDB's naive-as-UTC epoch_us exactly
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms with an integer-quantized idf
     (floor(1000*N/df)) — float ln() is not bit-portable across engines,
@@ -825,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fallback": q_extract_fallback,
         "tfidf_terms": q_tfidf_terms,
         "corpus_sample": q_corpus_sample,
+        "purchase_asof": q_purchase_asof,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "dedup_segments": q_dedup_segments,
@@ -1127,6 +1159,18 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT doc_id, term, tf, df, score, rank
             FROM r WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        "purchase_asof": """
+            WITH p AS (
+              SELECT * FROM events WHERE event_type = 'purchase'),
+            v AS (
+              SELECT * FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id,
+                   v.event_id AS prior_view_id,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts > v.ts
+            ORDER BY p.event_id
         """,
         "corpus_sample": """
             SELECT lang,

@@ -153,3 +153,65 @@ def event_type_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    on: str,
+    value_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row whose
+    ``on`` is < (``strict``) or <= the left row's, within its ``by``
+    group — the time-series primitive Spark's join operators lack
+    (Flink temporal joins / DuckDB ASOF JOIN / pandas merge_asof are
+    the published equivalents this re-expresses Spark-first).
+
+    Shape: union-tag both sides, ONE shuffle on ``by``, one running
+    ``last(ignoreNulls)`` window over (on, side) — linear in rows, no
+    per-key row explosion (the naive theta-join is O(n*m) per key and
+    unusable at corpus scale).  Left rows with no prior right row keep
+    NULLs (left-join semantics).  Right-side ties on (by, on) resolve
+    by arrival order — pass unique (by, on) rows for full determinism.
+
+    Returns all left columns plus ``asof_<c>`` for each value col and
+    ``asof_<on>`` (the matched right timestamp).
+    """
+    picked = [on] + value_cols
+    rv = F.struct(*[F.col(c) for c in picked])
+    rv_type = right.select(rv.alias("_rv")).schema["_rv"].dataType
+    lv = F.struct(*[F.col(c) for c in left.columns])
+    lv_type = left.select(lv.alias("_lv")).schema["_lv"].dataType
+    # strict: right rows sort AFTER left at equal ts, so the frame up to
+    # the current row never includes an equal-ts right row
+    l_side, r_side = (0, 1) if strict else (1, 0)
+    l_tag = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(l_side).alias("_side"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        lv.alias("_lv"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(r_side).alias("_side"),
+        rv.alias("_rv"),
+        F.lit(None).cast(lv_type).alias("_lv"),
+    )
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_on", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_tag.unionByName(r_tag).withColumn(
+        "_asof", F.last("_rv", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"_lv.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_asof.{c}").alias(f"asof_{c}") for c in picked
+    ]
+    return matched.filter(F.col("_lv").isNotNull()).select(*out_cols)

@@ -86,3 +86,53 @@ def test_hash_sample_shuffle_free_predicate(spark):
     )
     # one hash-agg exchange + the orderBy range exchange, no more
     assert plan.count("Exchange") <= 2
+
+
+# --- as-of join (operators/relational.py) -----------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from helix_html2md_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")],
+        "k long, t long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "r1")],
+        "k long, t long, rval string",
+    )
+    strict = {
+        r["lval"]: r["asof_rval"]
+        for r in asof_join(
+            left, right, by="k", on="t", value_cols=["rval"]
+        ).collect()
+    }
+    # strictly-prior: l1@10 must NOT see r10@10; l2@20 sees r15;
+    # k=2 has no right rows at all -> NULL
+    assert strict == {"l1": None, "l2": "r15", "l3": None}
+    loose = {
+        r["lval"]: r["asof_rval"]
+        for r in asof_join(
+            left, right, by="k", on="t", value_cols=["rval"],
+            strict=False,
+        ).collect()
+    }
+    assert loose == {"l1": "r10", "l2": "r15", "l3": None}
+
+
+def test_asof_join_single_shuffle(spark):
+    from helix_html2md_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "b")], "k long, t long, w string")
+    plan = (
+        asof_join(left, right, by="k", on="t", value_cols=["w"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union-tag shape: no join operator at all, one hash exchange for
+    # the window (per side of the union pre-shuffle)
+    assert "Join" not in plan
+    assert "Window" in plan
