@@ -650,6 +650,41 @@ def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/relational.py::interval_join): every click
+    in the 4 hours before each error by the same user — binned
+    equi-join on (user, time-bucket) + exact residual filter, bounded
+    <=2x left fan-out instead of Spark's O(n*m)-per-key nested-loop
+    fallback.  Oracle: DuckDB's inequality join (its IEJoin is an
+    independent range-join implementation)."""
+    from helix_html2md_spark.operators.relational import (
+        interval_join, load,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    out = interval_join(
+        ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "t_us"
+        ),
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "t_us"
+        ),
+        by="user_id",
+        on="t_us",
+        low=-14_400_000_000,
+        high=0,
+        value_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("match_event_id").alias("click_id"),
+        (F.col("t_us") - F.col("match_t_us")).alias("gap_us"),
+    ).orderBy("event_id", "click_id")
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms with an integer-quantized idf
     (floor(1000*N/df)) — float ln() is not bit-portable across engines,
@@ -857,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "corpus_sample": q_corpus_sample,
         "purchase_asof": q_purchase_asof,
+        "error_click_window": q_error_click_window,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "dedup_segments": q_dedup_segments,
@@ -1171,6 +1207,20 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY p.event_id
+        """,
+        "error_click_window": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'error'),
+            c AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'click')
+            SELECT e.event_id, e.user_id,
+                   c.event_id AS click_id,
+                   e.t_us - c.t_us AS gap_us
+            FROM e JOIN c ON e.user_id = c.user_id
+              AND c.t_us BETWEEN e.t_us - 14400000000 AND e.t_us
+            ORDER BY e.event_id, click_id
         """,
         "corpus_sample": """
             SELECT lang,

@@ -215,3 +215,57 @@ def asof_join(
         F.col(f"_asof.{c}").alias(f"asof_{c}") for c in picked
     ]
     return matched.filter(F.col("_lv").isNotNull()).select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    on: str,
+    low: int,
+    high: int,
+    value_cols: list[str],
+    bucket: int | None = None,
+) -> DataFrame:
+    """Range (interval) join: all right rows whose numeric ``on`` falls
+    in [left.on + low, left.on + high] within the same ``by`` group —
+    the second join primitive Spark lacks natively (its BroadcastNested
+    LoopJoin fallback is O(n*m) per key and unusable at corpus scale).
+
+    Standard binning strategy: bucket width defaults to the window span,
+    each left row replicates to the <= 2-3 buckets its window covers
+    (bounded fan-out), right rows land in their own bucket, and an
+    EQUI-join on (by, bucket) + an exact residual filter does the rest.
+    One shuffle per side, shuffle keys carry the bucket so co-ranged
+    rows co-locate; inner-join semantics (unmatched left rows drop).
+
+    Returns all left columns plus ``match_<c>`` for each right value
+    col and ``match_<on>``.
+    """
+    if high <= low:
+        raise ValueError("high must be greater than low")
+    w = bucket or (high - low)
+    lb = F.floor((F.col(on) + F.lit(low)) / F.lit(w)).cast("long")
+    ub = F.floor((F.col(on) + F.lit(high)) / F.lit(w)).cast("long")
+    l_tag = left.withColumn("_b", F.explode(F.sequence(lb, ub)))
+    picked = [on] + value_cols
+    r_tag = right.select(
+        F.col(by).alias("_rby"),
+        F.floor(F.col(on) / F.lit(w)).cast("long").alias("_b"),
+        *[F.col(c).alias(f"match_{c}") for c in picked],
+    )
+    # equi-keys are (by, bucket): both sides shuffle on the pair, so a
+    # hot time-bucket still spreads across keys (no single-bucket task)
+    joined = l_tag.join(
+        r_tag,
+        on=[
+            l_tag[by] == r_tag["_rby"],
+            l_tag["_b"] == r_tag["_b"],
+        ],
+        how="inner",
+    ).filter(
+        (F.col(f"match_{on}") >= F.col(on) + F.lit(low))
+        & (F.col(f"match_{on}") <= F.col(on) + F.lit(high))
+    )
+    return joined.drop("_b", "_rby")

@@ -136,3 +136,49 @@ def test_asof_join_single_shuffle(spark):
     # the window (per side of the union pre-shuffle)
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_interval_join_matches_naive(spark):
+    from helix_html2md_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 200, "e2"), (2, 100, "e3")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 60, "c1"), (1, 95, "c2"), (1, 100, "c3"), (1, 199, "c4"),
+         (2, 150, "c5")],
+        "k long, t long, rv string",
+    )
+    out = interval_join(
+        left, right, by="k", on="t", low=-40, high=0, value_cols=["rv"]
+    ).collect()
+    got = sorted((r["lv"], r["match_rv"]) for r in out)
+    # e1@100 window [60,100]: c1, c2, c3; e2@200 window [160,200]: c4;
+    # e3 (k=2) window [60,100]: nothing (c5@150 outside)
+    assert got == [("e1", "c1"), ("e1", "c2"), ("e1", "c3"), ("e2", "c4")]
+    # bucket width override changes nothing semantically
+    out2 = interval_join(
+        left, right, by="k", on="t", low=-40, high=0,
+        value_cols=["rv"], bucket=7,
+    ).collect()
+    assert sorted((r["lv"], r["match_rv"]) for r in out2) == got
+
+
+def test_interval_join_bounded_fanout_plan(spark):
+    from helix_html2md_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 90, "b")], "k long, t long, w string")
+    plan = (
+        interval_join(
+            left, right, by="k", on="t", low=-50, high=0,
+            value_cols=["w"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # an EQUI join (hash/sort-merge), never a nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
