@@ -792,6 +792,27 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming exact dedup: land the documents table, run
+    the availableNow state-backed dropDuplicates stream, read the
+    checkpointed sink back.  Output is content-determined only
+    (content_md5, text_len) — arrival order never shows.  Oracle:
+    SELECT DISTINCT over the same table."""
+    import tempfile
+
+    from helix_html2md_spark.streaming.stream import stream_dedup
+
+    base = tempfile.mkdtemp(prefix="graft_stream_dedup_")
+    _docs(spark, sf_dir).write.parquet(f"{base}/in")
+    q = stream_dedup(spark, f"{base}/in", f"{base}/out", f"{base}/cp")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("content_md5", "text_len")
+        .orderBy("content_md5")
+    )
+
+
 def q_stream_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END Structured Streaming PDF layout parse: land the
     committed PDF table, run the availableNow stream (same JVM gate +
@@ -900,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "stream_extract": q_stream_extract,
         "stream_pdf_extract": q_stream_pdf_extract,
+        "stream_dedup": q_stream_dedup,
         "embedding_neardup": q_embedding_neardup,
         "neardup_verified": q_neardup_verified,
         "dup_components": q_dup_components,
@@ -1207,6 +1229,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY p.event_id
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT md5(text) AS content_md5,
+                   cast(length(text) AS bigint) AS text_len
+            FROM documents ORDER BY content_md5
         """,
         "error_click_window": """
             WITH e AS (

@@ -108,6 +108,61 @@ def stream_pdf_extract(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Streaming exact dedup of a documents landing zone: state-backed
+    ``dropDuplicates`` on the content hash — one surviving row per
+    distinct content across ALL microbatches AND restarts (the dedup
+    state lives in the checkpoint, so a restarted stream keeps
+    suppressing content it has already emitted).
+
+    The output carries only content-determined columns
+    (content_md5, text_len): WHICH duplicate row survives is
+    arrival-order-dependent on a stream, so the contract exposes
+    nothing arrival-dependent.  At corpus scale, bound the state with
+    ``dropDuplicatesWithinWatermark`` over an event-time column; the
+    documents table has no event time, so this surface keeps full state
+    (hash-only rows, 48 B each — documented tradeoff).
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    deduped = docs.select(
+        F.md5("text").alias("content_md5"),
+        F.length("text").cast("long").alias("text_len"),
+    ).dropDuplicates(["content_md5"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_sessionize(
     events_stream, gap_minutes: int = 30, use_timeout: bool = True
 ):

@@ -93,3 +93,35 @@ def test_stream_pdf_extract_incremental(spark, tmp_path):
     }
     for r in batch.collect():
         assert got[r["doc_id"]] == [tuple(s) for s in r["spans"]]
+
+
+def test_stream_dedup_suppresses_across_restarts(spark, tmp_path):
+    """The dedup state lives in the checkpoint: content seen in run 1
+    is still suppressed when it reappears in new files during run 2."""
+    from helix_html2md_spark.streaming.stream import stream_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [
+        (1, "alpha text", "en", "s", 10),
+        (2, "beta text", "en", "s", 9),
+        (3, "alpha text", "en", "s", 10),  # dup within the batch
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(inp)
+    q = stream_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # run 2: one genuinely new content + one dup of run 1's content
+    rows2 = [
+        (4, "gamma text", "en", "s", 10),
+        (5, "beta text", "en", "s", 9),  # dup ACROSS runs
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(inp)
+    q2 = stream_dedup(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    assert final.select("content_md5").distinct().count() == 3
