@@ -80,7 +80,19 @@ def pack_sequences(
     from .dedup import _PERSISTED
 
     spark = docs.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
+    # prefix-sum parallelism tracks the INPUT's split count (floor 2 so
+    # the plan never degenerates to a single partition): at corpus scale
+    # the scan has thousands of splits and the cumsum spreads with them;
+    # on a toy input, 32 range partitions of 5k rows are pure task
+    # overhead.  Output values are partition-count-independent either
+    # way (exact integer offsets), so p is purely a throughput knob.
+    p = num_partitions or max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            docs.rdd.getNumPartitions(),
+        ),
+    )
     # persist the 16-byte-per-doc counter table BEFORE the range
     # exchange: RangePartitioning runs a sampling pass over its child,
     # which would otherwise re-tokenize the whole corpus a second time
