@@ -619,6 +619,19 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 min-max quantization (vector-store compression,
+    operators/similarity.py::quantize_embeddings): zero-shuffle JVM
+    array arithmetic in float64 on both engines; codes cross the
+    contract as md5 (never raw arrays)."""
+    from helix_html2md_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb).orderBy("vec_id")
+
+
 def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/relational.py::asof_join): each purchase
     event picks up the latest strictly-prior view event of the same
@@ -914,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "purchase_asof": q_purchase_asof,
         "error_click_window": q_error_click_window,
+        "embedding_quant": q_embedding_quant,
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
         "dedup_segments": q_dedup_segments,
@@ -1229,6 +1243,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY p.event_id
+        """,
+        "embedding_quant": """
+            WITH b AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                                    v -> CAST(v AS double)) AS x
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, label, x,
+                     list_min(x) AS vmin, list_max(x) AS vmax
+              FROM b)
+            SELECT vec_id, label,
+                   cast(len(x) AS int) AS n_dims,
+                   round(vmin, 6) AS q_min,
+                   round(vmax, 6) AS q_max,
+                   md5(array_to_string(list_transform(x,
+                       v -> CASE WHEN vmax - vmin = 0 THEN 0
+                            ELSE cast(round((v - vmin)
+                                 / ((vmax - vmin) / 255.0)) AS int)
+                            END), ',')) AS codes_md5
+            FROM m ORDER BY vec_id
         """,
         "stream_dedup": """
             SELECT DISTINCT md5(text) AS content_md5,

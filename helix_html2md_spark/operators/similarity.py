@@ -213,3 +213,40 @@ def bucketed_topk(
         query_vec,
         k,
     )
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization — the standard
+    vector-store compression step (4x over float32, 8x over float64)
+    ahead of ANN serving.
+
+    Pure JVM array arithmetic, embarrassingly parallel, zero shuffle.
+    Cross-engine exactness: codes use only IEEE subtraction/division +
+    round-half-away (Spark HALF_UP == DuckDB round for the non-negative
+    operands here), so any engine derives identical codes; constant
+    vectors (span 0) map to all-zero codes.  Emits the quantization
+    params and an md5 over the joined codes (arrays never cross the
+    driver contract raw).
+    """
+    # float32 storage -> double arithmetic: both engines quantize in
+    # float64, so subtraction/division round identically
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    vmin = F.array_min(x)
+    vmax = F.array_max(x)
+    span = vmax - vmin
+    code = F.transform(
+        x,
+        lambda v: F.when(span == 0, F.lit(0)).otherwise(
+            F.round((v - vmin) / (span / F.lit(255.0)), 0)
+        ).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(x).alias("n_dims"),
+        F.round(vmin, 6).alias("q_min"),
+        F.round(vmax, 6).alias("q_max"),
+        F.md5(
+            F.array_join(F.transform(code, lambda c: c.cast("string")), ",")
+        ).alias("codes_md5"),
+    )

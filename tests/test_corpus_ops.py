@@ -182,3 +182,65 @@ def test_interval_join_bounded_fanout_plan(spark):
     # an EQUI join (hash/sort-merge), never a nested-loop fallback
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_and_interval_join_differential_fuzz(spark):
+    """Differential property: on seeded random data, asof_join and
+    interval_join must match brute-force python references exactly."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_keys = rng.randint(1, 4)
+        lrows = [
+            (rng.randint(1, n_keys), rng.randint(0, 50), f"l{i}")
+            for i in range(rng.randint(1, 25))
+        ]
+        rrows = [
+            (rng.randint(1, n_keys), rng.randint(0, 50), f"r{i}")
+            for i in range(rng.randint(1, 25))
+        ]
+        schema = "k long, t long, v string"
+        left = spark.createDataFrame(lrows, schema)
+        right = spark.createDataFrame(rrows, schema)
+
+        from helix_html2md_spark.operators.relational import (
+            asof_join, interval_join,
+        )
+
+        # --- asof (strict): brute force latest r.t < l.t per key;
+        # ties on (k, t) in the right rows are arrival-dependent in the
+        # operator, so restrict to unique (k, t) right rows
+        uniq = {}
+        for k, t, v in rrows:
+            uniq[(k, t)] = v
+        rrows_u = [(k, t, v) for (k, t), v in uniq.items()]
+        right_u = spark.createDataFrame(rrows_u, schema)
+        expect = {}
+        for k, t, v in lrows:
+            cands = [(rt, rv) for rk, rt, rv in rrows_u
+                     if rk == k and rt < t]
+            expect[v] = max(cands)[1] if cands else None
+        got = {
+            r["v"]: r["asof_v"]
+            for r in asof_join(
+                left, right_u, by="k", on="t", value_cols=["v"]
+            ).collect()
+        }
+        assert got == expect, f"asof seed {seed}"
+
+        # --- interval: brute force all pairs in [l.t-10, l.t]
+        expect_pairs = sorted(
+            (lv, rv)
+            for lk, lt, lv in lrows
+            for rk, rt, rv in rrows
+            if rk == lk and lt - 10 <= rt <= lt
+        )
+        got_pairs = sorted(
+            (r["v"], r["match_v"])
+            for r in interval_join(
+                left, right, by="k", on="t", low=-10, high=0,
+                value_cols=["v"],
+            ).collect()
+        )
+        assert got_pairs == expect_pairs, f"interval seed {seed}"
