@@ -192,12 +192,14 @@ def test_asof_and_interval_join_differential_fuzz(spark):
     for seed in range(6):
         rng = random.Random(seed)
         n_keys = rng.randint(1, 4)
+        # negative domain included: bucket assignment must floor-divide
+        # (truncation toward zero would misplace negative timestamps)
         lrows = [
-            (rng.randint(1, n_keys), rng.randint(0, 50), f"l{i}")
+            (rng.randint(1, n_keys), rng.randint(-25, 50), f"l{i}")
             for i in range(rng.randint(1, 25))
         ]
         rrows = [
-            (rng.randint(1, n_keys), rng.randint(0, 50), f"r{i}")
+            (rng.randint(1, n_keys), rng.randint(-25, 50), f"r{i}")
             for i in range(rng.randint(1, 25))
         ]
         schema = "k long, t long, v string"
