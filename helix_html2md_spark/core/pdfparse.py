@@ -9,7 +9,9 @@ operators, and Do-invoked image XObjects.
 
 Output model matches the extraction span contract
 (operators/extract.py SPAN_TYPE): ``(kind, text, media_ref, order)``
-where kind is ``heading`` / ``text`` / ``image``.  Layout recovery:
+where kind is ``heading`` / ``text`` / ``image`` / ``link`` (URI link
+annotations, the PDF counterpart of the HTML path's link handling —
+media_ref carries the URI).  Layout recovery:
 
 * text runs carry (page, y, x, font_size); runs sharing a page and a
   y-baseline (rounded) fold into one line, left-to-right
@@ -571,6 +573,36 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                 tobj = objs.get(tu[1])
                 if tobj is not None and tobj.stream:
                     fonts[fname] = _parse_tounicode(tobj.stream)
+        # link annotations (the PDF counterpart of the HTML path's link
+        # surface, S15): /Annots Link + /A URI actions become 'link'
+        # spans positioned by their /Rect top-left corner
+        annots = page.info.get("Annots")
+        if isinstance(annots, list):
+            for aref in annots:
+                a = _deref_dict(objs, aref)
+                if a.get("Subtype") != ("name", "Link"):
+                    continue
+                action = a.get("A")
+                if isinstance(action, tuple):
+                    action = _deref_dict(objs, action)
+                if (
+                    not isinstance(action, dict)
+                    or action.get("S") != ("name", "URI")
+                ):
+                    continue
+                uri = action.get("URI")
+                if not isinstance(uri, str) or not uri:
+                    continue
+                rect = a.get("Rect")
+                x0 = y1 = 0.0
+                if (
+                    isinstance(rect, list)
+                    and len(rect) == 4
+                    and all(isinstance(v, float) for v in rect)
+                ):
+                    x0 = min(rect[0], rect[2])
+                    y1 = max(rect[1], rect[3])
+                events.append((pageno, -round(y1, 1), x0, ("l", uri)))
         contents = page.info.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         stream = b""
@@ -624,16 +656,20 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
     line_key = None
     line_parts: list[tuple[float, str]] = []
     for page, col, ny, x, payload in events:
-        if payload[0] == "i":
+        if payload[0] in ("i", "l"):
             if line_parts:
                 flush_line(line_parts)
                 line_parts = []
             line_key = None
             spans.append(
                 {
-                    "kind": "image",
+                    "kind": "image" if payload[0] == "i" else "link",
                     "text": None,
-                    "media_ref": f"pdfimg:{payload[1]}",
+                    "media_ref": (
+                        f"pdfimg:{payload[1]}"
+                        if payload[0] == "i"
+                        else payload[1]
+                    ),
                     "order": len(spans),
                 }
             )

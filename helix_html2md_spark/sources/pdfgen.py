@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import zlib
 
-__all__ = ["build_pdf", "synth_pdf", "synth_two_column_pdf"]
+__all__ = [
+    "build_pdf", "synth_pdf", "synth_link_pdf", "synth_two_column_pdf",
+]
 
 
 def _esc(s: str) -> str:
@@ -42,6 +44,8 @@ def build_pdf(
     * ``("tj", x, y, size, ["a", -300, "b"])`` — a TJ array with
       kerning adjustments (thousandths; <= -180 reads as a space)
     * ``("image", x, y, raw_bytes)`` — an RGB image XObject stub
+    * ``("link", x, y, w, h, uri)`` — a /Annots Link annotation with a
+      /A URI action covering the given rectangle
 
     ``nested_pages=True`` builds a balanced page TREE (intermediate
     /Pages nodes with two kids each, the layout real multi-page
@@ -123,6 +127,7 @@ def build_pdf(
     for page in pages:
         content_parts: list[bytes] = []
         xobjects: dict[str, int] = {}
+        annot_nums: list[int] = []
         for op in page:
             if op[0] == "text":
                 _, x, y, size, s = op
@@ -145,6 +150,16 @@ def build_pdf(
                 content_parts.append(
                     f"BT /F1 {size:g} Tf {x:g} {y:g} Td [{items}] TJ ET"
                     .encode("latin-1")
+                )
+            elif op[0] == "link":
+                _, x, y, w, h, uri = op
+                annot_nums.append(
+                    add(
+                        f"<< /Type /Annot /Subtype /Link /Rect"
+                        f" [{x:g} {y:g} {x + w:g} {y + h:g}]"
+                        f" /A << /S /URI /URI ({_esc(uri)}) >> >>"
+                        .encode("latin-1")
+                    )
                 )
             elif op[0] == "image":
                 _, x, y, raw = op
@@ -188,13 +203,20 @@ def build_pdf(
                 f"/{name} {num} 0 R".encode() for name, num in xobjects.items()
             )
             xobj = b" /XObject << " + refs + b" >>"
+        annots = b""
+        if annot_nums:
+            arefs = b" ".join(
+                str(n).encode() + b" 0 R" for n in annot_nums
+            )
+            annots = b" /Annots [" + arefs + b"]"
         page_nums.append(
             add(
                 b"<< /Type /Page /Parent "
                 + str(pages_num_placeholder).encode()
                 + b" 0 R /MediaBox [0 0 612 792] /Resources << /Font"
                 b" << /F1 " + str(font_num).encode() + b" 0 R >>" + xobj
-                + b" >> /Contents " + str(content_num).encode() + b" 0 R >>"
+                + b" >> /Contents " + str(content_num).encode() + b" 0 R"
+                + annots + b" >>"
             )
         )
 
@@ -371,6 +393,36 @@ def synth_pdf(
         ),
         expected,
     )
+
+
+def synth_link_pdf(
+    seed: int,
+) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic page with URI link annotations + expected spans.
+
+    One heading, a few body lines, then 1-2 /Annots Link rectangles
+    below them — the expected order interleaves by the links' /Rect
+    top-left corners, constructed alongside the bytes.
+    """
+    n_lines = 2 + seed % 3
+    n_links = 1 + seed % 2
+    title = f"Linked {seed}"
+    ops: list[tuple] = [("text", 72, 740, 24, title)]
+    expected: list[tuple[str, str | None]] = [("heading", title)]
+    y = 700
+    for li in range(n_lines):
+        line = " ".join(
+            _WORDS[(seed * 9 + li * 5 + w) % len(_WORDS)] for w in range(5)
+        )
+        ops.append(("text", 72, y, 11, line))
+        expected.append(("text", line))
+        y -= 16
+    for k in range(n_links):
+        uri = f"https://example.com/doc{seed}/ref{k}"
+        # rect top edge sits below every text baseline emitted above
+        ops.append(("link", 72, y - 24 - 20 * k, 180, 14, uri))
+        expected.append(("link", uri))
+    return build_pdf([ops]), expected
 
 
 def synth_two_column_pdf(

@@ -33,9 +33,10 @@ N_MODERN = 6   # ObjStm + xref-stream (full PDF 1.5 producer layout)
 N_NESTED = 6   # balanced /Pages tree (intermediate nodes)
 N_INDLEN = 6   # /Length as an indirect reference
 N_TWOCOL = 6   # two-column pages, column-major expected order
+N_LINKS = 6    # /Annots URI link annotations -> 'link' spans
 
 from helix_html2md_spark.sources.pdfgen import (  # noqa: E402
-    synth_pdf, synth_two_column_pdf,
+    synth_link_pdf, synth_pdf, synth_two_column_pdf,
 )
 
 RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
@@ -44,8 +45,9 @@ RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
 def spans_md5(expected) -> str:
     parts = []
     for kind, val in expected:
-        text = val if kind != "image" else ""
-        media = val if kind == "image" else ""
+        # image hashes and link URIs ride in media_ref; text otherwise
+        text = val if kind not in ("image", "link") else ""
+        media = val if kind in ("image", "link") else ""
         parts.append(f"{kind}{FS}{text}{FS}{media}")
     return hashlib.md5(RS.join(parts).encode("utf-8")).hexdigest()
 
@@ -69,7 +71,7 @@ def main():
             sum(1 for k, _ in expected if k == "image")
         )
         golden["n_chars"].append(
-            sum(len(v) for k, v in expected if k != "image")
+            sum(len(v) for k, v in expected if k not in ("image", "link"))
         )
         golden["spans_md5"].append(spans_md5(expected))
 
@@ -126,6 +128,13 @@ def main():
     for seed in range(N_TWOCOL):
         data, expected = synth_two_column_pdf(seed)
         doc_id = f"pdf-twocol-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    for seed in range(N_LINKS):
+        data, expected = synth_link_pdf(seed)
+        doc_id = f"pdf-links-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

@@ -18,7 +18,7 @@ import pyarrow.parquet as pq
 
 from helix_html2md_spark.core.pdfparse import parse_pdf
 from helix_html2md_spark.sources.pdfgen import (
-    synth_pdf, synth_two_column_pdf,
+    synth_link_pdf, synth_pdf, synth_two_column_pdf,
 )
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -31,13 +31,14 @@ N_MODERN = 6
 N_NESTED = 6
 N_INDLEN = 6
 N_TWOCOL = 6
+N_LINKS = 6
 
 
 def _md5_of(expected):
     parts = []
     for kind, val in expected:
-        text = val if kind != "image" else ""
-        media = val if kind == "image" else ""
+        text = val if kind not in ("image", "link") else ""
+        media = val if kind in ("image", "link") else ""
         parts.append(f"{kind}{FS}{text}{FS}{media}")
     return hashlib.md5(RS.join(parts).encode("utf-8")).hexdigest()
 
@@ -51,7 +52,7 @@ def test_golden_matches_construction_expectations():
     golden = _golden()
     assert len(golden) == (
         N_SEEDS + N_OBJSTM + N_CMAP
-        + N_MODERN + N_NESTED + N_INDLEN + N_TWOCOL + 2
+        + N_MODERN + N_NESTED + N_INDLEN + N_TWOCOL + N_LINKS + 2
     )
     variants = (
         [(s, {}, f"pdf-{s:04d}") for s in range(N_SEEDS)]
@@ -67,10 +68,14 @@ def test_golden_matches_construction_expectations():
            for s in range(N_INDLEN)]
         + [(s, {"two_column": True}, f"pdf-twocol-{s:04d}")
            for s in range(N_TWOCOL)]
+        + [(s, {"links": True}, f"pdf-links-{s:04d}")
+           for s in range(N_LINKS)]
     )
     for seed, kwargs, doc_id in variants:
         if kwargs.pop("two_column", False):
             _, expected = synth_two_column_pdf(seed)
+        elif kwargs.pop("links", False):
+            _, expected = synth_link_pdf(seed)
         else:
             _, expected = synth_pdf(seed, **kwargs)
         row = golden[doc_id]
@@ -84,7 +89,7 @@ def test_golden_matches_construction_expectations():
             1 for k, _ in expected if k == "image"
         )
         assert row["n_chars"] == sum(
-            len(v) for k, v in expected if k != "image"
+            len(v) for k, v in expected if k not in ("image", "link")
         )
     assert golden["pdf-not-a-pdf"]["status"] == "constraint_error"
     assert golden["pdf-corrupt"]["status"] == "parse_error"
@@ -101,7 +106,9 @@ def test_committed_pdf_bytes_parse_to_golden():
         expected = [
             (
                 s["kind"],
-                s["text"] if s["kind"] != "image" else s["media_ref"],
+                s["text"]
+                if s["kind"] not in ("image", "link")
+                else s["media_ref"],
             )
             for s in spans
         ]

@@ -14,13 +14,19 @@ import pytest
 
 from helix_html2md_spark.core.pdfparse import PdfError, parse_pdf
 from helix_html2md_spark.sources.pdfgen import (
-    build_pdf, synth_pdf, synth_two_column_pdf,
+    build_pdf, synth_link_pdf, synth_pdf, synth_two_column_pdf,
 )
 
 
 def kinds_texts(spans):
+    # image/link spans carry their payload in media_ref (hash / URI)
     return [
-        (s["kind"], s["text"] if s["kind"] != "image" else s["media_ref"])
+        (
+            s["kind"],
+            s["text"]
+            if s["kind"] not in ("image", "link")
+            else s["media_ref"],
+        )
         for s in spans
     ]
 
@@ -481,3 +487,33 @@ def test_bfrange_decoding():
         + b" >>\nstream\n/CIDInit",
     )
     assert [s["text"] for s in parse_pdf(cm2)] == ["abc"]
+
+
+def test_link_annotations_extracted_in_reading_order():
+    """/Annots Link + /A URI actions become 'link' spans positioned by
+    their /Rect top-left corner (the PDF twin of HTML link handling)."""
+    pdf = build_pdf(
+        [[
+            ("text", 72, 700, 11, "above the link"),
+            ("link", 72, 650, 180, 14, "https://example.com/a"),
+            ("text", 72, 600, 11, "below the link"),
+        ]]
+    )
+    assert kinds_texts(parse_pdf(pdf)) == [
+        ("text", "above the link"),
+        ("link", "https://example.com/a"),
+        ("text", "below the link"),
+    ]
+    # special chars in the URI survive the PDF string escaping
+    pdf2 = build_pdf(
+        [[("link", 72, 650, 180, 14, "https://e.com/q?(a)=1&b=2")]]
+    )
+    assert kinds_texts(parse_pdf(pdf2)) == [
+        ("link", "https://e.com/q?(a)=1&b=2"),
+    ]
+
+
+def test_synth_link_pdf_expected_sequence():
+    for seed in range(10):
+        data, expected = synth_link_pdf(seed)
+        assert kinds_texts(parse_pdf(data)) == expected, f"seed {seed}"
