@@ -533,6 +533,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN served FROM a PERSISTED index
+    (similarity.build_ivf_index / ivf_topk_from_index): vectors written
+    partitioned by coarse cell, so the probe's ``cell IN`` filter
+    becomes a file-level partition filter — the on-disk analog of the
+    nprobe prune.  Same seeds/query as ivf_topk, identical results,
+    same oracle semantics."""
+    import tempfile
+
+    from helix_html2md_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _IVF_SEEDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="graft_ivf_index_")
+    build_ivf_index(emb.filter(F.col("vec_id") != 0), path, seeds)
+    return ivf_topk_from_index(
+        spark, path, seeds[0], k=10, nprobe=_IVF_NPROBE
+    )
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse over the committed deterministic PDF table
     (data/pdfs.parquet): single-pass JVM admission gate (size + %PDF-
@@ -915,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "bucketed_topk": q_bucketed_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_index_topk": q_ivf_index_topk,
         "media_stats": q_media_stats,
         "audio_chunks": q_audio_chunks,
         "media_features": q_media_features,
@@ -1152,6 +1180,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "bucketed_topk": _bucketed_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
+        # the persisted-index variant serves identical results by
+        # construction (same seeds, same probe, same exact re-rank)
+        "ivf_index_topk": _ivf_topk_oracle(),
         "media_stats": f"""
             SELECT kind,
                    count(*) AS n_items,

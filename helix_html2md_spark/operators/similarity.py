@@ -250,3 +250,55 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
             F.array_join(F.transform(code, lambda c: c.cast("string")), ",")
         ).alias("codes_md5"),
     )
+
+
+def build_ivf_index(
+    emb: DataFrame, path: str, centroids: list[list[float]]
+) -> None:
+    """Persist an IVF-Flat index: vectors partitioned ON DISK by their
+    coarse cell + a small centroids table.
+
+    ``partitionBy("cell")`` is the on-disk analog of the nprobe scan
+    prune: a probing query's ``cell IN (...)`` filter becomes a
+    PARTITION filter, so only nprobe/K of the files are ever opened —
+    at corpus scale the index read is O(corpus * nprobe / K) bytes with
+    zero shuffle.  Build cost: one assignment pass + one write.
+    """
+    spark = emb.sparkSession
+    ivf_assign(emb, centroids).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k served FROM a persisted index (build_ivf_index):
+    identical results to the in-memory ivf_topk, but the corpus scan
+    prunes to the probed cells' partitions at the FILE level."""
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    centroids = [list(r["centroid"]) for r in cents]
+    qn = sum(v * v for v in query_vec) ** 0.5 or 1.0
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda ci: -(
+            sum(a * b for a, b in zip(query_vec, centroids[ci]))
+            / ((sum(v * v for v in centroids[ci]) ** 0.5 or 1.0) * qn)
+        ),
+    )
+    probe = scored[:nprobe]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe)
+    )
+    return cosine_topk(vecs.drop("cell"), query_vec, k)

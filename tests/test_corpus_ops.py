@@ -246,3 +246,38 @@ def test_asof_and_interval_join_differential_fuzz(spark):
             ).collect()
         )
         assert got_pairs == expect_pairs, f"interval seed {seed}"
+
+
+# --- persisted IVF index (operators/similarity.py) --------------------------
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The probe filter must reach the scan as a PARTITION filter —
+    only the probed cells' files are read (the on-disk nprobe prune)."""
+    from helix_html2md_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        list(r["embedding"])
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter("vec_id != 0"), path, seeds)
+    out = ivf_topk_from_index(spark, path, seeds[0], k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:120]
+    assert "cell" in after, after
+    rows = out.collect()
+    assert len(rows) == 5
+    # identical results to the in-memory path
+    from helix_html2md_spark.operators.similarity import ivf_topk
+
+    mem = ivf_topk(
+        emb.filter("vec_id != 0"), seeds[0], seeds, k=5, nprobe=2
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in rows] == [
+        (r["vec_id"], r["cosine"]) for r in mem
+    ]

@@ -85,3 +85,25 @@ def test_driver_query_matches_golden(spark):
         assert (r["status"], r["n_chars"], r["md_md5"]) == (
             g["status"], g["n_chars"], g["md_md5"]
         ), r["doc_id"]
+
+
+def test_fallback_mutation_resilience():
+    """Hostile-input property: byte-mutated chrome pages through the
+    composed fallback path never raise unexpected exception types (the
+    operator catches per-row, but the library surface itself should
+    only ever raise the documented constraint taxonomy)."""
+    from helix_html2md_spark.core.html2md import (
+        SizeTooLargeError, TooManyImagesError,
+    )
+    from helix_html2md_spark.core.transform import ConstraintsError
+
+    base, _ = synth_content_page(7)
+    for pos_seed in range(40):
+        data = list(base)
+        pos = (pos_seed * 2654435761) % len(data)
+        data[pos] = chr((ord(data[pos]) + 1 + pos_seed) % 128)
+        try:
+            out = html2md("".join(data), {"boilerplate_fallback": True})
+        except (ConstraintsError, TooManyImagesError, SizeTooLargeError):
+            continue
+        assert isinstance(out, str)
