@@ -533,6 +533,26 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_QUERY = "stream batch window order"
+
+
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search served from a PERSISTED inverted index
+    (operators/search.py): bucketed posting table built once, the query
+    terms' buckets partition-prune the read, quantized-idf scoring,
+    deterministic (score desc, doc_id) top-10.  Oracle: plain SQL
+    recomputation of the same tf/df/score over the documents table."""
+    import tempfile
+
+    from helix_html2md_spark.operators.search import (
+        build_text_index, search_text_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="graft_text_index_")
+    build_text_index(_docs(spark, sf_dir), path)
+    return search_text_index(spark, path, _SEARCH_QUERY, k=10)
+
+
 def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN served FROM a PERSISTED index
     (similarity.build_ivf_index / ivf_topk_from_index): vectors written
@@ -943,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_topk": q_bucketed_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_index_topk": q_ivf_index_topk,
+        "search_topk": q_search_topk,
         "media_stats": q_media_stats,
         "audio_chunks": q_audio_chunks,
         "media_features": q_media_features,
@@ -1274,6 +1295,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY p.event_id
+        """,
+        "search_topk": f"""
+            WITH t AS (
+              SELECT doc_id, term
+              FROM (SELECT doc_id, unnest({_TOKENS}) AS term
+                    FROM documents)
+              WHERE term IN ('batch', 'order', 'stream', 'window')),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM t GROUP BY doc_id, term),
+            d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT cast(count(*) AS double) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id,
+                     cast(tf.tf * floor(1000.0 * n.n / d.df)
+                          AS bigint) AS s
+              FROM tf JOIN d USING (term) CROSS JOIN n)
+            SELECT doc_id, cast(sum(s) AS bigint) AS score,
+                   count(*) AS n_terms_hit
+            FROM s GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "embedding_quant": """
             WITH b AS (

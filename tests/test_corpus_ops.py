@@ -281,3 +281,37 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in rows] == [
         (r["vec_id"], r["cosine"]) for r in mem
     ]
+
+
+# --- inverted text index (operators/search.py) ------------------------------
+
+
+def test_text_index_search_pruned_and_exact(spark, tmp_path):
+    from helix_html2md_spark.operators.search import (
+        build_text_index, search_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark engine fast"),
+            (2, "engine slow"),
+            (3, "spark engine engine"),
+            (4, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path)
+    out = search_text_index(spark, path, "spark engine", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the query terms' buckets land as file-level partition filters
+    assert "PartitionFilters" in plan
+    rows = out.collect()
+    got = {r["doc_id"]: (r["score"], r["n_terms_hit"]) for r in rows}
+    # idf: spark df=2 -> floor(4000/2)=2000; engine df=3 -> floor(4000/3)=1333
+    assert got[1] == (2 * 2000 + 1 * 1333, 2)
+    assert got[3] == (1 * 2000 + 2 * 1333, 2)
+    assert got[2] == (1 * 1333, 1)
+    assert 4 not in got
+    # deterministic ranking: doc1 (5333) > doc3 (4666) > doc2 (1333)
+    assert [r["doc_id"] for r in rows] == [1, 3, 2]
