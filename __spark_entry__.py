@@ -533,6 +533,30 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling (operators/corpus.py::mix_corpus):
+    weighted keep rates per source via the stateless md5-prefix
+    threshold — zero shuffle for the filter, one aggregation for the
+    per-source summary.  Weights exercise the full range: keep-all
+    (256, needs the 'zz' sentinel — '100' loses the 2-char compare),
+    half, quarter, drop-all (0), and the 32/256 default."""
+    from helix_html2md_spark.operators.corpus import mix_corpus
+
+    mixed = mix_corpus(
+        _docs(spark, sf_dir),
+        {"src0": 256, "src1": 128, "src2": 64, "src3": 0},
+        default=32,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 _SEARCH_QUERY = "stream batch window order"
 
 
@@ -964,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_index_topk": q_ivf_index_topk,
         "search_topk": q_search_topk,
+        "corpus_mix": q_corpus_mix,
         "media_stats": q_media_stats,
         "audio_chunks": q_audio_chunks,
         "media_features": q_media_features,
@@ -1295,6 +1320,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY p.event_id
+        """,
+        "corpus_mix": """
+            WITH k AS (
+              SELECT source, n_chars FROM documents
+              WHERE substr(md5(cast(doc_id AS varchar)), 1, 2) <
+                    CASE source
+                      WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '80'
+                      WHEN 'src2' THEN '40' WHEN 'src3' THEN '00'
+                      ELSE '20' END)
+            SELECT source, count(*) AS n_kept,
+                   cast(sum(n_chars) AS bigint) AS chars_kept
+            FROM k GROUP BY source ORDER BY source
         """,
         "search_topk": f"""
             WITH t AS (

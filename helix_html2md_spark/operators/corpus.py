@@ -71,6 +71,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _thr(n: int) -> str:
+    """2-char threshold string for an n/256 keep rate.  'zz' sorts
+    above every lowercase-hex pair (n>=256 keeps everything) and '00'
+    sorts at-or-below every pair (n=0 drops everything) — a plain
+    f'{256:02x}' would be '100', which loses the 2-char lexicographic
+    compare to every hex prefix and silently keeps NOTHING."""
+    return "zz" if n >= 256 else f"{n:02x}"
+
+
 def hash_sample_stats(docs: DataFrame, numerator: int = 64) -> DataFrame:
     """Deterministic ``numerator``/256 corpus sample, summarized per
     language: (lang, n_total, n_sampled, chars_sampled).
@@ -83,7 +92,7 @@ def hash_sample_stats(docs: DataFrame, numerator: int = 64) -> DataFrame:
         raise ValueError("numerator must be in 1..256")
     keep = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-        < F.lit(f"{numerator:02x}")
+        < F.lit(_thr(numerator))
     )
     return (
         docs.groupBy("lang")
@@ -96,3 +105,35 @@ def hash_sample_stats(docs: DataFrame, numerator: int = 64) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, int],
+    default: int = 256,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling (Pile/ROOTS-style
+    corpus weighting): source ``s`` keeps ``weights[s]``/256 of its
+    documents via the same stateless md5-prefix threshold as
+    :func:`hash_sample_stats` — a weight of 256 keeps every row, 0
+    drops the source entirely, unlisted sources use ``default``.
+
+    Zero shuffle: the per-row predicate is a map lookup + string
+    compare in the scan stage, so re-mixing 100 TB is a pure filter
+    pass, and the SAME rows are kept at any parallelism, on any engine,
+    on every re-run (resumable-pipeline determinism).
+    """
+    for s, n in weights.items():
+        if not 0 <= n <= 256:
+            raise ValueError(f"weight for {s!r} must be in 0..256")
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for s, n in sorted(weights.items())
+            for x in (s, _thr(n))
+        ]
+    )
+    keep = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 2
+    ) < F.coalesce(m[F.col("source")], F.lit(_thr(default)))
+    return docs.filter(keep)

@@ -315,3 +315,34 @@ def test_text_index_search_pruned_and_exact(spark, tmp_path):
     assert 4 not in got
     # deterministic ranking: doc1 (5333) > doc3 (4666) > doc2 (1333)
     assert [r["doc_id"] for r in rows] == [1, 3, 2]
+
+
+def test_mix_corpus_weights_and_edges(spark):
+    from helix_html2md_spark.operators.corpus import mix_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"text {i}", "en", f"src{i % 3}", 10)
+            for i in range(300)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # weight 256 keeps EVERY row ('zz' sentinel — '100' would keep none),
+    # weight 0 drops the source entirely
+    kept = mix_corpus(
+        docs, {"src0": 256, "src1": 0}, default=64
+    ).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["src0"] == 100
+    assert "src1" not in by_src
+    assert 0 < by_src["src2"] < 100  # ~25% of 100
+    # deterministic across runs
+    a = sorted(
+        r["doc_id"]
+        for r in mix_corpus(docs, {"src0": 77}, default=128).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in mix_corpus(docs, {"src0": 77}, default=128).collect()
+    )
+    assert a == b
