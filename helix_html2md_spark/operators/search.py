@@ -54,13 +54,22 @@ def build_text_index(docs: DataFrame, path: str) -> None:
     from .dedup import _PERSISTED
 
     _PERSISTED.append(postings)
-    postings.withColumn("bucket", _bucket(F.col("term"))).write.partitionBy(
-        "bucket"
-    ).mode("overwrite").parquet(f"{path}/postings")
+    # repartition ON the partition column before partitionBy: otherwise
+    # every shuffle partition writes a file into every bucket directory
+    # (tasks x buckets files — the classic small-files explosion; this
+    # build measured 15s instead of 3s at sf0.1 from exactly that)
+    (
+        postings.withColumn("bucket", _bucket(F.col("term")))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
     (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"))
         .withColumn("bucket", _bucket(F.col("term")))
+        .repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(f"{path}/df")

@@ -265,9 +265,11 @@ def build_ivf_index(
     zero shuffle.  Build cost: one assignment pass + one write.
     """
     spark = emb.sparkSession
-    ivf_assign(emb, centroids).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(f"{path}/vectors")
+    # repartition on the partition column first: without it every task
+    # writes into every cell directory (tasks x cells small files)
+    ivf_assign(emb, centroids).repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
