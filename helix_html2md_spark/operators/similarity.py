@@ -229,23 +229,32 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     driver contract raw).
     """
     # float32 storage -> double arithmetic: both engines quantize in
-    # float64, so subtraction/division round identically
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    vmin = F.array_min(x)
-    vmax = F.array_max(x)
-    span = vmax - vmin
+    # float64, so subtraction/division round identically.  vmin/vmax
+    # MUST be materialized as columns before the transform: an
+    # array_min(x) expression referenced inside the lambda is inlined
+    # and re-evaluated PER ELEMENT (O(d^2) per row — measured 5s
+    # instead of 0.7s on 2000x64 vectors).
+    base = (
+        emb.withColumn(
+            "_x",
+            F.transform(F.col("embedding"), lambda v: v.cast("double")),
+        )
+        .withColumn("_vmin", F.array_min("_x"))
+        .withColumn("_vmax", F.array_max("_x"))
+    )
+    span = F.col("_vmax") - F.col("_vmin")
     code = F.transform(
-        x,
+        "_x",
         lambda v: F.when(span == 0, F.lit(0)).otherwise(
-            F.round((v - vmin) / (span / F.lit(255.0)), 0)
+            F.round((v - F.col("_vmin")) / (span / F.lit(255.0)), 0)
         ).cast("int"),
     )
-    return emb.select(
+    return base.select(
         "vec_id",
         "label",
-        F.size(x).alias("n_dims"),
-        F.round(vmin, 6).alias("q_min"),
-        F.round(vmax, 6).alias("q_max"),
+        F.size("_x").alias("n_dims"),
+        F.round("_vmin", 6).alias("q_min"),
+        F.round("_vmax", 6).alias("q_max"),
         F.md5(
             F.array_join(F.transform(code, lambda c: c.cast("string")), ",")
         ).alias("codes_md5"),
