@@ -40,6 +40,7 @@ def run_extract_job(
     run_id: str,
     config: DataFrame | None = None,
     num_partitions: int | None = None,
+    defaults: dict | None = None,
 ) -> dict:
     """Extract all unprocessed documents; append output + lineage.
 
@@ -51,7 +52,7 @@ def run_extract_job(
 
     obs = Observation("extract")
     extracted = extract_documents(
-        todo, config, num_partitions=num_partitions
+        todo, config, num_partitions=num_partitions, defaults=defaults
     ).observe(
         obs,
         F.count(F.lit(1)).alias("docs"),

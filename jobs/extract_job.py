@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--boilerplate-fallback",
+        action="store_true",
+        help="pages without <main> fall back to the Arc90 boilerplate-"
+        "strip winner instead of emitting empty markdown (off by "
+        "default: the reference's no-main semantics are fixture-pinned)",
+    )
     args = ap.parse_args()
 
     from helix_html2md_spark.plans.job import run_extract_job
@@ -41,6 +48,11 @@ def main() -> None:
         args.output,
         run_id=args.run_id,
         num_partitions=args.num_partitions,
+        defaults=(
+            {"boilerplate_fallback": True}
+            if args.boilerplate_fallback
+            else None
+        ),
     )
     print(metrics)
     spark.stop()
