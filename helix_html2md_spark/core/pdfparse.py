@@ -248,10 +248,10 @@ def _stream_bytes(body: bytes, info: dict) -> bytes | None:
 
 
 class _Obj:
-    __slots__ = ("num", "info", "stream")
+    __slots__ = ("num", "info", "stream", "arr")
 
-    def __init__(self, num, info, stream):
-        self.num, self.info, self.stream = num, info, stream
+    def __init__(self, num, info, stream, arr=None):
+        self.num, self.info, self.stream, self.arr = num, info, stream, arr
 
 
 def _load_objects(data: bytes) -> dict[int, _Obj]:
@@ -276,7 +276,20 @@ def _load_objects(data: bytes) -> dict[int, _Obj]:
                 info["Length"] = float(int_objs[length[1]])
             else:
                 info.pop("Length")
-        objs[num] = _Obj(num, info, _stream_bytes(body, info))
+        # bare-array objects (the indirect form of /Annots, /Kids,
+        # /Contents arrays): "7 0 obj [1 0 R 2 0 R] endobj"
+        arr = None
+        if not info:
+            start = body.find(b"[")
+            if start >= 0:
+                toks = _DICT_TOK_RE.findall(body[start:])
+                try:
+                    val, _ = _parse_value(toks, 0)
+                    if isinstance(val, list):
+                        arr = val
+                except (IndexError, ValueError):
+                    pass
+        objs[num] = _Obj(num, info, _stream_bytes(body, info), arr)
     # PDF 1.5+ object streams: dict-only objects (pages, fonts,
     # resources) packed inside a FlateDecode stream — invisible to the
     # body scan above until unpacked.  Stream layout: /N pairs of
@@ -319,6 +332,14 @@ def _deref_dict(objs: dict[int, _Obj], val) -> dict:
     return out if isinstance(out, dict) else {}
 
 
+def _resolve_array(objs: dict[int, _Obj], val) -> list | None:
+    """Direct array, or a ref to a bare-array object — else None."""
+    if isinstance(val, tuple) and val[0] == "ref":
+        obj = objs.get(val[1])
+        return obj.arr if obj is not None else None
+    return val if isinstance(val, list) else None
+
+
 def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
     """Pages in /Root -> /Pages tree order; object-number fallback.
 
@@ -330,8 +351,8 @@ def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
     visited: set[int] = set()
 
     def walk(node: dict) -> None:
-        kids = node.get("Kids")
-        if not isinstance(kids, list):
+        kids = _resolve_array(objs, node.get("Kids"))
+        if not kids:
             return
         for kid in kids:
             if not (isinstance(kid, tuple) and kid[0] == "ref"):
@@ -576,8 +597,8 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
         # link annotations (the PDF counterpart of the HTML path's link
         # surface, S15): /Annots Link + /A URI actions become 'link'
         # spans positioned by their /Rect top-left corner
-        annots = page.info.get("Annots")
-        if isinstance(annots, list):
+        annots = _resolve_array(objs, page.info.get("Annots"))
+        if annots:
             for aref in annots:
                 a = _deref_dict(objs, aref)
                 if a.get("Subtype") != ("name", "Link"):
@@ -604,7 +625,8 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                     y1 = max(rect[1], rect[3])
                 events.append((pageno, -round(y1, 1), x0, ("l", uri)))
         contents = page.info.get("Contents")
-        refs = contents if isinstance(contents, list) else [contents]
+        clist = _resolve_array(objs, contents)
+        refs = clist if clist is not None else [contents]
         stream = b""
         for ref in refs:
             if isinstance(ref, tuple) and ref[0] == "ref":

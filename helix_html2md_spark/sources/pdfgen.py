@@ -33,6 +33,7 @@ def build_pdf(
     nested_pages: bool = False,
     xref_stream: bool = False,
     indirect_length: bool = False,
+    indirect_annots: bool = False,
 ) -> bytes:
     """Build a PDF from page specs.
 
@@ -208,7 +209,13 @@ def build_pdf(
             arefs = b" ".join(
                 str(n).encode() + b" 0 R" for n in annot_nums
             )
-            annots = b" /Annots [" + arefs + b"]"
+            if indirect_annots:
+                # the array itself as its own numbered object
+                # ("/Annots 9 0 R" -> "9 0 obj [ ... ] endobj")
+                arr_num = add(b"[" + arefs + b"]")
+                annots = b" /Annots " + str(arr_num).encode() + b" 0 R"
+            else:
+                annots = b" /Annots [" + arefs + b"]"
         page_nums.append(
             add(
                 b"<< /Type /Page /Parent "

@@ -517,3 +517,21 @@ def test_synth_link_pdf_expected_sequence():
     for seed in range(10):
         data, expected = synth_link_pdf(seed)
         assert kinds_texts(parse_pdf(data)) == expected, f"seed {seed}"
+
+
+def test_indirect_annots_array():
+    """/Annots as an INDIRECT reference to a bare-array object — the
+    form many producers write — resolves identically to the inline
+    array."""
+    pages = [[
+        ("text", 72, 700, 11, "with a link below"),
+        ("link", 72, 650, 180, 14, "https://example.com/ind"),
+    ]]
+    inline = build_pdf(pages)
+    indirect = build_pdf(pages, indirect_annots=True)
+    assert b"/Annots [" in inline and b"/Annots [" not in indirect
+    assert parse_pdf(indirect) == parse_pdf(inline)
+    assert kinds_texts(parse_pdf(indirect)) == [
+        ("text", "with a link below"),
+        ("link", "https://example.com/ind"),
+    ]
