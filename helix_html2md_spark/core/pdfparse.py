@@ -435,6 +435,8 @@ def _run_content(
     """Yield ('run', y, x, size, text) and ('image', y, x, sha1) events."""
     fonts = fonts or {}
     cur_cmap: dict[int, str] | None = None
+    cur_widths: list[float] | None = None
+    cur_first = 0
     size = 12.0
     leading = 0.0
     tc = 0.0  # character spacing (Tc), text-space units per glyph
@@ -449,13 +451,25 @@ def _run_content(
         nonlocal cx
         if text:
             yield_events.append(("run", ly, cx, size, text))
-            # pen advance estimate: half-em per glyph plus the Tc/Tw
-            # spacing the producer added (ISO 32000 §9.3.2-3) — spacing
-            # shifts where SUBSEQUENT runs in this line start, which is
-            # what the x-ordered line fold consumes
-            cx += (
-                (0.5 * size + tc) * len(text) + tw * text.count(" ")
-            )
+            # pen advance: real /Widths metrics when the simple font
+            # declares them (1/1000-em units), else the half-em
+            # estimate; plus the Tc/Tw spacing the producer added
+            # (ISO 32000 §9.3.2-3, §9.4.4) — spacing shifts where
+            # SUBSEQUENT runs in this line start, which is what the
+            # x-ordered line fold consumes
+            if cur_widths is not None and cur_cmap is None:
+                glyphs = 0.0
+                for ch in text:
+                    idx = ord(ch) - cur_first
+                    glyphs += (
+                        cur_widths[idx]
+                        if 0 <= idx < len(cur_widths)
+                        else 500.0
+                    )
+                adv = glyphs / 1000.0 * size
+            else:
+                adv = 0.5 * size * len(text)
+            cx += adv + tc * len(text) + tw * text.count(" ")
 
     yield_events: list[tuple] = []
     for tok in _TOK_RE.finditer(stream):
@@ -478,7 +492,10 @@ def _run_content(
             except ValueError:
                 pass
             if len(stack) >= 2 and stack[-2].startswith(b"/"):
-                cur_cmap = fonts.get(stack[-2][1:].decode("latin-1"))
+                rec = fonts.get(stack[-2][1:].decode("latin-1"))
+                cur_cmap = rec["cmap"] if rec else None
+                cur_widths = rec["widths"] if rec else None
+                cur_first = rec["first"] if rec else 0
         elif t in (b"Td", b"TD") and len(stack) >= 2:
             try:
                 tx, ty = float(stack[-2]), float(stack[-1])
@@ -589,11 +606,21 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
         fonts: dict[str, dict] = {}
         for fname, fref in _deref_dict(objs, res.get("Font")).items():
             fdict = _deref_dict(objs, fref)
+            rec: dict = {"cmap": None, "widths": None, "first": 0}
             tu = fdict.get("ToUnicode")
             if isinstance(tu, tuple) and tu[0] == "ref":
                 tobj = objs.get(tu[1])
                 if tobj is not None and tobj.stream:
-                    fonts[fname] = _parse_tounicode(tobj.stream)
+                    rec["cmap"] = _parse_tounicode(tobj.stream)
+            # simple-font metrics: /Widths (direct or indirect array) +
+            # /FirstChar give the real per-glyph advance in 1/1000 em
+            w = _resolve_array(objs, fdict.get("Widths"))
+            fc = fdict.get("FirstChar")
+            if w and all(isinstance(v, float) for v in w):
+                rec["widths"] = w
+                rec["first"] = int(fc) if isinstance(fc, float) else 0
+            if rec["cmap"] is not None or rec["widths"] is not None:
+                fonts[fname] = rec
         # link annotations (the PDF counterpart of the HTML path's link
         # surface, S15): /Annots Link + /A URI actions become 'link'
         # spans positioned by their /Rect top-left corner

@@ -34,6 +34,7 @@ def build_pdf(
     xref_stream: bool = False,
     indirect_length: bool = False,
     indirect_annots: bool = False,
+    widths_font: bool = False,
 ) -> bytes:
     """Build a PDF from page specs.
 
@@ -195,9 +196,26 @@ def build_pdf(
                 + b" >>\nstream\n" + data + b"\nendstream"
             )
         if font_num is None:
-            font_num = add(
-                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-            )
+            if widths_font:
+                # real per-glyph metrics (1/1000 em): 'i' wide to make
+                # width-accurate advances observably different from the
+                # half-em estimate; space narrow, everything else 500
+                ws = []
+                for code in range(32, 127):
+                    ch = chr(code)
+                    ws.append(
+                        1000 if ch == "i" else (250 if ch == " " else 500)
+                    )
+                font_num = add(
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont"
+                    b" /Helvetica /FirstChar 32 /LastChar 126 /Widths ["
+                    + " ".join(str(w) for w in ws).encode()
+                    + b"] >>"
+                )
+            else:
+                font_num = add(
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+                )
         xobj = b""
         if xobjects:
             refs = b" ".join(

@@ -535,3 +535,27 @@ def test_indirect_annots_array():
         ("text", "with a link below"),
         ("link", "https://example.com/ind"),
     ]
+
+
+def test_widths_metrics_drive_pen_advance():
+    """A simple font's /Widths array (1/1000-em units) replaces the
+    half-em advance estimate: a wide-'i' font pushes the second show in
+    a BT past an absolutely-positioned run that the estimate would have
+    placed after it."""
+    raw = b"BT /F1 10 Tf 72 700 Td (iii) Tj (after) Tj ET\n" \
+          b"BT /F1 10 Tf 95 700 Td (mid) Tj ET"
+    pdf = build_pdf(
+        [[("text", 72, 700, 11, "x")]], compress=False, widths_font=True
+    )
+    pdf = pdf.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf = pdf.replace(b"/Length 32", b"/Length " + str(len(raw)).encode())
+    # widths: 'i'=1000/1000 em -> (iii) advances 3*10=30 -> 'after' at
+    # x=102, AFTER 'mid'@95.  (the half-em estimate would put it at 87)
+    assert [s["text"] for s in parse_pdf(pdf)] == ["iiimidafter"]
+    # same stream WITHOUT /Widths: estimate places 'after' before 'mid'
+    pdf2 = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf2 = pdf2.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf2 = pdf2.replace(
+        b"/Length 32", b"/Length " + str(len(raw)).encode()
+    )
+    assert [s["text"] for s in parse_pdf(pdf2)] == ["iiiaftermid"]
