@@ -200,6 +200,71 @@ def _parse_dict(raw: bytes) -> dict:
     return val if isinstance(val, dict) else {}
 
 
+def _rle_decode(data: bytes) -> bytes | None:
+    """RunLengthDecode (PDF 32000 §7.4.5): <=127 -> copy n+1 literals,
+    129..255 -> repeat next byte 257-n times, 128 -> EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            chunk = data[i + 1 : i + 2 + n]
+            if len(chunk) != n + 1:
+                return None
+            out += chunk
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                return None
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes | None:
+    """LZWDecode (PDF 32000 §7.4.4, TIFF variant): 9->12-bit codes,
+    256 = clear table, 257 = EOD, EarlyChange=1 (the default: the code
+    width bumps one code BEFORE the table would overflow)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # EarlyChange=1: widen one code early
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _stream_bytes(body: bytes, info: dict) -> bytes | None:
     m = _STREAM_RE.search(body)
     if not m:
@@ -242,6 +307,16 @@ def _stream_bytes(body: bytes, info: dict) -> bytes | None:
                 data = bytes.fromhex(hexdigits.decode("ascii"))
             except ValueError:
                 return None
+        elif name == "RunLengthDecode":
+            decoded = _rle_decode(data)
+            if decoded is None:
+                return None
+            data = decoded
+        elif name == "LZWDecode":
+            decoded = _lzw_decode(data)
+            if decoded is None:
+                return None
+            data = decoded
         else:  # unsupported filter: keep raw (images are hashed, not read)
             return data
     return data

@@ -559,3 +559,79 @@ def test_widths_metrics_drive_pen_advance():
         b"/Length 32", b"/Length " + str(len(raw)).encode()
     )
     assert [s["text"] for s in parse_pdf(pdf2)] == ["iiiaftermid"]
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 127]
+        out.append(len(chunk) - 1)
+        out += chunk
+        i += len(chunk)
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (EarlyChange=1) — the construction-time
+    twin of the parser's decoder."""
+    bits: list[tuple[int, int]] = []
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits.append((256, width))  # clear
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_runlength_and_lzw_filters():
+    content = (
+        b"BT /F1 24 Tf 72 740 Td (Filtered Title) Tj ET\n"
+        b"BT /F1 11 Tf 72 700 Td (body through the filter) Tj ET"
+    )
+    expected = [("heading", "Filtered Title"),
+                ("text", "body through the filter")]
+    for fname, enc in (
+        ("RunLengthDecode", _rle_encode), ("LZWDecode", _lzw_encode),
+    ):
+        payload = enc(content)
+        pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+        pdf = pdf.replace(
+            b"<< /Length 32 >>\nstream\nBT /F1 11 Tf 72 700 Td (x) Tj ET\nendstream",
+            b"<< /Length " + str(len(payload)).encode()
+            + b" /Filter /" + fname.encode() + b" >>\nstream\n"
+            + payload + b"\nendstream",
+        )
+        assert kinds_texts(parse_pdf(pdf)) == expected, fname
+    # LZW round-trips a long repetitive stream (code-width growth path)
+    long = (b"spark " * 400) + b"end"
+    from helix_html2md_spark.core.pdfparse import _lzw_decode
+
+    assert _lzw_decode(_lzw_encode(long)) == long
+    # width growth actually exercised: >254 table entries added
+    assert len(set(long[i:i+2] for i in range(len(long)-1))) < 300
