@@ -635,3 +635,41 @@ def test_runlength_and_lzw_filters():
     assert _lzw_decode(_lzw_encode(long)) == long
     # width growth actually exercised: >254 table entries added
     assert len(set(long[i:i+2] for i in range(len(long)-1))) < 300
+
+
+def test_filter_decoders_survive_garbage():
+    """Decoder robustness: random bytes through RLE/LZW either decode
+    to SOME bytes or return None — never raise (per-row degradation)."""
+    from helix_html2md_spark.core.pdfparse import _lzw_decode, _rle_decode
+
+    for seed in range(50):
+        data = bytes(
+            ((seed * 2654435761 + i * 40503) >> 7) % 256
+            for i in range(1 + seed * 7 % 90)
+        )
+        for fn in (_rle_decode, _lzw_decode):
+            out = fn(data)
+            assert out is None or isinstance(out, bytes)
+
+
+def test_mutation_resilience_links_widths():
+    """Mutation fuzz over a links + widths-font document (the round-4
+    surfaces): parse or PdfError, never an unhandled exception."""
+    pdf = build_pdf(
+        [[
+            ("text", 72, 740, 24, "T"),
+            ("text", 72, 700, 11, "body line here"),
+            ("link", 72, 650, 180, 14, "https://example.com/x"),
+        ]],
+        widths_font=True,
+        indirect_annots=True,
+    )
+    for pos_seed in range(50):
+        data = bytearray(pdf)
+        pos = (pos_seed * 2654435761) % len(data)
+        data[pos] = (data[pos] + 1 + pos_seed) % 256
+        try:
+            spans = parse_pdf(bytes(data))
+        except PdfError:
+            continue
+        assert isinstance(spans, list)
