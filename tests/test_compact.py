@@ -1,0 +1,40 @@
+"""Parquet small-file compaction (plans/compact.py)."""
+
+from pyspark.sql import functions as F
+
+from helix_html2md_spark.plans.compact import (
+    compact_parquet, parquet_file_stats,
+)
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(0, 2000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    ).repartition(64).write.parquet(path)
+    n0, _ = parquet_file_stats(path)
+    assert n0 >= 64
+    before = {
+        (r["id"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    m = compact_parquet(spark, path, target_mb=256)
+    assert m["compacted"] and m["rows"] == 2000
+    n1, _ = parquet_file_stats(path)
+    assert n1 < n0 and n1 <= m["new_n_files"]
+    after = {
+        (r["id"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
+    # idempotent: second call is a no-op (already at the target count)
+    m2 = compact_parquet(spark, path)
+    assert m2["compacted"] is False
+
+
+def test_compact_noop_below_threshold(spark, tmp_path):
+    path = str(tmp_path / "small")
+    spark.range(0, 10).repartition(2).write.parquet(path)
+    m = compact_parquet(spark, path)
+    assert m["compacted"] is False
+    assert spark.read.parquet(path).count() == 10
