@@ -533,17 +533,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cached_index(spark, sf_dir: str, kind: str, version: str, build):
+def _cached_index(
+    spark, sf_dir: str, kind: str, version: str, build, source: str
+):
     """Build-once index cache: an index is a PERSISTED artifact — the
     realistic serving cost is the pruned read, not a rebuild per query.
-    Keyed by (kind, version, corpus dir name); bump ``version`` whenever
-    the index format or build logic changes, or the cache would serve a
-    stale layout.  The _INDEX_DONE marker commits the build atomically
-    enough for this single-host harness."""
+    Keyed by (kind, version, corpus dir name) PLUS a content fingerprint
+    of the source table (mtime+size of its data files), so a
+    regenerated testdata corpus can never be served from a stale index;
+    bump ``version`` whenever the index format or build logic changes.
+    The _INDEX_DONE marker commits the build atomically enough for this
+    single-host harness."""
+    import hashlib as _hashlib
     import os as _os
 
+    parts = []
+    src = _os.path.join(sf_dir, source)
+    for root, _dirs, files in _os.walk(src):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                st = _os.stat(_os.path.join(root, f))
+                parts.append(f"{f}:{int(st.st_mtime)}:{st.st_size}")
+    if not parts and _os.path.exists(src):  # single-file table
+        st = _os.stat(src)
+        parts.append(f"{source}:{int(st.st_mtime)}:{st.st_size}")
+    fp = _hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     safe = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/graft_{kind}_{version}_{safe}"
+    path = f"/tmp/graft_{kind}_{version}_{safe}_{fp}"
     marker = f"{path}/_INDEX_DONE"
     if not _os.path.exists(marker):
         build(path)
@@ -592,6 +608,7 @@ def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _cached_index(
         spark, sf_dir, "text_index", "v1",
         lambda p: build_text_index(_docs(spark, sf_dir), p),
+        source="documents.parquet",
     )
     return search_text_index(spark, path, _SEARCH_QUERY, k=10)
 
@@ -619,6 +636,7 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: build_ivf_index(
             emb.filter(F.col("vec_id") != 0), p, seeds
         ),
+        source="embeddings.parquet",
     )
     return ivf_topk_from_index(
         spark, path, seeds[0], k=10, nprobe=_IVF_NPROBE

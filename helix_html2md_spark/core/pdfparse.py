@@ -388,7 +388,22 @@ def _load_objects(data: bytes) -> dict[int, _Obj]:
                 )
                 body = obj.stream[first + off : end]
                 if num not in objs:  # body-scan objects take precedence
-                    objs[num] = _Obj(num, _parse_dict(body), None)
+                    info = _parse_dict(body)
+                    # bare-array members (indirect /Kids, /Annots,
+                    # /Contents arrays are dict-free and get packed
+                    # into ObjStms by real producers too)
+                    arr = None
+                    if not info:
+                        start = body.find(b"[")
+                        if start >= 0:
+                            toks = _DICT_TOK_RE.findall(body[start:])
+                            try:
+                                val, _ = _parse_value(toks, 0)
+                                if isinstance(val, list):
+                                    arr = val
+                            except (IndexError, ValueError):
+                                pass
+                    objs[num] = _Obj(num, info, None, arr)
         except (ValueError, IndexError):
             continue  # corrupted ObjStm degrades, never aborts
     return objs
@@ -415,17 +430,22 @@ def _resolve_array(objs: dict[int, _Obj], val) -> list | None:
     return val if isinstance(val, list) else None
 
 
-def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
-    """Pages in /Root -> /Pages tree order; object-number fallback.
+def _page_order(objs: dict[int, _Obj]) -> list[tuple[_Obj, object]]:
+    """(page, effective /Resources) in /Root -> /Pages tree order;
+    object-number fallback.
 
     Intermediate /Pages nodes (standard in real multi-page PDFs, which
     balance the page tree) are recursed into depth-first, flattening
     leaf Page objects in tree order; a visited set guards against
-    reference cycles in hostile input."""
-    pages: list[_Obj] = []
+    reference cycles in hostile input.  /Resources is INHERITABLE
+    (ISO 32000 §7.7.3.4): real producers hoist the shared font/XObject
+    dict onto an ancestor /Pages node, so each leaf carries the nearest
+    ancestor's value when it declares none of its own."""
+    pages: list[tuple[_Obj, object]] = []
     visited: set[int] = set()
 
-    def walk(node: dict) -> None:
+    def walk(node: dict, inherited_res) -> None:
+        res = node.get("Resources", inherited_res)
         kids = _resolve_array(objs, node.get("Kids"))
         if not kids:
             return
@@ -439,18 +459,25 @@ def _page_order(objs: dict[int, _Obj]) -> list[_Obj]:
             if kobj is None:
                 continue
             if kobj.info.get("Type") == ("name", "Pages"):
-                walk(kobj.info)
+                walk(kobj.info, res)
             else:
-                pages.append(kobj)
+                pages.append(
+                    (kobj, kobj.info.get("Resources", res))
+                )
 
     for obj in objs.values():
         if obj.info.get("Type") == ("name", "Catalog"):
-            walk(_deref_dict(objs, obj.info.get("Pages")))
+            root = _deref_dict(objs, obj.info.get("Pages"))
+            walk(root, root.get("Resources"))
             if pages:
                 return pages
     return sorted(
-        (o for o in objs.values() if o.info.get("Type") == ("name", "Page")),
-        key=lambda o: o.num,
+        (
+            (o, o.info.get("Resources"))
+            for o in objs.values()
+            if o.info.get("Type") == ("name", "Page")
+        ),
+        key=lambda t: t[0].num,
     )
 
 
@@ -675,8 +702,8 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
         raise PdfError("no objects")
 
     events: list[tuple] = []  # (page, -y, x, payload)
-    for pageno, page in enumerate(_page_order(objs)):
-        res = _deref_dict(objs, page.info.get("Resources"))
+    for pageno, (page, res_val) in enumerate(_page_order(objs)):
+        res = _deref_dict(objs, res_val)
         xobjects = _deref_dict(objs, res.get("XObject"))
         fonts: dict[str, dict] = {}
         for fname, fref in _deref_dict(objs, res.get("Font")).items():

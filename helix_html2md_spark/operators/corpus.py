@@ -126,6 +126,8 @@ def mix_corpus(
     for s, n in weights.items():
         if not 0 <= n <= 256:
             raise ValueError(f"weight for {s!r} must be in 0..256")
+    if not 0 <= default <= 256:
+        raise ValueError("default weight must be in 0..256")
     m = F.create_map(
         *[
             F.lit(x)

@@ -46,6 +46,14 @@ def pack_sequences(
     position within that pack (documents longer than the remaining
     room simply flow into subsequent packs — standard concat-and-chunk
     packing, where pack boundaries may split documents).
+
+    LIFETIME CONTRACT (default path): the returned plan joins offsets
+    that were collected from the PERSISTED phase-1 table.  Materialize
+    the result before calling ``dedup.release_persisted()``: a
+    re-materialization after release re-executes the range exchange,
+    whose freshly sampled bounds need not match the bounds the offsets
+    were collected under (within one action the exchange is shared, so
+    a single materialization is always self-consistent).
     """
     n_tok = F.size(tokens(F.col("text")))
     base = docs.select("doc_id", n_tok.alias("n_tokens"))

@@ -245,6 +245,8 @@ def interval_join(
     """
     if high <= low:
         raise ValueError("high must be greater than low")
+    if bucket is not None and bucket <= 0:
+        raise ValueError("bucket width must be positive")
     w = bucket or (high - low)
     lb = F.floor((F.col(on) + F.lit(low)) / F.lit(w)).cast("long")
     ub = F.floor((F.col(on) + F.lit(high)) / F.lit(w)).cast("long")

@@ -111,6 +111,23 @@ def train_centroids(emb: DataFrame, k: int = 16) -> list[list[float]]:
     return out
 
 
+def _probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The query's ``nprobe`` best cells by centroid cosine — ONE
+    implementation shared by the in-memory and persisted-index paths,
+    which are contractually bit-identical (same oracle)."""
+    qn = sum(v * v for v in query_vec) ** 0.5 or 1.0
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda ci: -(
+            sum(a * b for a, b in zip(query_vec, centroids[ci]))
+            / ((sum(v * v for v in centroids[ci]) ** 0.5 or 1.0) * qn)
+        ),
+    )
+    return scored[:nprobe]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -121,15 +138,7 @@ def ivf_topk(
     """IVF-Flat ANN: probe the query's ``nprobe`` nearest cells, exact
     cosine within — the 100 TB scale path (cells partition the corpus;
     the scan prunes to nprobe/K of the data)."""
-    qn = sum(v * v for v in query_vec) ** 0.5 or 1.0
-    scored = sorted(
-        range(len(centroids)),
-        key=lambda ci: -(
-            sum(a * b for a, b in zip(query_vec, centroids[ci]))
-            / ((sum(v * v for v in centroids[ci]) ** 0.5 or 1.0) * qn)
-        ),
-    )
-    probe = scored[:nprobe]
+    probe = _probe_cells(query_vec, centroids, nprobe)
     assigned = ivf_assign(emb, centroids)
     return cosine_topk(
         assigned.filter(F.col("cell").isin(probe)).drop("cell"),
@@ -300,15 +309,7 @@ def ivf_topk_from_index(
         key=lambda r: r["cell"],
     )
     centroids = [list(r["centroid"]) for r in cents]
-    qn = sum(v * v for v in query_vec) ** 0.5 or 1.0
-    scored = sorted(
-        range(len(centroids)),
-        key=lambda ci: -(
-            sum(a * b for a, b in zip(query_vec, centroids[ci]))
-            / ((sum(v * v for v in centroids[ci]) ** 0.5 or 1.0) * qn)
-        ),
-    )
-    probe = scored[:nprobe]
+    probe = _probe_cells(query_vec, centroids, nprobe)
     vecs = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probe)
     )

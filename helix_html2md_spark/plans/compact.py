@@ -33,6 +33,24 @@ def parquet_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns of a parquet directory, in
+    directory order ('bucket=a3/cell=7' -> ['bucket', 'cell'])."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d
+        ]
+        if not subdirs:
+            return cols
+        key = subdirs[0].split("=", 1)[0]
+        cols.append(key)
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -55,7 +73,19 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
     old = path.rstrip("/") + ".precompact"
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    # a hive-partitioned layout (this engine's own bucketed indexes,
+    # partitionBy sinks) must SURVIVE compaction — flattening it would
+    # silently destroy the partition-pruned reads built on top of it
+    pcols = _partition_columns(path)
+    if pcols:
+        (
+            df.repartition(max(n_target, 1), *pcols)
+            .write.partitionBy(*pcols)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
     # verify BEFORE the swap: a rewrite that lost rows must never
     # replace the original
     before = df.count()

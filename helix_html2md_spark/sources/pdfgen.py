@@ -35,6 +35,7 @@ def build_pdf(
     indirect_length: bool = False,
     indirect_annots: bool = False,
     widths_font: bool = False,
+    hoist_resources: bool = False,
 ) -> bytes:
     """Build a PDF from page specs.
 
@@ -234,20 +235,35 @@ def build_pdf(
                 annots = b" /Annots " + str(arr_num).encode() + b" 0 R"
             else:
                 annots = b" /Annots [" + arefs + b"]"
+        if hoist_resources and not xobjects:
+            # leaf declares NO /Resources: the parser must inherit the
+            # ancestor /Pages node's dict (ISO 32000 §7.7.3.4)
+            res_entry = b""
+        else:
+            res_entry = (
+                b" /Resources << /Font << /F1 "
+                + str(font_num).encode() + b" 0 R >>" + xobj + b" >>"
+            )
         page_nums.append(
             add(
                 b"<< /Type /Page /Parent "
                 + str(pages_num_placeholder).encode()
-                + b" 0 R /MediaBox [0 0 612 792] /Resources << /Font"
-                b" << /F1 " + str(font_num).encode() + b" 0 R >>" + xobj
-                + b" >> /Contents " + str(content_num).encode() + b" 0 R"
+                + b" 0 R /MediaBox [0 0 612 792]" + res_entry
+                + b" /Contents " + str(content_num).encode() + b" 0 R"
                 + annots + b" >>"
             )
         )
 
+    hoisted = b""
+    if hoist_resources:
+        hoisted = (
+            b" /Resources << /Font << /F1 "
+            + str(font_num).encode() + b" 0 R >> >>"
+        )
     if nested_pages and len(page_nums) > 1:
         # balanced two-level page tree: root /Pages -> two intermediate
-        # /Pages nodes -> leaf pages (the shape real producers emit)
+        # /Pages nodes -> leaf pages (the shape real producers emit);
+        # hoisted /Resources sit on the INTERMEDIATE nodes
         half = (len(page_nums) + 1) // 2
         mids = []
         for group in (page_nums[:half], page_nums[half:]):
@@ -259,15 +275,17 @@ def build_pdf(
                     b"<< /Type /Pages /Parent "
                     + str(pages_num_placeholder).encode()
                     + b" 0 R /Kids [" + gkids + b"] /Count "
-                    + str(len(group)).encode() + b" >>"
+                    + str(len(group)).encode() + hoisted + b" >>"
                 )
             )
         kids = b" ".join(str(n).encode() + b" 0 R" for n in mids)
+        root_res = b""
     else:
         kids = b" ".join(str(n).encode() + b" 0 R" for n in page_nums)
+        root_res = hoisted
     objects[pages_num_placeholder - 1] = (
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
-        + str(len(page_nums)).encode() + b" >>"
+        + str(len(page_nums)).encode() + root_res + b" >>"
     )
     catalog_num = add(
         b"<< /Type /Catalog /Pages "

@@ -38,3 +38,27 @@ def test_compact_noop_below_threshold(spark, tmp_path):
     m = compact_parquet(spark, path)
     assert m["compacted"] is False
     assert spark.read.parquet(path).count() == 10
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a partitionBy-written dataset must keep the layout:
+    flattening it would silently destroy partition-pruned reads."""
+    path = str(tmp_path / "part")
+    spark.range(0, 1000).withColumn(
+        "bucket", (F.col("id") % 4).cast("string")
+    ).repartition(16).write.partitionBy("bucket").parquet(path)
+    n0, _ = parquet_file_stats(path)
+    m = compact_parquet(spark, path, target_mb=256)
+    assert m["compacted"]
+    n1, _ = parquet_file_stats(path)
+    assert n1 < n0
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    )
+    assert dirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    df = spark.read.parquet(path).filter(F.col("bucket") == "2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == 250

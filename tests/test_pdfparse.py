@@ -673,3 +673,46 @@ def test_mutation_resilience_links_widths():
         except PdfError:
             continue
         assert isinstance(spans, list)
+
+
+def test_inherited_resources_from_pages_nodes():
+    """/Resources is inheritable (ISO 32000 §7.7.3.4): leaf pages with
+    no /Resources must use the nearest ancestor /Pages node's dict —
+    subset-font CMaps and widths would otherwise silently vanish."""
+    pages = [
+        [("text", 72, 740, 24, "T"), ("text", 72, 700, 11, "page one")],
+        [("text", 72, 700, 11, "page two body")],
+        [("text", 72, 700, 11, "page three body")],
+    ]
+    flat = build_pdf(pages, cmap_fonts=True)
+    # hoisted on the root /Pages node
+    hoisted = build_pdf(pages, cmap_fonts=True, hoist_resources=True)
+    assert hoisted.count(b"/Resources") < flat.count(b"/Resources")
+    assert parse_pdf(hoisted) == parse_pdf(flat)
+    # hoisted on INTERMEDIATE nodes of a balanced tree
+    tree = build_pdf(
+        pages, cmap_fonts=True, nested_pages=True, hoist_resources=True
+    )
+    assert parse_pdf(tree) == parse_pdf(flat)
+    # a page with its OWN resources (image XObject) still overrides
+    raw = bytes(range(48))
+    pages_img = pages + [[("image", 72, 500, raw)]]
+    mixed = build_pdf(pages_img, hoist_resources=True)
+    kinds = [s["kind"] for s in parse_pdf(mixed)]
+    assert kinds[-1] == "image"
+
+
+def test_objstm_packs_bare_array_objects():
+    """An indirect /Annots array packed INSIDE an ObjStm (dict-free
+    members get packed by real producers too) must still resolve."""
+    pages = [[
+        ("text", 72, 700, 11, "linked from objstm"),
+        ("link", 72, 650, 180, 14, "https://example.com/os"),
+    ]]
+    packed = build_pdf(pages, objstm=True, indirect_annots=True)
+    inline = build_pdf(pages)
+    assert b"/ObjStm" in packed
+    assert parse_pdf(packed) == parse_pdf(inline)
+    assert kinds_texts(parse_pdf(packed))[-1] == (
+        "link", "https://example.com/os"
+    )
