@@ -1097,7 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT source,
                    count(*) AS n_docs,
-                   count(DISTINCT md5(text)) AS n_unique
+                   count(DISTINCT md5(coalesce(text, ''))) AS n_unique
             FROM documents GROUP BY source ORDER BY source
         """,
         "minhash_signatures": f"""
@@ -1475,7 +1475,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_segments, n_kept,
                    length(kept_text) AS kept_len,
                    md5(kept_text) AS kept_md5
-            FROM a ORDER BY doc_id
+            FROM a
+            UNION ALL
+            SELECT doc_id, cast(0 AS bigint) AS n_segments,
+                   cast(0 AS bigint) AS n_kept, 0 AS kept_len,
+                   md5('') AS kept_md5
+            FROM documents
+            WHERE text IS NULL OR trim(text) = ''
+            ORDER BY doc_id
         """,
         "label_centroids": """
             WITH d AS (

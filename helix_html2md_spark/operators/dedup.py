@@ -47,12 +47,18 @@ def release_persisted() -> None:
 
 
 def exact_dup_stats(docs: DataFrame) -> DataFrame:
-    """Per-source doc counts vs distinct content hashes (exact dedup)."""
+    """Per-source doc counts vs distinct content hashes (exact dedup).
+
+    Null text hashes as the empty string: countDistinct skips nulls, so
+    a source of extraction failures would otherwise report n_unique=0
+    against a nonzero n_docs (silently wrong dup rates)."""
     return (
         docs.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.countDistinct(F.md5("text")).alias("n_unique"),
+            F.countDistinct(
+                F.md5(F.coalesce("text", F.lit("")))
+            ).alias("n_unique"),
         )
         .orderBy("source")
     )
@@ -125,6 +131,17 @@ def _capped_bucket_pairs(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
+    # null bucket keys (empty/whitespace-only docs have no shingles ->
+    # _band_min yields null) never pair: without this filter the light
+    # self-join silently drops them (null == null is null) while the
+    # heavy window path GROUPS them (partitionBy treats nulls as one
+    # bucket) — recall would depend on how many empty docs share the
+    # bucket.  "No content" means "no candidates" on both paths.
+    buckets = buckets.filter(
+        reduce(
+            lambda x, y: x & y, [F.col(k).isNotNull() for k in keys]
+        )
+    )
     w = Window.partitionBy(*keys)
     rep_fields = [F.col("doc_id").alias("d")] + (
         [F.col(payload).alias("p")] if payload else []
@@ -284,6 +301,8 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     import warnings
 
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.unionByName(
         edges.select(
@@ -408,6 +427,11 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     ordinary signed BIGINT on both engines, added first so intermediate
     sums never overflow.
     """
+    if bits != 64:
+        # the sign-bit weight, the hi/lo 32-bit split, and the 16-hex
+        # md5 prefix are all hardcoded for 64; any other value would
+        # produce a silently wrong fingerprint
+        raise ValueError("simhash supports bits=64 only")
     t = docs.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("_toks")
     )
@@ -501,9 +525,16 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", off)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bv"),
+                        (
+                            # width-64 block (n_blocks=1, the
+                            # max_distance=0 exact mode): the full
+                            # value IS the block — a (1<<64)-1 mask
+                            # literal would overflow the JVM long
+                            F.shiftrightunsigned("simhash", off)
+                            if width >= 64
+                            else F.shiftrightunsigned("simhash", off)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                        ).alias("bv"),
                     )
                     for i, (off, width) in enumerate(
                         simhash_blocks(n_blocks)
@@ -538,7 +569,10 @@ def dedup_segments(
     Segments are non-overlapping ``segment_tokens``-token windows (the
     corpus-agnostic stand-in for newline-split lines; real corpora pass
     pre-split lines the same way).  Output:
-    (doc_id, n_segments, n_kept, kept_text, kept_md5).
+    (doc_id, n_segments, n_kept, kept_len, kept_md5) — one row per
+    input document, including token-less documents (n_segments=0,
+    kept_md5 of the empty string): a reassembling pipeline must not
+    lose documents just because they were empty.
 
     Scale shape: one posexplode (fan-out bounded by n_tokens/segment),
     one groupBy on the segment hash for doc-frequency (uniform md5 key —
@@ -547,8 +581,6 @@ def dedup_segments(
     The doc-frequency table carries (hash, df) only — bytes per distinct
     segment, never the text.
     """
-    from ..functions.text import tokens
-
     toks = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
     n = F.size("_t")
     starts = F.sequence(
@@ -623,5 +655,20 @@ def dedup_segments(
             "n_kept",
             F.length("kept_text").alias("kept_len"),
             F.md5("kept_text").alias("kept_md5"),
+        )
+        # token-less documents never reach the posexplode; re-derive
+        # them CHEAPLY from the raw text predicate (trim='' or null is
+        # exactly size(tokens)=0) instead of re-tokenizing the corpus
+        .unionByName(
+            docs.filter(
+                F.col("text").isNull()
+                | (F.trim(F.col("text")) == F.lit(""))
+            ).select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_segments"),
+                F.lit(0).cast("long").alias("n_kept"),
+                F.lit(0).alias("kept_len"),
+                F.md5(F.lit("")).alias("kept_md5"),
+            )
         )
     )

@@ -437,3 +437,91 @@ def test_dedup_segments_all_dropped_and_order(spark):
         " ".join(toks[s : s + 16]) for s in range(0, 40, 16)
     )
     assert r["kept_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+# --- round-4 review-fix edge cases ------------------------------------------
+
+
+def test_simhash_exact_mode_distance_zero(spark):
+    """max_distance=0 -> one 64-bit block: the full-width block must not
+    build a (1<<64)-1 mask literal (JVM long overflow, round-4 review)."""
+    from helix_html2md_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta common words here"),
+            (2, "alpha beta gamma delta common words here"),
+            (3, "entirely different content in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(docs, max_distance=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [
+        (1, 2, 0)
+    ]
+
+
+def test_empty_docs_never_pair_in_lsh(spark):
+    """Empty/whitespace docs have no shingles -> null bucket keys; they
+    must produce NO candidate pairs on either the light or heavy path
+    (recall must not depend on bucket occupancy — round-4 review)."""
+    from helix_html2md_spark.operators.dedup import minhash_candidate_pairs
+
+    rows = [(1, "   "), (2, ""), (3, "real content words in here four")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (256, 1):  # light path and forced heavy/star path
+        pairs = minhash_candidate_pairs(
+            docs, max_bucket_size=cap
+        ).collect()
+        assert pairs == [], f"cap={cap}: {pairs}"
+
+
+def test_dup_components_rejects_zero_iters(spark):
+    from helix_html2md_spark.operators.dedup import dup_components
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(ValueError):
+        dup_components(pairs, max_iter=0)
+
+
+def test_dedup_segments_keeps_empty_docs(spark):
+    from helix_html2md_spark.operators.dedup import dedup_segments
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tok " * 20),
+            (2, "   "),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_segments(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):
+        assert out[d]["n_segments"] == 0
+        assert out[d]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_exact_dup_stats_counts_null_text(spark):
+    from helix_html2md_spark.operators.dedup import exact_dup_stats
+
+    docs = spark.createDataFrame(
+        [(1, None, "s"), (2, None, "s"), (3, "same", "s"), (4, "same", "s")],
+        "doc_id long, text string, source string",
+    )
+    row = exact_dup_stats(docs).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["n_unique"] == 2  # null-text class + the 'same' class
+
+
+def test_simhash_rejects_other_widths(spark):
+    from helix_html2md_spark.operators.dedup import simhash
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        simhash(docs, bits=32)
