@@ -1730,8 +1730,14 @@ def _bucket_sql(emb_col: str = "embedding") -> str:
 
 
 # cosine(embedding, query) with the query vector drawn from CTE q(qv);
-# both engines fold the same float32->double values sequentially
+# both engines fold the same float32->double values sequentially.
+# Zero-norm corpus vectors are NULL (mirrors the operators: DuckDB's
+# IEEE division would yield NaN, which sorts ABOVE every real cosine
+# here while Spark's NULL sorts below — the guard pins one semantics)
 _COS_VS_Q = """
+  CASE WHEN sqrt(list_sum(list_transform(
+           embedding, x -> cast(x AS double) * cast(x AS double)))) = 0
+  THEN NULL ELSE
   round(
     list_sum(list_transform(
         list_zip(embedding, (SELECT qv FROM q)),
@@ -1741,7 +1747,7 @@ _COS_VS_Q = """
        * (SELECT sqrt(list_sum(list_transform(
               qv, x -> cast(x AS double) * cast(x AS double))))
           FROM q)),
-  6)
+  6) END
 """
 
 
@@ -1819,9 +1825,13 @@ def _embedding_neardup_oracle(threshold: float = 0.35) -> str:
         {cap},
         v AS (
           SELECT p.doc_a AS vec_a, p.doc_b AS vec_b,
+                 CASE WHEN {norm.format(e='a.embedding')} = 0
+                        OR {norm.format(e='b.embedding')} = 0
+                 THEN NULL ELSE
                  round({pair_dot}
                        / ({norm.format(e='a.embedding')}
-                          * {norm.format(e='b.embedding')}), 6) AS cosine
+                          * {norm.format(e='b.embedding')}), 6)
+                 END AS cosine
           FROM pairs p
           JOIN bkt a ON p.doc_a = a.doc_id
           JOIN bkt b ON p.doc_b = b.doc_id)

@@ -29,11 +29,20 @@ def _norm(a):
 def cosine_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10
 ) -> DataFrame:
-    """Brute-force cosine top-k against a constant query vector."""
+    """Brute-force cosine top-k against a constant query vector.
+
+    Zero-norm corpus vectors have undefined cosine: they rank as NULL
+    (sorted last, never in the top-k) instead of producing a silent
+    divide-by-zero NULL in Spark vs NaN in a SQL engine — NaN compares
+    GREATER than everything in DuckDB, so an unguarded expression
+    diverges across engines on exactly those rows."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5 or 1.0
     e = F.col("embedding").cast("array<double>")
-    cos = _dot(e, q) / (_norm(e) * F.lit(qn))
+    en = _norm(e)
+    cos = F.when(en == 0, F.lit(None)).otherwise(
+        _dot(e, q) / (en * F.lit(qn))
+    )
     return (
         emb.select(
             "vec_id",
@@ -49,6 +58,8 @@ def hyperplane_buckets(
     emb: DataFrame, planes: list[list[float]]
 ) -> DataFrame:
     """Sign-of-dot-product LSH bucket id per vector."""
+    if not planes:
+        raise ValueError("planes must be non-empty")
     e = F.col("embedding").cast("array<double>")
     bits = []
     for i, p in enumerate(planes):
@@ -88,11 +99,15 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 def train_centroids(emb: DataFrame, k: int = 16) -> list[list[float]]:
     """Deterministic coarse centroids: per-cell mean after seeding with the
-    k lowest vec_ids (one refinement pass — kmeans-lite, deterministic)."""
+    k lowest vec_ids (one refinement pass — kmeans-lite, deterministic).
+    Null embeddings are excluded from both seeding and the refinement."""
+    emb = emb.filter(F.col("embedding").isNotNull())
     seeds = [
         list(r["embedding"])
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
+    if not seeds:
+        raise ValueError("train_centroids: no non-null embeddings")
     assigned = ivf_assign(emb, seeds)
     dim = len(seeds[0])
     means = (
@@ -107,7 +122,12 @@ def train_centroids(emb: DataFrame, k: int = 16) -> list[list[float]]:
     )
     out = list(seeds)
     for r in means:
-        out[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        if r["cell"] is None:
+            continue  # degenerate rows (defensive; nulls filtered above)
+        vals = [r[f"d{i}"] for i in range(dim)]
+        if any(v is None for v in vals):
+            continue
+        out[r["cell"]] = [float(v) for v in vals]
     return out
 
 
@@ -136,8 +156,14 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF-Flat ANN: probe the query's ``nprobe`` nearest cells, exact
-    cosine within — the 100 TB scale path (cells partition the corpus;
-    the scan prunes to nprobe/K of the data)."""
+    cosine within.
+
+    NOTE on scale: this IN-MEMORY variant computes all K centroid
+    scores for every row and only then filters — strictly more work per
+    query than brute force (the repo's own bench shows it; assignment
+    cost amortizes only over many queries).  The actually-pruned path
+    is :func:`ivf_topk_from_index`, where assignment is paid ONCE at
+    build time and each query reads only its probed cells' files."""
     probe = _probe_cells(query_vec, centroids, nprobe)
     assigned = ivf_assign(emb, centroids)
     return cosine_topk(
@@ -175,18 +201,28 @@ def cosine_neardup_pairs(
 
     if planes:
         src = hyperplane_buckets(emb, planes)
+        cap = max_bucket_size
     else:
+        # exact mode is all-pairs BY REQUEST: the skew cap would
+        # silently star-pair any corpus larger than max_bucket_size and
+        # drop most genuine pairs — O(n^2) is the contract here
         src = emb.withColumn("bucket", F.lit(0))
+        cap = 1 << 62
+    e = F.col("embedding").cast("array<double>")
+    # norm computed ONCE per vector and carried through the pairing:
+    # recomputing it per candidate pair costs ~bucket_size x more
+    # O(d) folds in pair-heavy buckets
     buckets = src.select(
         F.col("vec_id").alias("doc_id"),
         "bucket",
-        F.col("embedding").cast("array<double>").alias("vec"),
+        F.struct(e.alias("v"), _norm(e).alias("n")).alias("vec"),
     )
     pairs = _capped_bucket_pairs(
-        buckets, ["bucket"], max_bucket_size, payload="vec", dedup=False
+        buckets, ["bucket"], cap, payload="vec", dedup=False
     )
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    na, nb = F.col("vec_a.n"), F.col("vec_b.n")
+    cos = F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(
+        _dot(F.col("vec_a.v"), F.col("vec_b.v")) / (na * nb)
     )
     return (
         pairs.select(
@@ -198,11 +234,26 @@ def cosine_neardup_pairs(
     )
 
 
-# deterministic ±1 hyperplanes: plane i, component j = +1 iff bit i of j
-# is set — integer literals, identical in the SQL oracle
 def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component j of plane i takes its
+    sign from one md5 bit of "i:j".
+
+    The plane VALUES are what cross into the SQL oracle (as literals),
+    so any pure-Python construction stays engine-identical.  The md5
+    source keeps every plane distinct and non-constant for ANY
+    n_planes — the previous bit-i-of-j construction emitted duplicate
+    all(-1) planes once i >= log2(dim), silently collapsing the
+    advertised 2^n_planes bucket diversity (and those constant planes'
+    bits were frozen for non-negative post-ReLU embeddings)."""
+    import hashlib
+
     return [
-        [1.0 if (j >> i) & 1 else -1.0 for j in range(dim)]
+        [
+            1.0
+            if hashlib.md5(f"{i}:{j}".encode()).digest()[0] & 1
+            else -1.0
+            for j in range(dim)
+        ]
         for i in range(n_planes)
     ]
 

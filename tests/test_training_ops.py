@@ -525,3 +525,87 @@ def test_simhash_rejects_other_widths(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         simhash(docs, bits=32)
+
+
+def test_cosine_zero_vector_never_tops(spark):
+    """Zero-norm vectors rank NULL-last instead of diverging across
+    engines (Spark NULL vs DuckDB NaN-sorts-first — round-4 review)."""
+    from helix_html2md_spark.operators.similarity import (
+        cosine_neardup_pairs, cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 0.0], 0),  # zero vector
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["cosine"] is None
+    pairs = cosine_neardup_pairs(emb, threshold=0.5).collect()
+    assert all(2 not in (r["vec_a"], r["vec_b"]) for r in pairs)
+    assert any({r["vec_a"], r["vec_b"]} == {0, 1} for r in pairs)
+
+
+def test_exact_mode_is_truly_all_pairs(spark):
+    """planes=None must NOT be silently skew-capped: every qualifying
+    pair appears even when the corpus exceeds max_bucket_size."""
+    from helix_html2md_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    n = 40
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = cosine_neardup_pairs(
+        emb, threshold=0.99, planes=None, max_bucket_size=8
+    ).collect()
+    # all vectors are near-parallel: every unordered pair qualifies
+    assert len(pairs) == n * (n - 1) // 2
+
+
+def test_rademacher_planes_distinct_any_count():
+    from helix_html2md_spark.operators.similarity import (
+        rademacher_planes,
+    )
+
+    planes = rademacher_planes(10, 64)  # 10 > log2(64): old bug zone
+    as_tuples = {tuple(p) for p in planes}
+    assert len(as_tuples) == 10  # all distinct
+    assert all(any(v > 0 for v in p) for p in planes)  # none constant
+    # deterministic
+    assert rademacher_planes(10, 64) == planes
+
+
+def test_bucketed_topk_python_jvm_bucket_agreement(spark):
+    """The query's bucket (Python) and corpus buckets (JVM) share one
+    sign convention: reusing the corpus operator on the query row must
+    land it in the bucket the Python loop computes."""
+    from helix_html2md_spark.operators.similarity import (
+        hyperplane_buckets, rademacher_planes,
+    )
+
+    planes = rademacher_planes(4, 8)
+    vecs = [
+        [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    jvm = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_buckets(df, planes).collect()
+    }
+    for i, v in enumerate(vecs):
+        qbits = 0
+        for pi, p in enumerate(planes):
+            if sum(float(a) * float(b) for a, b in zip(v, p)) >= 0:
+                qbits |= 1 << pi
+        assert jvm[i] == qbits, i
