@@ -60,9 +60,6 @@ _CONFIG_COLS = (
     "boilerplate_fallback",
 )
 
-_MEDIA_MD_RE = re.compile(
-    r"!\[[^\]\n]*\]\[image\d+\]|^\[image(\d+)\]: (.*)$", re.M
-)
 _DEF_RE = re.compile(r"^\[(image\d+)\]: (.*)$", re.M)
 _REF_RE = re.compile(r"!\[[^\]\n]*\]\[(image\d+)\]")
 
@@ -109,6 +106,12 @@ def decompose_md(md: str):
     events.sort()
     order = 0
     for start, end, ref in events:
+        if start < pos:
+            # a ref-pattern match NESTED inside an already-consumed
+            # definition line (adversarial url text): emitting it would
+            # duplicate text and move pos backwards, breaking the
+            # concat(span.text) == md invariant
+            continue
         if start > pos:
             spans.append(("text", md[pos:start], "", order))
             order += 1
@@ -133,32 +136,37 @@ def _scalar(v):
 
 
 def extract_row(html, media_spans, cfg_row) -> dict:
-    """Transform one document (html pre-assembled JVM-side)."""
-    source_url = _scalar(cfg_row.get("source_url"))
-    config = {
-        "source_url": source_url,
-        "org": _scalar(cfg_row.get("org")) or "owner",
-        "site": _scalar(cfg_row.get("site")) or "repo",
-        "media_enabled": bool(_scalar(cfg_row.get("media_enabled"))),
-        "media_lookup": build_media_lookup(media_spans, source_url),
-        "unspread_lists": bool(_scalar(cfg_row.get("unspread_lists"))),
-        "external_prefixes": [
-            p
-            for p in (_scalar(cfg_row.get("external_prefixes")) or "").split(",")
-            if p
-        ],
-        "max_images": int(_scalar(cfg_row.get("max_images")) or 0) or None,
-        "max_image_size": int(_scalar(cfg_row.get("max_image_size")) or 0) or None,
-        "max_html_size": int(_scalar(cfg_row.get("max_html_size")) or 0) or None,
-        "boilerplate_fallback": bool(
-            _scalar(cfg_row.get("boilerplate_fallback"))
-        ),
-    }
+    """Transform one document (html pre-assembled JVM-side).
+
+    EVERYTHING per-row — config parsing, media-lookup construction
+    (which resolves URLs and can raise on malformed source_url), and
+    the transform itself — sits inside the try: a hostile row must
+    become an error ROW, never a task failure."""
     try:
+        source_url = _scalar(cfg_row.get("source_url"))
+        config = {
+            "source_url": source_url,
+            "org": _scalar(cfg_row.get("org")) or "owner",
+            "site": _scalar(cfg_row.get("site")) or "repo",
+            "media_enabled": bool(_scalar(cfg_row.get("media_enabled"))),
+            "media_lookup": build_media_lookup(media_spans, source_url),
+            "unspread_lists": bool(_scalar(cfg_row.get("unspread_lists"))),
+            "external_prefixes": [
+                p
+                for p in (
+                    _scalar(cfg_row.get("external_prefixes")) or ""
+                ).split(",")
+                if p
+            ],
+            "max_images": int(_scalar(cfg_row.get("max_images")) or 0) or None,
+            "max_image_size": int(_scalar(cfg_row.get("max_image_size")) or 0) or None,
+            "max_html_size": int(_scalar(cfg_row.get("max_html_size")) or 0) or None,
+            "boilerplate_fallback": bool(
+                _scalar(cfg_row.get("boilerplate_fallback"))
+            ),
+        }
         md = html2md(html, config)
-    except ConstraintsError as e:
-        return dict(md="", status="constraint_error", error=str(e), spans=[])
-    except (TooManyImagesError, SizeTooLargeError) as e:
+    except (ConstraintsError, TooManyImagesError, SizeTooLargeError) as e:
         return dict(md="", status="constraint_error", error=str(e), spans=[])
     except Exception as e:  # noqa: BLE001 - parse never aborts the job
         return dict(md="", status="parse_error", error=f"{type(e).__name__}: {e}", spans=[])
@@ -215,6 +223,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["md"].append(res["md"])
             out["status"].append(res["status"])
             out["error"].append(res["error"])
+            # counts media SPANS — each ![alt][imageN] occurrence AND
+            # each [imageN]: url definition line — i.e. "how much of the
+            # output is media markup", NOT distinct images (that count
+            # is the number of definition lines).  Pinned by the golden
+            # parquet and the driver contract since round 1.
             out["n_images"].append(
                 sum(1 for s in res["spans"] if s["kind"] == "media")
             )
@@ -269,7 +282,13 @@ def gate_oversized(df: DataFrame, defaults: dict) -> DataFrame:
     (bround = half-even, no thousands grouping).
     """
     max_html_default = int(defaults.get("max_html_size") or 1024 * 1024)
-    limit = F.coalesce(F.col("max_html_size"), F.lit(max_html_default))
+    # 0 means "unset" on the Python tier (`or`-chains); coalesce alone
+    # would keep a literal 0 and reject EVERY non-empty document with a
+    # '...larger than 0MB' error — mirror the tier semantics exactly
+    limit = F.when(
+        F.col("max_html_size").isNull() | (F.col("max_html_size") == 0),
+        F.lit(max_html_default),
+    ).otherwise(F.col("max_html_size"))
     mb_str = (
         F.bround(limit / F.lit(1024 * 1024), 0)
         .cast("decimal(20,0)")
@@ -360,9 +379,15 @@ def extract_documents(
             F.xxhash64(F.col("_wc"), F.col("_b")) + F.row_number().over(w),
             F.lit(n),
         )
+        # repartitionByRange, NOT repartition: hash partitioning would
+        # route the n computed place values through murmur3 (birthday
+        # collisions — ~1/e of partitions get no heavy doc while others
+        # get several), while range partitioning over place in [0, n)
+        # with n partitions assigns ~one place value per partition,
+        # preserving the round-robin the window computed
         balanced = (
             ok2.withColumn("_place", place)
-            .repartition(n, "_place")
+            .repartitionByRange(n, "_place")
             .drop("_wc", "_b", "_place")
         )
 

@@ -126,3 +126,56 @@ def test_weighted_placement_mode(spark):
         ).collect()
     }
     assert a == b and len(a) == 30
+
+
+def test_malformed_source_url_degrades_per_row(spark):
+    """Config parsing + media-lookup construction are per-row code: a
+    malformed source_url ('http://[' raises Invalid IPv6 URL inside
+    urlsplit) must yield an error ROW, never a task failure."""
+    from pyspark.sql import Row
+
+    spans = [
+        Row(kind="html", text="<main><div><p>ok</p></div></main>",
+            media_ref=None, offset=0),
+        Row(kind="media", text="img.png", media_ref="ref:1:png:1:1:9",
+            offset=1),
+    ]
+    docs = spark.createDataFrame(
+        [("good", spans), ("bad", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    cfg = spark.createDataFrame(
+        [("good", "https://x.example/p"), ("bad", "http://[")],
+        "doc_id string, source_url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_documents(docs, cfg, num_partitions=2).collect()
+    }
+    assert out["good"]["status"] == "ok"
+    assert out["bad"]["status"] == "parse_error"
+    assert "ValueError" in out["bad"]["error"]
+
+
+def test_gate_treats_zero_limit_as_unset(spark):
+    """max_html_size=0 means 'use the default' on the Python tier; the
+    JVM gate must agree (a literal 0 limit would constraint-error every
+    non-empty document)."""
+    from helix_html2md_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 5, seed=9, partitions=1)
+    out = extract_documents(
+        docs, None, num_partitions=1, defaults={"max_html_size": 0}
+    ).collect()
+    assert all(r["status"] == "ok" for r in out)
+
+
+def test_decompose_md_adversarial_nested_ref():
+    """A definition line whose URL text itself matches the ref pattern
+    must not break concat(span.text) == md."""
+    from helix_html2md_spark.operators.extract import decompose_md
+
+    md = "before\n\n![a][image0]\n\n[image0]: ![a][image0]"
+    spans = decompose_md(md)
+    assert "".join(s["text"] for s in spans) == md
+    assert [s["order"] for s in spans] == list(range(len(spans)))
