@@ -1194,14 +1194,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cast(session_seq AS bigint) AS session_seq,
                    count(*) AS n_events,
                    min(event_id) AS first_event,
-                   cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+                   cast(sum(cast(value AS decimal(30,6))) AS double) AS sum_value
             FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
         """,
         "event_stats": """
             SELECT event_type,
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users,
-                   cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+                   cast(sum(cast(value AS decimal(30,6))) AS double) AS sum_value
             FROM events WHERE value > 0
             GROUP BY event_type ORDER BY event_type
         """,
@@ -1415,8 +1415,8 @@ def oracle_sql() -> dict[str, str]:
             FROM m ORDER BY vec_id
         """,
         "stream_dedup": """
-            SELECT DISTINCT md5(text) AS content_md5,
-                   cast(length(text) AS bigint) AS text_len
+            SELECT DISTINCT md5(coalesce(text, '')) AS content_md5,
+                   cast(length(coalesce(text, '')) AS bigint) AS text_len
             FROM documents ORDER BY content_md5
         """,
         "error_click_window": """
@@ -1543,7 +1543,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+                   cast(sum(cast(value AS decimal(30,6))) AS double) AS sum_value
             FROM events
             GROUP BY window_start, event_type
             ORDER BY window_start, event_type

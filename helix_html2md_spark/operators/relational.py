@@ -131,7 +131,7 @@ def user_event_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.min("event_id").alias("first_event"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(F.col("value").cast("decimal(30,6)"))
             .cast("double")
             .alias("sum_value"),
         )
@@ -147,7 +147,7 @@ def event_type_stats(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(F.col("value").cast("decimal(30,6)"))
             .cast("double")
             .alias("sum_value"),
         )

@@ -22,14 +22,34 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from ..operators.extract import extract_documents
 
 
+# broadcast the done-set only while it plausibly fits every executor;
+# past this row count, fall back to a shuffled anti-join (AQE picks the
+# strategy) — an unconditional broadcast would OOM the driver / hit the
+# 8GB broadcast cap exactly when resume matters most
+_BROADCAST_DONE_MAX_ROWS = 10_000_000
+
+
 def remaining_documents(docs: DataFrame, output_path: str) -> DataFrame:
-    """Anti-join resume: drop doc_ids already present in the output."""
+    """Anti-join resume: drop doc_ids already present in the output.
+
+    Only a MISSING output disables resume (first run).  Any other read
+    failure — transient storage error, corrupt footer, wrong schema —
+    must PROPAGATE: swallowing it would silently reprocess everything
+    and append duplicate rows, breaking the exactly-once-per-doc
+    invariant."""
+    from pyspark.errors import AnalysisException
+
     spark = docs.sparkSession
     try:
         done = spark.read.parquet(output_path).select("doc_id")
-    except Exception:  # noqa: BLE001 - first run: no output yet
-        return docs
-    return docs.join(F.broadcast(done), "doc_id", "left_anti")
+        n_done = done.count()  # parquet metadata count — cheap
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return docs  # first run: no output yet
+        raise
+    if n_done <= _BROADCAST_DONE_MAX_ROWS:
+        done = F.broadcast(done)
+    return docs.join(done, "doc_id", "left_anti")
 
 
 def run_extract_job(
@@ -63,16 +83,20 @@ def run_extract_job(
     )
     extracted = extracted.withColumn(
         "partition_id", F.spark_partition_id()
-    )
+    ).withColumn("run_id", F.lit(run_id))
 
     t0 = time.perf_counter()
     extracted.write.mode("append").parquet(output_path)
     wall = time.perf_counter() - t0
     stats = obs.get
 
-    # per-partition lineage (reads back only this run's new rows cheaply:
-    # lineage is tiny, derived from the committed snapshot)
-    out = spark.read.parquet(output_path)
+    # per-partition lineage over THIS RUN'S rows only: the output rows
+    # carry run_id precisely so a resumed run's lineage never re-counts
+    # prior runs' documents (partition_ids collide across runs), and the
+    # read-back prunes on run_id instead of scanning the whole history
+    out = spark.read.parquet(output_path).filter(
+        F.col("run_id") == run_id
+    )
     lineage = (
         out.groupBy("partition_id")
         .agg(

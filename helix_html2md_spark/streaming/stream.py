@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.extract import EXTRACTED_SCHEMA, _extract_batches
 from ..sources.fixtures import DOC_SCHEMA
 
 
@@ -42,18 +41,16 @@ def stream_extract(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    from ..operators.extract import gate_oversized, prepare_for_extract
+    from ..operators.extract import extract_documents
 
-    df = docs.select("doc_id", "spans")
-    if config is not None:
-        df = df.join(F.broadcast(config), "doc_id", "left")
-    # same JVM admission gate as the batch path (gate-before-Python holds
-    # on the stream too; a when-projection is stream-safe)
-    defaults = defaults or {}
-    df = gate_oversized(prepare_for_extract(df, defaults), defaults)
-    extracted = df.drop("_html_len").mapInPandas(
-        _extract_batches, schema=EXTRACTED_SCHEMA
-    )
+    # ONE implementation: the batch operator in its zero-shuffle 'none'
+    # placement mode is stream-safe (select -> broadcast config join ->
+    # assembly -> gate -> mapInPandas, no Window/repartition), so the
+    # stream cannot drift from the batch gate/assembly — the oracle
+    # requires byte-identical markdown from both surfaces
+    defaults = dict(defaults or {})
+    defaults.setdefault("repartition", "none")
+    extracted = extract_documents(docs, config, defaults=defaults)
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", output_dir)
@@ -148,9 +145,13 @@ def stream_dedup(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
+    # null text hashes as '' — matching the batch dedup contract
+    # (exact_dup_stats) and keeping the sink free of null keys
     deduped = docs.select(
-        F.md5("text").alias("content_md5"),
-        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.coalesce("text", F.lit(""))).alias("content_md5"),
+        F.length(F.coalesce("text", F.lit("")))
+        .cast("long")
+        .alias("text_len"),
     ).dropDuplicates(["content_md5"])
     writer = (
         deduped.writeStream.format("parquet")
@@ -177,6 +178,12 @@ def stateful_sessionize(
     query keeps scheduling "cleaning up state" batches until every
     group's wall-clock timeout fires (gap_minutes later), so an
     available-now run would not terminate for half an hour.
+
+    TIMEZONE CONTRACT: gap arithmetic runs on ``.timestamp()`` of the
+    tz-NAIVE local timestamps Arrow hands the UDF, which is only
+    correct under a UTC session timezone (build_session pins it).  A
+    DST-shifting session tz would make wall-clock-repeated local times
+    compare backwards across the transition.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -254,7 +261,7 @@ def windowed_event_counts(
         .agg(
             F.count("*").alias("n_events"),
             # decimal-exact sum, double terminal type (oracle-identical)
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(F.col("value").cast("decimal(30,6)"))
             .cast("double")
             .alias("sum_value"),
         )
