@@ -606,7 +606,7 @@ def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _cached_index(
-        spark, sf_dir, "text_index", "v1",
+        spark, sf_dir, "text_index", "v2",
         lambda p: build_text_index(_docs(spark, sf_dir), p),
         source="documents.parquet",
     )
@@ -1062,7 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB, same parquet tables as pre-registered views)
 # ---------------------------------------------------------------------------
 
-_TOKENS = "list_filter(str_split_regex(trim(text), '\\s+'), x -> x <> '')"
+from helix_html2md_spark.functions.text import SQL_TOKENS as _SQL_TOKENS
+
+_TOKENS = _SQL_TOKENS.format(c="text")
 _STOP = "['the','a','of','and','to','in','is','it']"
 
 
@@ -1881,10 +1883,14 @@ def _dup_components_oracle() -> str:
 
 
 def _bpe_oracle() -> str:
-    # the pre-tokenizer pattern contains a single quote: double it for SQL
-    pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+".replace(
-        "'", "''"
-    )
+    from helix_html2md_spark.functions.text import BPE_PRETOKEN_RE, WS_CLASS
+
+    # ONE pattern source (functions/text.py constants) — a hand-copied
+    # literal here once drifted on the \s-vs-RE2 whitespace semantics;
+    # the pre-tokenizer pattern contains a single quote: double it for
+    # SQL
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    ws = WS_CLASS
     return f"""
         WITH s AS (
           SELECT doc_id,
@@ -1893,7 +1899,7 @@ def _bpe_oracle() -> str:
         f AS (
           SELECT doc_id, segs,
                  list_filter(segs,
-                             t -> NOT regexp_matches(t, '^\\s+$')) AS nonws
+                             t -> NOT regexp_matches(t, '^{ws}+$')) AS nonws
           FROM s)
         SELECT doc_id,
                len(segs) AS n_segments,

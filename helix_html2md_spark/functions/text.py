@@ -12,10 +12,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 # shared with the DuckDB oracles: keep the formulas byte-identical
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# ONE whitespace definition, written as an explicit class because the
+# \s shorthand silently diverges between engines: Java's default \s is
+# [ \t\n\x0B\f\r] while RE2 (DuckDB) EXCLUDES vertical tab \x0B — a
+# document containing \x0B would tokenize differently on the two sides
+# of the oracle.  Python's re \s is Unicode-aware and differs from BOTH
+# (NBSP etc.), so driver-side query tokenization must use this class
+# too (operators/search.py).
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 
 def tokens(col) -> Column:
     """Whitespace tokenization (empty-safe)."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
+    return F.filter(
+        F.split(F.trim(col), WS_CLASS + "+"), lambda w: w != F.lit("")
+    )
 
 
 def token_count(col) -> Column:
@@ -68,9 +79,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # BPE-style pre-tokenizer (GPT-2-ish): contraction suffixes, space-glued
 # letter runs, digit runs, punctuation runs, whitespace runs.  Pure
-# alternation, no lookaround — identical leftmost-first semantics in
-# Java regex (Spark) and RE2 (DuckDB), so it is SQL-oracle-checkable.
-BPE_PRETOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# alternation, no lookaround, explicit whitespace class (see WS_CLASS) —
+# identical leftmost-first semantics in Java regex (Spark) and RE2
+# (DuckDB), so it is SQL-oracle-checkable.
+BPE_PRETOKEN_RE = (
+    r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+|"
+    + WS_CLASS + "+"
+)
 
 
 def bpe_tokens(col) -> Column:
@@ -83,10 +98,15 @@ def bpe_tokens(col) -> Column:
 def bpe_token_count(col) -> Column:
     """Count of non-whitespace BPE pre-tokens (≈ LLM token estimate)."""
     return F.size(
-        F.filter(bpe_tokens(col), lambda t: ~t.rlike(r"^\s+$"))
+        F.filter(bpe_tokens(col), lambda t: ~t.rlike("^" + WS_CLASS + "+$"))
     )
 
 
-# DuckDB oracle fragments (must mirror the Spark formulas exactly)
-SQL_TOKENS = "list_filter(str_split_regex(trim({c}), '\\s+'), x -> x <> '')"
+# DuckDB oracle fragments (must mirror the Spark formulas exactly —
+# built FROM the same WS_CLASS constant so they cannot drift)
+SQL_TOKENS = (
+    "list_filter(str_split_regex(trim({c}), '"
+    + WS_CLASS
+    + "+'), x -> x <> '')"
+)
 SQL_STOPWORDS = "['" + "','".join(STOPWORDS) + "']"

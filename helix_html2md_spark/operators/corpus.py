@@ -128,6 +128,11 @@ def mix_corpus(
             raise ValueError(f"weight for {s!r} must be in 0..256")
     if not 0 <= default <= 256:
         raise ValueError("default weight must be in 0..256")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    if not weights:
+        # empty dict = "default rate for every source" — create_map()
+        # with zero args types as map<void,void> and fails analysis
+        return docs.filter(prefix < F.lit(_thr(default)))
     m = F.create_map(
         *[
             F.lit(x)
@@ -135,7 +140,5 @@ def mix_corpus(
             for x in (s, _thr(n))
         ]
     )
-    keep = F.substring(
-        F.md5(F.col("doc_id").cast("string")), 1, 2
-    ) < F.coalesce(m[F.col("source")], F.lit(_thr(default)))
+    keep = prefix < F.coalesce(m[F.col("source")], F.lit(_thr(default)))
     return docs.filter(keep)

@@ -145,7 +145,13 @@ def resize_images(
     """Resize image rows to (out_w, out_h): decode (injectable codec
     slot; deterministic stand-in by default), nearest-neighbor resample
     in numpy, re-encode as raw bytes.  Arrow-batched, image rows only,
-    partition-preserving — no shuffle, no per-row Python crossing."""
+    partition-preserving — no shuffle, no per-row Python crossing.
+
+    Decoder contract: may return a 2-D (h, w) pixel array (a real
+    PIL/libvips decoder) OR a 1-D feature vector (the deterministic
+    stand-in), which is squared up for the resample."""
+    # non-image payloads never cross Arrow: the kind filter is JVM-side
+    media = media.filter(F.col("kind") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,12 +161,13 @@ def resize_images(
                 "resized": [],
             }
             for row in pdf.itertuples(index=False):
-                if row.kind != "image":
-                    continue
                 payload = bytes(row.payload) if row.payload is not None else b""
-                arr = decoder(payload)
-                side = max(int(len(arr) ** 0.5), 1)
-                img = arr[: side * side].reshape(side, side)
+                arr = np.asarray(decoder(payload))
+                if arr.ndim >= 2:
+                    img = arr.reshape(arr.shape[0], -1)
+                else:
+                    side = max(int(len(arr) ** 0.5), 1)
+                    img = arr[: side * side].reshape(side, side)
                 resized = resize_pixels(img, out_w, out_h)
                 blob = (resized * 255).astype(np.uint8).tobytes()
                 out["media_id"].append(row.media_id)
@@ -209,6 +216,10 @@ def sample_frames(
     factor is bounded by ``max_frames`` so a 10-hour outlier cannot blow
     up one task's output.  Real decode plugs in via ``decoder``.
     """
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    # non-video payloads never cross Arrow
+    media = media.filter(F.col("kind") == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,8 +228,6 @@ def sample_frames(
                 "ts_ms": [], "frame_sha1": [], "frame": [],
             }
             for row in pdf.itertuples(index=False):
-                if row.kind != "video":
-                    continue
                 payload = bytes(row.payload) if row.payload is not None else b""
                 dur = int(row.duration_ms or 0)
                 n_frames = min(dur // every_ms + 1, max_frames)
@@ -241,11 +250,19 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     audio row (no decode — pure metadata; byte-range decode happens at
     the consumer with the codec slot).  One sequence/explode, no Python.
     """
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
     n_chunks = F.greatest(
         F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
     )
     return (
-        media.filter(F.col("kind") == "audio")
+        # NULL duration means "unmeasured": greatest/least skip NULLs,
+        # which would otherwise fabricate a full [0, chunk_ms] chunk of
+        # audio nobody measured — drop those rows instead
+        media.filter(
+            (F.col("kind") == "audio")
+            & F.col("duration_ms").isNotNull()
+        )
         .select(
             "media_id",
             "doc_id",

@@ -30,13 +30,21 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import WS_CLASS, tokens
 
-_WS = re.compile(r"\s+")
+# the SAME whitespace class the index-side tokenizer uses: Python's
+# re \s is Unicode-aware (NBSP etc.) while the JVM tokenizer's explicit
+# class is ASCII — a driver-side \s split would desynchronize query
+# terms from indexed terms for any Unicode-whitespace content
+_WS = re.compile(WS_CLASS + "+")
 
 
 def _bucket(term_col):
-    return F.substring(F.md5(term_col), 1, 2)
+    # 'b' prefix: a partition directory set that happens to be all
+    # digit pairs would be type-INFERRED as int on read, and a later
+    # letter-bucket filter would crash the ANSI string-to-int cast; a
+    # letter prefix pins string inference for every possible corpus
+    return F.concat(F.lit("b"), F.substring(F.md5(term_col), 1, 2))
 
 
 def build_text_index(docs: DataFrame, path: str) -> None:
@@ -89,7 +97,10 @@ def search_text_index(
     if not terms:
         raise ValueError("empty query")
     buckets = sorted(
-        {hashlib.md5(t.encode("utf-8")).hexdigest()[:2] for t in terms}
+        {
+            "b" + hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
+            for t in terms
+        }
     )
     n_docs = spark.read.parquet(f"{path}/meta").head()["n_docs"]
     postings = (
