@@ -93,9 +93,14 @@ def run_extract_job(
     # per-partition lineage over THIS RUN'S rows only: the output rows
     # carry run_id precisely so a resumed run's lineage never re-counts
     # prior runs' documents (partition_ids collide across runs), and the
-    # read-back prunes on run_id instead of scanning the whole history
-    out = spark.read.parquet(output_path).filter(
-        F.col("run_id") == run_id
+    # read-back prunes on run_id instead of scanning the whole history.
+    # mergeSchema: an output seeded OUTSIDE this job (or by a pre-run_id
+    # version) lacks the column; those legacy rows read as null run_id
+    # and are correctly excluded from every run's lineage.
+    out = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(output_path)
+        .filter(F.col("run_id") == run_id)
     )
     lineage = (
         out.groupBy("partition_id")
