@@ -54,15 +54,13 @@ def _text(el: Element) -> str:
     _norm collapses any doubling.
     """
     parts: list[str] = []
-
-    def walk(n: Element) -> None:  # document order (DFS)
-        for c in n.children:
-            if isinstance(c, Text):
-                parts.append(c.value)
-            else:
-                walk(c)
-
-    walk(el)
+    stack = list(reversed(el.children))  # document order, iterative
+    while stack:
+        c = stack.pop()
+        if isinstance(c, Text):
+            parts.append(c.value)
+        else:
+            stack.extend(reversed(c.children))
     return _norm(" ".join(parts))
 
 
@@ -74,13 +72,18 @@ def _is_noise(el: Element) -> bool:
 
 
 def _clean(el: Element) -> None:
-    el.children = [
-        c
-        for c in el.children
-        if not (isinstance(c, Element) and _is_noise(c))
-    ]
-    for c in el.element_children():
-        _clean(c)
+    # iterative: the lenient parser builds unbounded-depth trees from
+    # unclosed tags, and per-level recursion would RecursionError on
+    # them (the parser itself handles that input fine)
+    stack = [el]
+    while stack:
+        node = stack.pop()
+        node.children = [
+            c
+            for c in node.children
+            if not (isinstance(c, Element) and _is_noise(c))
+        ]
+        stack.extend(node.element_children())
 
 
 def _link_text_len(el: Element) -> int:
@@ -117,18 +120,22 @@ def _best_candidate(
     body = root.find("body") or root
     _clean(body)
 
-    # document-order candidate index for deterministic tie-breaking
+    # DOCUMENT-order (DFS pre-order) candidate index for deterministic
+    # tie-breaking — a BFS index would rank a later sibling ahead of an
+    # earlier nested element, contradicting the documented 'document
+    # order, first wins' contract
     order: dict[int, int] = {}
     parent_of: dict[int, Element] = {}
-    seq = [body]
-    i = 0
-    while i < len(seq):
-        el = seq[i]
-        order[id(el)] = i
-        for c in el.element_children():
+    seq: list[Element] = []
+    stack = [body]
+    while stack:
+        el = stack.pop()
+        order[id(el)] = len(seq)
+        seq.append(el)
+        kids = el.element_children()
+        for c in kids:
             parent_of[id(c)] = el
-            seq.append(c)
-        i += 1
+        stack.extend(reversed(kids))
 
     scores: dict[int, float] = {}
     para_counts: dict[int, int] = {}
@@ -149,6 +156,10 @@ def _best_candidate(
             gp = parent_of.get(id(gp))
         if gp is not None:
             scores[id(gp)] = scores.get(id(gp), 0.0) + pts / 2.0
+            # the paragraph is INSIDE the grandparent too: without this
+            # a winner that scored only via half-points reported
+            # n_paras=0 and looked content-free to downstream filters
+            para_counts[id(gp)] = para_counts.get(id(gp), 0) + 1
 
     if not scores:
         return None

@@ -74,15 +74,18 @@ class Element:
         return all_[0] if all_ else None
 
     def text_content(self) -> str:
+        # DFS pre-order = DOCUMENT order: a BFS here moved nested-
+        # element text after sibling text ('<code>foo<b>bar</b>baz'
+        # read back as 'foobazbar'), scrambling inline-code and
+        # metadata harvesting
         parts = []
-        stack = [self]
+        stack = list(reversed(self.children))
         while stack:
-            n = stack.pop(0)
-            for c in n.children:
-                if isinstance(c, Text):
-                    parts.append(c.value)
-                else:
-                    stack.append(c)
+            c = stack.pop()
+            if isinstance(c, Text):
+                parts.append(c.value)
+            else:
+                stack.extend(reversed(c.children))
         return "".join(parts)
 
     def __repr__(self):  # pragma: no cover
@@ -107,6 +110,12 @@ _IMPLIED_CLOSE = {
     "option": {"option"},
     "dt": {"dt", "dd"},
     "dd": {"dt", "dd"},
+}
+
+# inline formatting tags an implied close may scan through
+_FORMATTING = {
+    "a", "b", "i", "em", "strong", "u", "s", "small", "span", "code",
+    "sub", "sup", "font", "mark",
 }
 
 # block-ish tags that implicitly close an open <p>
@@ -138,8 +147,18 @@ class _TreeBuilder(HTMLParser):
                     break
         closes = _IMPLIED_CLOSE.get(tag)
         if closes:
-            while len(self.stack) > 1 and self._cur().tag in closes:
-                self.stack.pop()
+            # scan THROUGH open formatting elements (an unclosed <b>
+            # inside a cell must not defeat the implied td/tr/li close —
+            # browsers close the cell regardless); anything non-
+            # formatting is a scope boundary and blocks the close
+            while True:
+                i = len(self.stack) - 1
+                while i > 0 and self.stack[i].tag in _FORMATTING:
+                    i -= 1
+                if i > 0 and self.stack[i].tag in closes:
+                    del self.stack[i:]
+                    continue
+                break
 
     # -- parser callbacks ----------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -185,13 +204,19 @@ def parse_html_stdlib(html: str) -> Element:
 # ---------------------------------------------------------------------------
 
 _TAG_RE = re.compile(
+    # comment alternatives: '>' / '->' first — HTML5's abruptly-closed
+    # empty comments ('<!-->', '<!--->'); a lazy .*? alone would fail to
+    # find '-->' and fall through to $, eating the document to EOF.
+    # attrs: after quoted/unquoted items, tolerate ONE trailing
+    # unterminated quote run (stdlib html.parser ends the tag at '>'
+    # for a typo'd quote instead of dropping the whole tag)
     r"<(?:"
-    r"!--(?P<comment>.*?)(?:-->|$)"
+    r"!--(?P<comment>>|->|.*?(?:-->|$))"
     r"|!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|$)"
     r"|(?P<decl>![^>]*)>"
     r"|\?(?P<pi>[^>]*)>"
     r"|(?P<close>/)?(?P<name>[a-zA-Z][^\t\n\r\f />]*)"
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^\"'>])*)>"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^\"'>])*(?:\"[^\">]*|'[^'>]*)?)>"
     r")",
     re.S,
 )
@@ -199,9 +224,15 @@ _ATTR_RE = re.compile(
     r"([^\s=/>]+)(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
 # raw-text elements: content is NOT entity-decoded, ends at the literal
-# closing tag (matches html.parser CDATA_CONTENT_ELEMENTS)
+# closing tag (matches html.parser CDATA_CONTENT_ELEMENTS).  The close
+# scan is case-INsensitive and requires a delimiter after the name:
+# '</SCRIPT>' must close (html.parser matches CDATA end tags
+# case-insensitively) and '</scripty' must NOT (longer tag names stay
+# inside the raw text)
 _RAWTEXT = ("script", "style")
-_AMP_RE = re.compile(r"&")
+_RAWTEXT_END = {
+    t: re.compile(rf"</{t}(?=[\t\n\r\f />])", re.I) for t in _RAWTEXT
+}
 
 
 def _fast_parse(html: str) -> Element:
@@ -263,11 +294,12 @@ def _fast_parse(html: str) -> Element:
             continue
         builder.handle_starttag(name, attrs)
         if name in _RAWTEXT:
-            end = html.find(f"</{name}", pos)
-            if end < 0:
+            em = _RAWTEXT_END[name].search(html, pos)
+            if em is None:
                 builder.handle_data(html[pos:])
                 pos = n
             else:
+                end = em.start()
                 builder.handle_data(html[pos:end])
                 gt = html.find(">", end)
                 builder.handle_endtag(name)
