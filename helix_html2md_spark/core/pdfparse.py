@@ -49,7 +49,10 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _TOK_RE = re.compile(
     rb"/[^\s/\[\]()<>{}%]+"  # name
     rb"|[-+]?\d*\.?\d+"  # number
-    rb"|\((?:\\.|[^\\()])*\)"  # literal string (no nested parens)
+    # literal string, ONE level of unescaped balanced parens supported
+    # (ISO 32000 permits them; '(He said (hi) twice)' is real-producer
+    # output — deeper nesting still truncates, documented limit)
+    rb"|\((?:\\.|[^\\()]|\((?:\\.|[^\\()])*\))*\)"
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
     rb"|\[|\]"
     rb"|[A-Za-z'\"*]+"  # operator
@@ -77,9 +80,17 @@ def _decode_pdf_string(tok: bytes) -> str:
         c = body[i : i + 1]
         if c == b"\\" and i + 1 < len(body):
             nxt = body[i + 1 : i + 2]
-            if nxt.isdigit():  # octal \ddd (1-3 digits)
+            if nxt in b"01234567" and nxt:  # octal \ddd (1-3 digits)
+                # ONLY 0-7: isdigit would admit \8/\9 and the base-8
+                # int() would raise out of any handler, killing the
+                # whole document for one malformed escape
                 j = i + 1
-                while j < len(body) and j < i + 4 and body[j : j + 1].isdigit():
+                while (
+                    j < len(body)
+                    and j < i + 4
+                    and body[j : j + 1] in b"01234567"
+                    and body[j : j + 1]
+                ):
                     j += 1
                 out.append(int(body[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -97,6 +108,7 @@ def _decode_pdf_string(tok: bytes) -> str:
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_TOK_RE = re.compile(rb"<[0-9A-Fa-f]+>|\[|\]")
 
 
 def _parse_tounicode(stream: bytes) -> dict[int, str]:
@@ -119,17 +131,71 @@ def _parse_tounicode(stream: bytes) -> dict[int, str]:
                 ).decode("utf-16-be", "replace")
             except ValueError:
                 continue
+    def _dst_str(hexdigits: bytes) -> str:
+        # destination may be a UTF-16BE sequence (surrogate pairs for
+        # astral chars — math-alphanumeric fonts emit these); chr() of
+        # the raw 8-digit value would raise OverflowError
+        if len(hexdigits) % 4:
+            hexdigits = hexdigits.ljust(
+                (len(hexdigits) + 3) // 4 * 4, b"0"
+            )
+        return bytes.fromhex(hexdigits.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+
     for m in _BFRANGE_RE.finditer(stream):
-        toks = _HEXTOK_RE.findall(m.group(1))
-        for i in range(0, len(toks) - 2, 3):
+        # tokenization keeps brackets: ISO 32000's second bfrange form
+        # (<lo> <hi> [<d1> <d2> ...]) maps each code to its own listed
+        # destination; flattening the brackets would misalign every
+        # subsequent group-of-3
+        toks = _BFRANGE_TOK_RE.findall(m.group(1))
+        i = 0
+        while i + 2 < len(toks) or (
+            i + 2 == len(toks) and toks[i + 1 :] and toks[-1] != b"["
+        ):
             try:
-                lo = int(toks[i], 16)
-                hi = int(toks[i + 1], 16)
-                dst = int(toks[i + 2], 16)
-            except ValueError:
-                continue
-            for c in range(lo, min(hi, lo + 0xFFFF) + 1):
-                cmap[c] = chr(dst + (c - lo))
+                if toks[i] == b"[" or toks[i + 1] == b"[":
+                    break  # malformed: bracket where a range bound goes
+                lo = int(toks[i][1:-1], 16)
+                hi = int(toks[i + 1][1:-1], 16)
+            except (ValueError, IndexError):
+                break
+            i += 2
+            if i < len(toks) and toks[i] == b"[":
+                j = i + 1
+                dsts = []
+                while j < len(toks) and toks[j] != b"]":
+                    dsts.append(toks[j])
+                    j += 1
+                for k, c in enumerate(
+                    range(lo, min(hi, lo + 0xFFFF) + 1)
+                ):
+                    if k < len(dsts):
+                        try:
+                            cmap[c] = _dst_str(dsts[k][1:-1])
+                        except ValueError:
+                            continue
+                i = j + 1
+            elif i < len(toks):
+                try:
+                    base = _dst_str(toks[i][1:-1])
+                except ValueError:
+                    i += 1
+                    continue
+                i += 1
+                for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                    # increment applies to the LAST code unit (CMap
+                    # range semantics); clamp to the unicode range
+                    off = c - lo
+                    if base:
+                        last = ord(base[-1]) + off
+                        if last > 0x10FFFF:
+                            continue
+                        cmap[c] = base[:-1] + chr(last)
+                    else:
+                        cmap[c] = ""
+            else:
+                break
     return cmap
 
 
@@ -152,11 +218,18 @@ def _decode_with_cmap(tok: bytes, cmap: dict[int, str]) -> str:
 
 _DICT_TOK_RE = re.compile(
     rb"<<|>>|\[|\]|/[^\s/\[\]()<>{}%]+|\d+\s+\d+\s+R"
-    rb"|[-+]?\d*\.?\d+|\((?:\\.|[^\\()])*\)|true|false|null"
+    rb"|[-+]?\d*\.?\d+"
+    rb"|\((?:\\.|[^\\()]|\((?:\\.|[^\\()])*\))*\)"  # depth-2 strings
+    rb"|true|false|null"
 )
 
 
-def _parse_value(toks: list[bytes], pos: int):
+def _parse_value(toks: list[bytes], pos: int, depth: int = 0):
+    # depth bound: hostile input of a few KB of '[' would otherwise
+    # recurse past the interpreter limit; ValueError lands in
+    # _parse_dict's lenient except (one object degrades, not the doc)
+    if depth > 64:
+        raise ValueError("nesting too deep")
     t = toks[pos]
     if t == b"<<":
         d = {}
@@ -166,14 +239,14 @@ def _parse_value(toks: list[bytes], pos: int):
                 pos += 1  # lenient: skip stray token
                 continue
             key = toks[pos][1:].decode("latin-1")
-            val, pos = _parse_value(toks, pos + 1)
+            val, pos = _parse_value(toks, pos + 1, depth + 1)
             d[key] = val
         return d, pos + 1
     if t == b"[":
         arr = []
         pos += 1
         while pos < len(toks) and toks[pos] != b"]":
-            val, pos = _parse_value(toks, pos)
+            val, pos = _parse_value(toks, pos, depth + 1)
             arr.append(val)
         return arr, pos + 1
     if t.startswith(b"/"):
@@ -188,7 +261,15 @@ def _parse_value(toks: list[bytes], pos: int):
     return _decode_pdf_string(t), pos + 1
 
 
+def _body_head(raw: bytes) -> bytes:
+    """Object body up to its stream keyword: tokenizing a multi-MB
+    binary payload wastes CPU and can fabricate garbage tokens."""
+    m = _STREAM_RE.search(raw)
+    return raw[: m.start()] if m else raw
+
+
 def _parse_dict(raw: bytes) -> dict:
+    raw = _body_head(raw)
     start = raw.find(b"<<")
     if start < 0:
         return {}
@@ -273,10 +354,17 @@ def _stream_bytes(body: bytes, info: dict) -> bytes | None:
     # /Length is authoritative when plausible: the EOL-strip heuristic
     # below cannot distinguish a payload that legitimately ends in \r
     # from a writer's \r\n before `endstream` (a FlateDecode stream
-    # ending in 0x0D loses its last byte and fails to inflate)
+    # ending in 0x0D loses its last byte and fails to inflate).  Slice
+    # from the BODY, not the regex capture: the non-greedy capture stops
+    # at the first 'endstream' byte sequence, which can legitimately
+    # occur INSIDE compressed payload bytes
     length = info.get("Length")
-    if isinstance(length, float) and 0 <= int(length) <= len(data):
-        data = data[: int(length)]
+    if isinstance(length, float) and int(length) >= 0:
+        s = m.start(1)
+        if s + int(length) <= len(body):
+            data = body[s : s + int(length)]
+        elif int(length) <= len(data):
+            data = data[: int(length)]
     # spec: stream data ends before the EOL preceding `endstream`
     elif data.endswith(b"\r\n"):
         data = data[:-2]
@@ -352,9 +440,11 @@ def _load_objects(data: bytes) -> dict[int, _Obj]:
             else:
                 info.pop("Length")
         # bare-array objects (the indirect form of /Annots, /Kids,
-        # /Contents arrays): "7 0 obj [1 0 R 2 0 R] endobj"
+        # /Contents arrays): "7 0 obj [1 0 R 2 0 R] endobj".  Only for
+        # stream-less bodies: a '[' inside binary stream bytes must not
+        # fabricate a garbage array
         arr = None
-        if not info:
+        if not info and _STREAM_RE.search(body) is None:
             start = body.find(b"[")
             if start >= 0:
                 toks = _DICT_TOK_RE.findall(body[start:])
@@ -444,26 +534,48 @@ def _page_order(objs: dict[int, _Obj]) -> list[tuple[_Obj, object]]:
     pages: list[tuple[_Obj, object]] = []
     visited: set[int] = set()
 
-    def walk(node: dict, inherited_res) -> None:
-        res = node.get("Resources", inherited_res)
-        kids = _resolve_array(objs, node.get("Kids"))
-        if not kids:
-            return
-        for kid in kids:
-            if not (isinstance(kid, tuple) and kid[0] == "ref"):
+    def walk(root_node: dict, root_res) -> None:
+        # ITERATIVE pre-order (a hostile /Kids chain could otherwise
+        # recurse past the interpreter limit).  Uniform item stack —
+        # a leaf EMITS on pop, a node EXPANDS on pop — so leaves and
+        # sibling subtrees interleave in true tree order.
+        stack: list[tuple] = [("node", root_node, root_res)]
+        while stack:
+            item_kind, payload, inherited_res = stack.pop()
+            if item_kind == "leaf":
+                pages.append((payload, inherited_res))
                 continue
-            if kid[1] in visited:
+            node = payload
+            res = node.get("Resources", inherited_res)
+            kids = _resolve_array(objs, node.get("Kids"))
+            if not kids:
                 continue
-            visited.add(kid[1])
-            kobj = objs.get(kid[1])
-            if kobj is None:
-                continue
-            if kobj.info.get("Type") == ("name", "Pages"):
-                walk(kobj.info, res)
-            else:
-                pages.append(
-                    (kobj, kobj.info.get("Resources", res))
+            items: list[tuple] = []
+            for kid in kids:
+                if not (isinstance(kid, tuple) and kid[0] == "ref"):
+                    continue
+                if kid[1] in visited:
+                    continue
+                visited.add(kid[1])
+                kobj = objs.get(kid[1])
+                if kobj is None:
+                    continue
+                # an intermediate node is one typed /Pages OR any
+                # content-less node carrying /Kids (lenient producers
+                # omit /Type; treating such a node as a leaf would
+                # silently drop its whole subtree of pages)
+                is_pages = kobj.info.get("Type") == ("name", "Pages") or (
+                    "Contents" not in kobj.info
+                    and _resolve_array(objs, kobj.info.get("Kids"))
+                    is not None
                 )
+                if is_pages:
+                    items.append(("node", kobj.info, res))
+                else:
+                    items.append(
+                        ("leaf", kobj, kobj.info.get("Resources", res))
+                    )
+            stack.extend(reversed(items))
 
     for obj in objs.values():
         if obj.info.get("Type") == ("name", "Catalog"):
@@ -552,7 +664,6 @@ def _run_content(
     def show(text: str):
         nonlocal cx
         if text:
-            yield_events.append(("run", ly, cx, size, text))
             # pen advance: real /Widths metrics when the simple font
             # declares them (1/1000-em units), else the half-em
             # estimate; plus the Tc/Tw spacing the producer added
@@ -571,7 +682,12 @@ def _run_content(
                 adv = glyphs / 1000.0 * size
             else:
                 adv = 0.5 * size * len(text)
-            cx += adv + tc * len(text) + tw * text.count(" ")
+            end = cx + adv + tc * len(text) + tw * text.count(" ")
+            # the run carries BOTH its start and estimated end x: the
+            # line fold uses the start-vs-previous-end gap to infer
+            # inter-word spaces for per-word-positioned producers
+            yield_events.append(("run", ly, cx, size, text, end))
+            cx = end
 
     yield_events: list[tuple] = []
     for tok in _TOK_RE.finditer(stream):
@@ -718,9 +834,17 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
             # /FirstChar give the real per-glyph advance in 1/1000 em
             w = _resolve_array(objs, fdict.get("Widths"))
             fc = fdict.get("FirstChar")
-            if w and all(isinstance(v, float) for v in w):
+            # widths are usable ONLY with a resolvable direct /FirstChar:
+            # defaulting first=0 would misindex every lookup by the true
+            # FirstChar (typically 32) and drift the pen estimate — the
+            # half-em fallback is strictly better than wrong metrics
+            if (
+                w
+                and all(isinstance(v, float) for v in w)
+                and isinstance(fc, float)
+            ):
                 rec["widths"] = w
-                rec["first"] = int(fc) if isinstance(fc, float) else 0
+                rec["first"] = int(fc)
             if rec["cmap"] is not None or rec["widths"] is not None:
                 fonts[fname] = rec
         # link annotations (the PDF counterpart of the HTML path's link
@@ -764,8 +888,10 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                     stream += obj.stream + b"\n"
         for ev in _run_content(stream, xobjects, objs, fonts):
             if ev[0] == "run":
-                _, y, x, size, text = ev
-                events.append((pageno, -round(y, 1), x, ("t", size, text)))
+                _, y, x, size, text, end_x = ev
+                events.append(
+                    (pageno, -round(y, 1), x, ("t", size, text, end_x))
+                )
             else:
                 _, y, x, digest = ev
                 events.append((pageno, -round(y, 1), x, ("i", digest)))
@@ -786,8 +912,28 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
 
     spans: list[dict] = []
 
-    def flush_line(parts: list[tuple[float, str]]):
-        text = "".join(p[1] for p in parts).strip()
+    def flush_line(parts: list[tuple[float, str, float, float]]):
+        # gap-aware join: per-word-positioned producers (Word/Quartz
+        # emit one Td/Tm per word) would otherwise glue the whole line
+        # ('Helloworld'); a start-x more than ~0.3em past the previous
+        # run's estimated end reads as an inter-word space.  Runs that
+        # continue at the pen position (gap ~0) and runs whose text
+        # already carries the space are joined verbatim.
+        pieces: list[str] = []
+        prev_end: float | None = None
+        prev_size = 0.0
+        for size, text, sx, ex in parts:
+            if (
+                pieces
+                and prev_end is not None
+                and sx - prev_end > 0.3 * max(prev_size, size)
+                and not pieces[-1].endswith(" ")
+                and not text.startswith(" ")
+            ):
+                pieces.append(" ")
+            pieces.append(text)
+            prev_end, prev_size = ex, size
+        text = "".join(pieces).strip()
         if not text:
             return
         kind = (
@@ -805,7 +951,7 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
         )
 
     line_key = None
-    line_parts: list[tuple[float, str]] = []
+    line_parts: list[tuple[float, str, float, float]] = []
     for page, col, ny, x, payload in events:
         if payload[0] in ("i", "l"):
             if line_parts:
@@ -830,7 +976,7 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
             flush_line(line_parts)
             line_parts = []
         line_key = key
-        line_parts.append((payload[1], payload[2]))
+        line_parts.append((payload[1], payload[2], x, payload[3]))
     if line_parts:
         flush_line(line_parts)
     return spans

@@ -444,10 +444,10 @@ def test_two_column_guards_do_not_split_single_column():
             ("text", 330, 684, 11, "right b"),
         ]]
     )
-    # (same-baseline runs concatenate without a synthesized separator —
-    # the long-standing fold behavior; the point here is NO column split)
+    # the gap-aware fold infers the inter-word space between the far-
+    # apart runs; the point here is NO column split (one line per y)
     assert [s["text"] for s in parse_pdf(pdf)] == [
-        "left aright a", "left bright b",
+        "left a right a", "left b right b",
     ]
     # stacked clusters (no y-overlap) never split either
     pdf2 = build_pdf(
@@ -716,3 +716,103 @@ def test_objstm_packs_bare_array_objects():
     assert kinds_texts(parse_pdf(packed))[-1] == (
         "link", "https://example.com/os"
     )
+
+
+def test_word_gap_space_inference():
+    """Per-word-positioned producers (one Td per word) get inter-word
+    spaces inferred from the pen-position gap; contiguous shows and
+    runs carrying their own space are joined verbatim."""
+    raw = (
+        b"BT /F1 12 Tf 100 700 Td (Hello) Tj 140 0 Td (world) Tj ET\n"
+        b"BT /F1 12 Tf 100 680 Td (glu) Tj (ed) Tj ET"
+    )
+    pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf = pdf.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf = pdf.replace(b"/Length 32", b"/Length " + str(len(raw)).encode())
+    assert [s["text"] for s in parse_pdf(pdf)] == [
+        "Hello world", "glued",
+    ]
+
+
+def test_hostile_inputs_degrade_not_crash():
+    """Round-4 review repros: surrogate-pair bfrange destinations,
+    \\8 octal escapes, deep bracket nesting, lenient page nodes — all
+    must degrade per-object, never raise out of parse_pdf."""
+    # \8 escape inside a literal string
+    raw = b"BT /F1 11 Tf 72 700 Td (a\\8b) Tj ET"
+    pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf = pdf.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf = pdf.replace(b"/Length 32", b"/Length " + str(len(raw)).encode())
+    spans = parse_pdf(pdf)
+    assert spans and "b" in spans[0]["text"]
+    # deep bracket nesting in an object body
+    deep = (
+        b"%PDF-1.4\n1 0 obj\n<< /K " + b"[" * 5000 + b" >>\nendobj\n"
+        b"trailer\n<< /Size 2 >>\n"
+    )
+    assert parse_pdf(deep) == []  # degrades, no RecursionError
+    # surrogate-pair bfrange destination must not kill the parse
+    pages = [[("text", 72, 700, 11, "ab")]]
+    cm = build_pdf(pages, cmap_fonts=True, compress=False)
+    start = cm.find(b"2 beginbfchar")
+    end = cm.find(b"endbfchar") + len(b"endbfchar")
+    rng = b"1 beginbfrange\n<0100> <0101> <D835DC00>\nendbfrange"
+    cm2 = cm[:start] + rng + cm[end:]
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n/CIDInit", cm2)
+    delta = len(rng) - (end - start)
+    cm2 = cm2.replace(
+        b"<< /Length " + m.group(1) + b" >>\nstream\n/CIDInit",
+        b"<< /Length " + str(int(m.group(1)) + delta).encode()
+        + b" >>\nstream\n/CIDInit",
+    )
+    spans2 = parse_pdf(cm2)  # astral chars decode, no OverflowError
+    assert isinstance(spans2, list)
+
+
+def test_bfrange_array_destination_form():
+    """ISO 32000's second bfrange form maps each code to its own listed
+    destination; ranges FOLLOWING the array must still parse."""
+    pages = [[("text", 72, 700, 11, "abc")]]
+    cm = build_pdf(pages, cmap_fonts=True, compress=False)
+    start = cm.find(b"3 beginbfchar")
+    end = cm.find(b"endbfchar") + len(b"endbfchar")
+    # a->X, b->Y via the array form; c via a scalar range
+    rng = (
+        b"2 beginbfrange\n<0100> <0101> [<0058> <0059>]\n"
+        b"<0102> <0102> <0063>\nendbfrange"
+    )
+    cm2 = cm[:start] + rng + cm[end:]
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n/CIDInit", cm2)
+    delta = len(rng) - (end - start)
+    cm2 = cm2.replace(
+        b"<< /Length " + m.group(1) + b" >>\nstream\n/CIDInit",
+        b"<< /Length " + str(int(m.group(1)) + delta).encode()
+        + b" >>\nstream\n/CIDInit",
+    )
+    assert [s["text"] for s in parse_pdf(cm2)] == ["XYc"]
+
+
+def test_nested_paren_literal_string():
+    raw = b"BT /F1 11 Tf 72 700 Td (He said (hi) twice) Tj ET"
+    pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf = pdf.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    pdf = pdf.replace(b"/Length 32", b"/Length " + str(len(raw)).encode())
+    assert [s["text"] for s in parse_pdf(pdf)] == ["He said (hi) twice"]
+
+
+def test_pages_node_without_type_recursed():
+    """A content-less node carrying /Kids but no /Type (lenient real
+    producers) is an intermediate node, not an empty leaf page."""
+    pages = [
+        [("text", 72, 700, 11, "page one body")],
+        [("text", 72, 700, 11, "page two body")],
+    ]
+    nested = build_pdf(pages, nested_pages=True)
+    stripped = nested.replace(b"<< /Type /Pages /Parent", b"<< /Parent")
+    assert [s["text"] for s in parse_pdf(stripped)] == [
+        "page one body", "page two body",
+    ]
