@@ -27,6 +27,17 @@ from .dom import Element, Text
 _WS_RE = re.compile(r"[ \t\r\n\f]+")
 
 
+
+def _int_attr(el: Element, name: str, default: int = 1) -> int:
+    """HTML-style numeric attribute: non-numeric values (colspan="all",
+    start="x" — common in real markup) fall back to the default instead
+    of raising out of the error taxonomy."""
+    raw = el.get(name)
+    try:
+        return int(raw) if raw is not None and str(raw).strip() else default
+    except (TypeError, ValueError):
+        return default
+
 def collapse_ws(s: str) -> str:
     return _WS_RE.sub(" ", s)
 
@@ -38,13 +49,6 @@ def collapse_ws(s: str) -> str:
 
 def t(value):
     return {"type": "text", "value": value}
-
-
-def _is_phrasing(node) -> bool:
-    return node["type"] in (
-        "text", "strong", "emphasis", "inlineCode", "html", "break",
-        "link", "image", "imageReference",
-    )
 
 
 class ConstraintsError(Exception):
@@ -82,7 +86,7 @@ class Transformer:
             return [{"type": "break"}]
         if tag == "a":
             kids = self.phrasing_children(node)
-            url = node.get("href", "")
+            url = node.get("href") or ""  # valueless <a href> parses as None
             title = node.get("title")
             if not kids and not url:
                 return []
@@ -94,8 +98,8 @@ class Transformer:
             if (
                 len(elem_kids) == 1
                 and elem_kids[0].tag in ("em", "i", "strong", "b")
-                and not node.text_content().strip()
-                .replace(elem_kids[0].text_content().strip(), "")
+                and node.text_content().strip()
+                == elem_kids[0].text_content().strip()
             ):
                 inner = elem_kids[0]
                 fmt = "emphasis" if inner.tag in ("em", "i") else "strong"
@@ -134,7 +138,7 @@ class Transformer:
         return self.phrasing_children(node)
 
     def image_node(self, el: Element):
-        src = el.get("src", "")
+        src = el.get("src") or ""
         alt = collapse_ws(el.get("alt") or "").strip()
         title = el.get("title")
         return {
@@ -142,8 +146,6 @@ class Transformer:
             "url": src,
             "alt": alt,
             "title": title,
-            "_width": el.get("width"),
-            "_height": el.get("height"),
         }
 
     # -- blocks --------------------------------------------------------
@@ -243,7 +245,7 @@ class Transformer:
             if li.tag != "li":
                 continue
             blocks = self.block_children(li)
-            spread = sum(1 for _ in blocks) > 1 or any(
+            spread = len(blocks) > 1 or any(
                 isinstance(c, Element) and c.tag == "p" for c in li.children
             )
             if self.config.get("unspread_lists"):
@@ -255,7 +257,7 @@ class Transformer:
         return {
             "type": "list",
             "ordered": ordered,
-            "start": int(el.get("start", 1) or 1),
+            "start": _int_attr(el, "start"),
             "spread": any_spread,
             "children": items,
         }
@@ -291,8 +293,8 @@ class Transformer:
             cells.append(
                 {
                     "type": "gtCell",
-                    "colSpan": int(c.get("colspan", 1) or 1),
-                    "rowSpan": int(c.get("rowspan", 1) or 1),
+                    "colSpan": _int_attr(c, "colspan"),
+                    "rowSpan": _int_attr(c, "rowspan"),
                     "align": c.get("data-align"),
                     "valign": c.get("data-valign"),
                     "children": kids,
@@ -400,18 +402,38 @@ class Transformer:
     # -- document ---------------------------------------------------------
 
     def sections(self, main: Element) -> list:
-        """main > div sections joined with thematicBreak."""
-        out: list = []
+        """main > div sections joined with thematicBreak.
+
+        Non-div content (loose elements AND bare text) between/outside
+        the section divs forms ONE implicit section per contiguous run:
+        one-section-per-element would insert spurious ``---`` between
+        adjacent paragraphs, and bare text directly under <main> would
+        otherwise vanish entirely."""
         section_blocks: list[list] = []
+        pending: list = []  # contiguous non-div children
+
+        def flush_pending():
+            if not pending:
+                return
+            holder = Element("div")
+            holder.children = list(pending)
+            pending.clear()
+            blocks = self.block_children(holder)
+            if blocks:
+                section_blocks.append(blocks)
+
         for c in main.children:
             if isinstance(c, Element) and c.tag == "div":
+                flush_pending()
                 blocks = self.block_children(c)
                 if blocks:
                     section_blocks.append(blocks)
             elif isinstance(c, Element):
-                blocks = self.block_node(c)
-                if blocks:
-                    section_blocks.append(blocks)
+                pending.append(c)
+            elif isinstance(c, Text) and c.value.strip():
+                pending.append(c)
+        flush_pending()
+        out: list = []
         for i, blocks in enumerate(section_blocks):
             if i:
                 out.append({"type": "thematicBreak"})
@@ -439,7 +461,7 @@ class Transformer:
                 elif el.tag == "meta":
                     name = el.get("name")
                     prop = el.get("property")
-                    content = el.get("content", "")
+                    content = el.get("content") or ""
                     key = None
                     if name:
                         if name.lower() in _META_DENYLIST:
@@ -454,7 +476,7 @@ class Transformer:
                     if self._IMAGE_KEY_RE.search(key):
                         entries.append(
                             (key, {"type": "image", "url": content, "alt": "",
-                                   "title": None, "_width": None, "_height": None})
+                                   "title": None})
                         )
                     else:
                         entries.append((key, t(content)))
@@ -463,7 +485,7 @@ class Transformer:
                     hreflang = el.get("hreflang")
                     if rel == "alternate" and hreflang:
                         entries.append(
-                            (f"hreflang-{hreflang}", t(el.get("href", "")))
+                            (f"hreflang-{hreflang}", t(el.get("href") or ""))
                         )
                 elif el.tag == "script":
                     if (el.get("type") or "").lower() == "application/ld+json":
@@ -548,7 +570,7 @@ def _trim_phrasing(kids: list) -> list:
             if not k["value"]:
                 kids.pop(0)
                 continue
-        elif k["type"] in ("strong", "emphasis", "link"):
+        elif k["type"] in ("strong", "emphasis"):
             k["children"] = _ltrim_inner(k["children"])
             if not k["children"]:
                 kids.pop(0)
@@ -622,7 +644,10 @@ def sanitize_phrasing(kids: list, in_heading=False) -> list:
             if not k["value"]:
                 continue
         if in_heading and k["type"] == "break":
-            k = {"type": "html", "value": "<br>"}
+            # carry the marker: the replacement html node must still
+            # lstrip the following text, or whitespace after a heading
+            # <br> survives while whitespace before it is stripped
+            k = {"type": "html", "value": "<br>", "_strip_next": True}
         out.append(k)
     out = _trim_phrasing(out)
     # collapse whitespace-only text between two blocks? (already collapsed)
