@@ -5,9 +5,8 @@ error taxonomy of the service wrapper (src/index.js:159-166,242-254).
 
 from __future__ import annotations
 
-import posixpath
 import re
-from urllib.parse import urlsplit, urlunsplit
+from urllib.parse import urljoin
 
 from .dom import parse_html
 from .gridtable import render_gridtable
@@ -31,7 +30,6 @@ class SizeTooLargeError(Exception):
 # media / url handling
 # ---------------------------------------------------------------------------
 
-_MEDIA_URL_RE = re.compile(r"(^|/)media_[0-9a-f]{41,}\.[0-9a-z]+(\?|#|$)")
 _MEDIA_REF_RE = re.compile(
     r"^media:1(?P<hash>[0-9a-f]+):(?P<w>\d+)x(?P<h>\d+):(?P<ct>[\w/+.-]+)"
     r"(?::(?P<size>\d+))?$"
@@ -40,16 +38,13 @@ _MEDIA_REF_RE = re.compile(
 
 def resolve_url(url: str, base: str | None) -> str:
     """Resolve relative image URLs against the page URL
-    (/root/reference/test/index.test.js:109-111)."""
+    (/root/reference/test/index.test.js:109-111) — stdlib urljoin, which
+    performs WHATWG dot-segment normalization the previous hand-rolled
+    join skipped ('../img.png' kept its '../' and missed the media
+    lookup, silently degrading the image to about:error)."""
     if not base or re.match(r"^[a-z][a-z0-9+.-]*:", url):
         return url
-    b = urlsplit(base)
-    if url.startswith("//"):
-        return f"{b.scheme}:{url}"
-    if url.startswith("/"):
-        return urlunsplit((b.scheme, b.netloc, url, "", ""))
-    path = posixpath.join(posixpath.dirname(b.path or "/"), url)
-    return urlunsplit((b.scheme, b.netloc, path, "", ""))
+    return urljoin(base, url)
 
 
 def media_ref_to_info(ref: str) -> dict | None:
@@ -90,9 +85,8 @@ def _walk_images(nodes):
         if isinstance(n, dict):
             if n["type"] == "image":
                 yield n
-            for key in ("children",):
-                if key in n:
-                    yield from _walk_images(n[key])
+            if "children" in n:
+                yield from _walk_images(n["children"])
 
 
 class _ImageRegistry:
@@ -186,7 +180,13 @@ def html2md(html: str, config: dict | None = None) -> str:
     max_image_size = cfg.get("max_image_size") or DEFAULT_MAX_IMAGE_SIZE
     site, org = cfg.get("site", "repo"), cfg.get("org", "owner")
 
-    n_images = sum(1 for _ in _walk_images(body))
+    # the cap counts EVERY image the document will reference — body AND
+    # metadata-harvested (og:image etc.); counting only the body let a
+    # page with many meta images defeat the resource limit entirely
+    n_meta_images = sum(
+        1 for _, v in entries if isinstance(v, dict) and v.get("type") == "image"
+    )
+    n_images = sum(1 for _ in _walk_images(body)) + n_meta_images
     if n_images > max_images:
         raise TooManyImagesError(
             f"maximum number of images reached: {n_images} of {max_images} max."

@@ -34,7 +34,9 @@ _ENTITY_RE = re.compile(r"&(?=[A-Za-z][A-Za-z0-9]*;|#)")
 
 # anything that could possibly need escaping; most text hits none of these
 _MAYBE_SPECIAL_RE = re.compile(r"[*_\[\]`\\&<|]|://|www\.")
-_BLOCK_START_RE = re.compile(r"^(?:[#>+-](?:\s|$)|\d+[.)](?:\s|$))")
+_BLOCK_START_RE = re.compile(
+    r"^(?:[>=]|[#+](?:\s|$)|-(?:[\s\-:|]|$)|\d+[.)](?:\s|$))"
+)
 
 
 def escape_text(value: str, ctx: Ctx, at_break: bool) -> str:
@@ -61,7 +63,7 @@ def _escape_text_slow(value: str, ctx: Ctx, at_break: bool) -> str:
             esc = True
         elif ch == "&" and _ENTITY_RE.match(value, i):
             esc = True
-        elif ch == "<" and (nxt.isalpha() or nxt in "!/?"):
+        elif ch == "<" and (nxt.isalpha() or (nxt and nxt in "!/?")):
             esc = True
         elif ch == "|" and ctx.in_cell:
             esc = True
@@ -78,7 +80,7 @@ def _escape_text_slow(value: str, ctx: Ctx, at_break: bool) -> str:
             ch == "."
             and not ctx.in_label
             and value[max(0, i - 3) : i].lower() == "www"
-            and (i < 3 or not (value[i - 4].isalnum() or value[i - 4] in "-._"))
+            and (i < 4 or not (value[i - 4].isalnum() or value[i - 4] in "-._"))
             and (nxt.isalnum() or nxt == "-")
         ):
             # GFM autolink-literal defusal: www\.
@@ -86,7 +88,9 @@ def _escape_text_slow(value: str, ctx: Ctx, at_break: bool) -> str:
         out.append("\\" + ch if esc else ch)
     s = "".join(out)
     if at_break:
-        s = re.sub(r"^([#>+-])(?=\s|$)", r"\\\1", s)
+        s = re.sub(r"^([>=])", r"\\\1", s)
+        s = re.sub(r"^([#+])(?=\s|$)", r"\\\1", s)
+        s = re.sub(r"^(-)(?=[\s\-:|]|$)", r"\\\1", s)
         s = re.sub(r"^(\d+)([.)])(?=\s|$)", r"\1\\\2", s)
     return s
 
@@ -107,10 +111,10 @@ def inline_code(value: str) -> str:
 def phrasing(nodes, ctx: Ctx, at_break=True) -> str:
     """Serialize a list of phrasing nodes to a markdown string."""
     parts = []
-    first = True
+    line_start = at_break  # true at block start AND after a hard break
     for node in nodes:
         t = node["type"]
-        ab = at_break and first
+        ab = line_start
         if t == "text":
             parts.append(escape_text(node["value"], ctx, ab))
         elif t == "strong":
@@ -148,7 +152,9 @@ def phrasing(nodes, ctx: Ctx, at_break=True) -> str:
             parts.append(f"![{_alt(alt, ctx)}][{node['identifier']}]")
         else:  # pragma: no cover - unknown phrasing
             parts.append(phrasing(node.get("children", []), ctx, ab))
-        first = False
+        # construct chars need escaping at the start of every OUTPUT
+        # line: the node after a hard break starts one
+        line_start = t == "break"
     return "".join(parts)
 
 
@@ -168,7 +174,9 @@ def _url(url: str) -> str:
 def _title(title) -> str:
     if title is None or title == "":
         return ""
-    t = title.replace('"', '\\"')
+    # backslashes first: a title ending in '\' would otherwise escape
+    # the closing quote and un-terminate the whole link title
+    t = title.replace("\\", "\\\\").replace('"', '\\"')
     return f' "{t}"'
 
 
@@ -222,7 +230,7 @@ def render_block(node, ctx: Ctx, gridtable_renderer) -> list[str] | None:
     if t == "gridTable":
         return gridtable_renderer(node, ctx)
     if t == "definition":
-        return [f"[{node['identifier']}]: {node['url']}"]
+        return [f"[{node['identifier']}]: {_url(node['url'])}"]
     if t == "html":
         return node["value"].split("\n")
     # unknown block: treat children as blocks
