@@ -1483,7 +1483,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(0 AS bigint) AS n_kept, 0 AS kept_len,
                    md5('') AS kept_md5
             FROM documents
-            WHERE text IS NULL OR trim(text) = ''
+            WHERE text IS NULL OR len({_TOKENS}) = 0
             ORDER BY doc_id
         """,
         "label_centroids": """

@@ -657,12 +657,15 @@ def dedup_segments(
             F.md5("kept_text").alias("kept_md5"),
         )
         # token-less documents never reach the posexplode; re-derive
-        # them CHEAPLY from the raw text predicate (trim='' or null is
-        # exactly size(tokens)=0) instead of re-tokenizing the corpus
+        # them with the SAME predicate the segment path used
+        # (size(tokens)=0, null-safe).  NOT F.trim: Spark trim strips
+        # only ASCII spaces, so a "\t\n" document would be token-less
+        # (excluded from the segment path) yet fail a trim-based
+        # predicate and vanish from the output entirely.
         .unionByName(
             docs.filter(
                 F.col("text").isNull()
-                | (F.trim(F.col("text")) == F.lit(""))
+                | (F.size(tokens(F.col("text"))) == 0)
             ).select(
                 "doc_id",
                 F.lit(0).cast("long").alias("n_segments"),

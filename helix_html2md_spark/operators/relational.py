@@ -163,6 +163,8 @@ def asof_join(
     on: str,
     value_cols: list[str],
     strict: bool = True,
+    tiebreak: str | None = None,
+    hot_key_warn_rows: int | None = None,
 ) -> DataFrame:
     """As-of join: attach to each left row the LATEST right row whose
     ``on`` is < (``strict``) or <= the left row's, within its ``by``
@@ -175,12 +177,44 @@ def asof_join(
     per-key row explosion (the naive theta-join is O(n*m) per key and
     unusable at corpus scale).  Left rows with no prior right row keep
     NULLs (left-join semantics).  Right-side ties on (by, on) resolve
-    by arrival order — pass unique (by, on) rows for full determinism.
+    by arrival order unless ``tiebreak`` names a right column — then
+    the row with the GREATEST tiebreak value wins deterministically.
+
+    SKEW BOUND: the window partitions by ``by`` alone, so per-key
+    ordering serializes each key through ONE task — a pathologically
+    hot key (a null/default user owning 30% of events) bounds the
+    stage at that key's row count.  That bound is inherent to per-key
+    order semantics; mitigations are (a) pre-filter/bucket the hot
+    sentinel keys before joining, or (b) a two-phase time-slab pass
+    (per-(key, slab) local asof + a per-slab boundary carry-forward).
+    Pass ``hot_key_warn_rows`` to pay one extra count job that warns
+    when any key exceeds the threshold (opt-in: off in pipelines that
+    already know their key distribution).
 
     Returns all left columns plus ``asof_<c>`` for each value col and
     ``asof_<on>`` (the matched right timestamp).
     """
-    picked = [on] + value_cols
+    if hot_key_warn_rows is not None:
+        import warnings
+
+        hot = (
+            left.groupBy(by).count()
+            .unionByName(right.groupBy(by).count())
+            .groupBy(by).agg(F.sum("count").alias("n"))
+            .filter(F.col("n") > hot_key_warn_rows)
+            .orderBy(F.desc("n"))
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            warnings.warn(
+                "asof_join hot keys (each serializes through one window "
+                "task): "
+                + ", ".join(f"{r[by]!r}={r['n']} rows" for r in hot),
+                stacklevel=2,
+            )
+    # dedupe: value_cols containing `on` must not emit two asof_<on>
+    picked = list(dict.fromkeys([on] + value_cols))
     rv = F.struct(*[F.col(c) for c in picked])
     rv_type = right.select(rv.alias("_rv")).schema["_rv"].dataType
     lv = F.struct(*[F.col(c) for c in left.columns])
@@ -188,10 +222,16 @@ def asof_join(
     # strict: right rows sort AFTER left at equal ts, so the frame up to
     # the current row never includes an equal-ts right row
     l_side, r_side = (0, 1) if strict else (1, 0)
+    tb_type = (
+        right.select(F.col(tiebreak).alias("_tb")).schema["_tb"].dataType
+        if tiebreak
+        else "int"
+    )
     l_tag = left.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_on"),
         F.lit(l_side).alias("_side"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(None).cast(rv_type).alias("_rv"),
         lv.alias("_lv"),
     )
@@ -199,12 +239,17 @@ def asof_join(
         F.col(by).alias("_by"),
         F.col(on).alias("_on"),
         F.lit(r_side).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(None).cast(tb_type))
+        .alias("_tb"),
         rv.alias("_rv"),
         F.lit(None).cast(lv_type).alias("_lv"),
     )
+    # tiebreak ascending within a (ts, side) group: last() then picks
+    # the greatest tiebreak; left rows carry null (sorted first, and
+    # they never share a side group with right rows anyway)
     w = (
         Window.partitionBy("_by")
-        .orderBy("_on", "_side")
+        .orderBy("_on", "_side", F.asc_nulls_first("_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tag.unionByName(r_tag).withColumn(
@@ -251,7 +296,9 @@ def interval_join(
     lb = F.floor((F.col(on) + F.lit(low)) / F.lit(w)).cast("long")
     ub = F.floor((F.col(on) + F.lit(high)) / F.lit(w)).cast("long")
     l_tag = left.withColumn("_b", F.explode(F.sequence(lb, ub)))
-    picked = [on] + value_cols
+    # dedupe: value_cols containing `on` must not emit two match_<on>
+    # columns (duplicate names are ambiguous downstream)
+    picked = list(dict.fromkeys([on] + value_cols))
     r_tag = right.select(
         F.col(by).alias("_rby"),
         F.floor(F.col(on) / F.lit(w)).cast("long").alias("_b"),

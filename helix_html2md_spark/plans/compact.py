@@ -63,6 +63,17 @@ def compact_parquet(
     Returns a metrics dict; a no-op (too few files, or already at/below
     the target count) reports ``compacted=False`` and touches nothing.
     """
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".precompact"
+    # recover from a prior crashed run BEFORE measuring anything: a
+    # crash between the two swap renames leaves the dataset parked at
+    # .precompact with no <path> (restore it); stale .compacting /
+    # .precompact left alongside a live <path> are dead temp state
+    # (remove, or the renames below raise on the next run)
+    if os.path.isdir(old) and not os.path.isdir(path.rstrip("/")):
+        os.rename(old, path.rstrip("/"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     n_files, total = parquet_file_stats(path)
     n_target = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if n_files < min_files_to_compact or n_files <= n_target:
@@ -71,8 +82,6 @@ def compact_parquet(
             "total_bytes": total, "n_target": n_target,
         }
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".precompact"
     # a hive-partitioned layout (this engine's own bucketed indexes,
     # partitionBy sinks) must SURVIVE compaction — flattening it would
     # silently destroy the partition-pruned reads built on top of it
@@ -96,7 +105,14 @@ def compact_parquet(
             f"compaction row-count mismatch: {before} -> {after}"
         )
     os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
+    try:
+        os.rename(tmp, path.rstrip("/"))
+    except BaseException:
+        # failed mid-swap: put the original back so <path> never
+        # disappears (the entry-time recovery above also handles the
+        # hard-crash case where even this restore didn't run)
+        os.rename(old, path.rstrip("/"))
+        raise
     shutil.rmtree(old, ignore_errors=True)
     new_files, new_total = parquet_file_stats(path)
     return {

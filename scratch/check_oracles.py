@@ -73,10 +73,16 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = 0
+    import time
+
+    t_battery = time.time()
+    timings = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.time()
         spdf = fn(spark, SF).toPandas()
+        timings[name] = time.time() - t0
         srows = spdf
         scols = list(spdf.columns)
         bad = list_typed_cols(spdf)
@@ -123,6 +129,9 @@ def main():
             if only_d:
                 print("   only-duck :", only_d)
     print("FAILURES:", failures)
+    print(f"BATTERY WALL: {time.time() - t_battery:.1f}s (spark exec, excl. session init)")
+    for n, t in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  slow: {n:24s} {t:6.2f}s")
     spark.stop()
     return 1 if failures else 0
 

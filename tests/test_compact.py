@@ -62,3 +62,43 @@ def test_compact_preserves_hive_partitioning(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert df.count() == 250
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames parks the dataset at
+    .precompact with no <path>; the next call must restore it (and
+    clear stale temp dirs) instead of raising."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.range(0, 2000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    ).repartition(64).write.parquet(path)
+    # simulate: crashed after rename(path -> .precompact), plus a stale
+    # half-written .compacting from the same run
+    os.rename(path, path + ".precompact")
+    os.makedirs(path + ".compacting")
+    m = compact_parquet(spark, path, target_mb=256)
+    assert m["compacted"] and m["rows"] == 2000
+    assert not os.path.exists(path + ".precompact")
+    assert not os.path.exists(path + ".compacting")
+    assert spark.read.parquet(path).count() == 2000
+
+
+def test_compact_clears_stale_temp_next_to_live_path(spark, tmp_path):
+    """Stale .precompact/.compacting alongside a LIVE <path> (crash
+    before the first rename) are dead temp state - removed, run
+    proceeds."""
+    import os
+
+    path = str(tmp_path / "t2")
+    spark.range(0, 2000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    ).repartition(64).write.parquet(path)
+    os.makedirs(path + ".precompact")
+    os.makedirs(path + ".compacting")
+    m = compact_parquet(spark, path, target_mb=256)
+    assert m["compacted"] and m["rows"] == 2000
+    assert not os.path.exists(path + ".precompact")
+    assert not os.path.exists(path + ".compacting")

@@ -346,3 +346,55 @@ def test_mix_corpus_weights_and_edges(spark):
         for r in mix_corpus(docs, {"src0": 77}, default=128).collect()
     )
     assert a == b
+
+
+def test_asof_join_tiebreak_and_dedup(spark):
+    """Right-side ties on (by, on): tiebreak column makes the winner
+    deterministic (greatest wins); value_cols containing `on` must not
+    produce two asof_<on> columns."""
+    from helix_html2md_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 20, "l")], "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, "first"), (1, 10, 2, "second")],
+        "k long, t long, seq long, rv string",
+    )
+    out = asof_join(
+        left, right, by="k", on="t",
+        value_cols=["t", "rv"],  # `t` duplicates on= -> must dedupe
+        tiebreak="seq",
+    )
+    assert out.columns.count("asof_t") == 1
+    row = out.collect()[0]
+    assert row["asof_rv"] == "second" and row["asof_t"] == 10
+
+
+def test_asof_join_hot_key_warning(spark):
+    import warnings
+
+    from helix_html2md_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(0, t, "x") for t in range(50)], "k long, t long, lv string"
+    )
+    right = spark.createDataFrame([(0, 1, "r")], "k long, t long, rv string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        asof_join(
+            left, right, by="k", on="t", value_cols=["rv"],
+            hot_key_warn_rows=10,
+        ).collect()
+    assert any("hot key" in str(x.message) for x in w)
+
+
+def test_interval_join_on_in_value_cols(spark):
+    from helix_html2md_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame([(1, 100, "e")], "k long, t long, lv string")
+    right = spark.createDataFrame([(1, 95, "c")], "k long, t long, rv string")
+    out = interval_join(
+        left, right, by="k", on="t", low=-40, high=0,
+        value_cols=["t", "rv"],
+    )
+    assert out.columns.count("match_t") == 1
+    assert [(r["lv"], r["match_rv"]) for r in out.collect()] == [("e", "c")]

@@ -609,3 +609,28 @@ def test_bucketed_topk_python_jvm_bucket_agreement(spark):
             if sum(float(a) * float(b) for a, b in zip(v, p)) >= 0:
                 qbits |= 1 << pi
         assert jvm[i] == qbits, i
+
+
+def test_dedup_segments_whitespace_only_doc_survives(spark):
+    """A document whose text is only non-space whitespace ("\\t\\n") is
+    token-less and must still emit its one-row-per-input-document row
+    (n_segments=0) - F.trim strips only ASCII spaces, so a trim-based
+    re-derive predicate loses it (ADVICE r4)."""
+    import hashlib
+
+    from helix_html2md_spark.operators.dedup import dedup_segments
+
+    docs = spark.createDataFrame(
+        [("a", "\t\n"), ("b", "hello world"), ("c", None), ("d", "  ")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(docs, segment_tokens=16, max_df=1).collect()
+    }
+    assert set(out) == {"a", "b", "c", "d"}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for did in ("a", "c", "d"):
+        assert out[did]["n_segments"] == 0
+        assert out[did]["kept_md5"] == empty_md5
+    assert out["b"]["n_kept"] == 1
