@@ -94,7 +94,7 @@ def run_battery(spark, sf_dir: str) -> dict[str, float]:
     # they stay in the CORRECTNESS contract but out of the perf suite.
     skip = {
         "extract_spans", "stream_extract", "stream_pdf_extract",
-        "stream_dedup", "stateful_sessions",
+        "stream_dedup", "stream_dedup_wm", "stateful_sessions",
     }
     times = {}
     from helix_html2md_spark.operators.dedup import release_persisted
@@ -166,7 +166,8 @@ def main() -> None:
         w, _, _ = run_extraction(spark, path)
         extract_wall = min(extract_wall, w)
     queries = {"extract_synth": round(extract_wall, 3)}
-    queries.update(run_battery(spark, SF_DIR))
+    visit_a = run_battery(spark, SF_DIR)
+    queries.update(visit_a)
     # second battery pass in a FRESH session, per-query minimum: the
     # result cache forbids same-session reruns (identical plans report
     # fantasy zeros), but a new session re-executes honestly — and a
@@ -177,7 +178,8 @@ def main() -> None:
     spark = build_session(
         "bench-2", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
     )
-    for name, wall in run_battery(spark, SF_DIR).items():
+    visit_b = run_battery(spark, SF_DIR)
+    for name, wall in visit_b.items():
         queries[name] = min(queries[name], wall)
 
     result = {
@@ -185,6 +187,11 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # both raw visits alongside the min: a query slow in ONE visit
+        # is host weather, slow in BOTH is a real regression — the
+        # artifact should let a reader tell them apart without prose
+        "queries_visit_a": visit_a,
+        "queries_visit_b": visit_b,
         "sf": sf,
         "n_docs": n,
         "ok_docs": ok,

@@ -275,25 +275,18 @@ def bucketed_topk(
     )
 
 
-def quantize_embeddings(emb: DataFrame) -> DataFrame:
-    """Per-vector int8 (0..255) min-max quantization — the standard
-    vector-store compression step (4x over float32, 8x over float64)
-    ahead of ANN serving.
+def _sq_kernel(emb: DataFrame):
+    """Shared int8 min-max quantization kernel: returns (base_df, codes
+    column).  ONE implementation feeds both the contract surface
+    (quantize_embeddings) and the persisted SQ index, so codes can
+    never drift between them.
 
-    Pure JVM array arithmetic, embarrassingly parallel, zero shuffle.
-    Cross-engine exactness: codes use only IEEE subtraction/division +
-    round-half-away (Spark HALF_UP == DuckDB round for the non-negative
-    operands here), so any engine derives identical codes; constant
-    vectors (span 0) map to all-zero codes.  Emits the quantization
-    params and an md5 over the joined codes (arrays never cross the
-    driver contract raw).
-    """
-    # float32 storage -> double arithmetic: both engines quantize in
-    # float64, so subtraction/division round identically.  vmin/vmax
-    # MUST be materialized as columns before the transform: an
-    # array_min(x) expression referenced inside the lambda is inlined
-    # and re-evaluated PER ELEMENT (O(d^2) per row — measured 5s
-    # instead of 0.7s on 2000x64 vectors).
+    Float32 storage -> double arithmetic: both engines quantize in
+    float64, so subtraction/division round identically.  vmin/vmax
+    MUST be materialized as columns before the transform: an
+    array_min(x) expression referenced inside the lambda is inlined
+    and re-evaluated PER ELEMENT (O(d^2) per row — measured 5s
+    instead of 0.7s on 2000x64 vectors)."""
     base = (
         emb.withColumn(
             "_x",
@@ -309,6 +302,23 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
             F.round((v - F.col("_vmin")) / (span / F.lit(255.0)), 0)
         ).cast("int"),
     )
+    return base, code
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization — the standard
+    vector-store compression step (4x over float32, 8x over float64)
+    ahead of ANN serving.
+
+    Pure JVM array arithmetic, embarrassingly parallel, zero shuffle.
+    Cross-engine exactness: codes use only IEEE subtraction/division +
+    round-half-away (Spark HALF_UP == DuckDB round for the non-negative
+    operands here), so any engine derives identical codes; constant
+    vectors (span 0) map to all-zero codes.  Emits the quantization
+    params and an md5 over the joined codes (arrays never cross the
+    driver contract raw).
+    """
+    base, code = _sq_kernel(emb)
     return base.select(
         "vec_id",
         "label",
@@ -365,3 +375,96 @@ def ivf_topk_from_index(
         F.col("cell").isin(probe)
     )
     return cosine_topk(vecs.drop("cell"), query_vec, k)
+
+
+def build_ivf_sq_index(
+    emb: DataFrame, path: str, centroids: list[list[float]]
+) -> None:
+    """Persist an IVF index with int8 scalar-quantized storage (the
+    FAISS ``IVF,SQ8`` layout): per-vector (q_min, q_max) + 0..255 codes
+    instead of raw float64 arrays — ~8x less index I/O per probe, which
+    at 100 TB is the difference between an index read that fits the
+    probe budget and one that doesn't.
+
+    Same on-disk shape as :func:`build_ivf_index` otherwise: vectors
+    ``partitionBy("cell")`` so the probe's ``cell IN (...)`` predicate
+    is a FILE-level partition filter; repartition-on-cell before the
+    write keeps it one file per cell, not tasks x cells.
+    """
+    spark = emb.sparkSession
+    base, code = _sq_kernel(ivf_assign(emb, centroids))
+    rows = base.select(
+        "vec_id",
+        "label",
+        "cell",
+        F.col("_vmin").alias("q_min"),
+        F.col("_vmax").alias("q_max"),
+        code.alias("codes"),
+    )
+    rows.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_sq_topk_from_index(
+    spark,
+    path: str,
+    exact_emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rescore: int | None = None,
+) -> DataFrame:
+    """ANN top-k served from a persisted IVF-SQ index
+    (:func:`build_ivf_sq_index`): approximate cosine from the int8
+    codes selects ``rescore`` candidates (default 4k), then ONLY those
+    rows are exact-rescored against the full-precision base table —
+    the standard two-stage SQ serving plan (probe-pruned code read,
+    tiny broadcast join, exact top-k over <= rescore rows).
+
+    Determinism: codes are integer-exact cross-engine (see
+    quantize_embeddings); reconstruction q_min + code * span/255 and
+    the dot fold are order-fixed float64, rounded to 6dp before the
+    candidate cutoff so the rescore boundary can't flip on last-bit
+    differences.  Zero-span vectors reconstruct to constant q_min
+    arrays; zero-norm reconstructions rank NULL (never candidates),
+    matching cosine_topk's zero-norm contract.
+    """
+    rescore = rescore or 4 * k
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    centroids = [list(r["centroid"]) for r in cents]
+    probe = _probe_cells(query_vec, centroids, nprobe)
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe)
+    )
+    # reconstruct inside codegen; `step` is scalar per row (constant
+    # work per element — the O(d^2) inlining pitfall applies only to
+    # per-array aggregates referenced in the lambda)
+    step = (F.col("q_max") - F.col("q_min")) / F.lit(255.0)
+    recon = F.transform(
+        "codes", lambda c: F.col("q_min") + c.cast("double") * step
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5 or 1.0
+    rn = _norm(recon)
+    approx = F.when(rn == 0, F.lit(None)).otherwise(
+        _dot(recon, q) / (rn * F.lit(qn))
+    )
+    cands = (
+        vecs.select("vec_id", F.round(approx, 6).alias("approx"))
+        .orderBy(F.desc("approx"), "vec_id")
+        .limit(rescore)
+    )
+    # exact rescore: candidates are <= rescore rows — broadcast them
+    # into the base table (never the other way round)
+    survivors = exact_emb.join(
+        F.broadcast(cands.select("vec_id")), "vec_id"
+    )
+    return cosine_topk(survivors, query_vec, k)

@@ -164,6 +164,75 @@ def stream_dedup(
     return writer.start()
 
 
+def stream_dedup_wm(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    delay: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Streaming exact dedup with BOUNDED state: watermarked
+    ``dropDuplicatesWithinWatermark`` over an event-time documents
+    stream — the scale form of :func:`stream_dedup`, whose full-state
+    tradeoff this closes.
+
+    Semantics: a duplicate arriving within ``delay`` of the first
+    occurrence's event time is suppressed (exactly-once emission per
+    content hash within any watermark window, across microbatches AND
+    restarts — the state lives in the checkpoint).  State for a hash is
+    EVICTED once the watermark passes its event time + delay, so state
+    size is O(rows per delay window), not O(corpus): a duplicate
+    arriving later than that may re-emit — the documented, bounded
+    tradeoff (downstream exact dedup of a trickle of re-emits is
+    cheap; unbounded streaming state at 100 TB is not).
+
+    Input schema: (doc_id, text, lang, source, n_chars, ts timestamp).
+    Output carries only content-determined columns plus the event time
+    (content_md5, text_len, ts) — arrival order never shows.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    deduped = (
+        docs.select(
+            F.md5(F.coalesce("text", F.lit(""))).alias("content_md5"),
+            F.length(F.coalesce("text", F.lit("")))
+            .cast("long")
+            .alias("text_len"),
+            "ts",
+        )
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_sessionize(
     events_stream, gap_minutes: int = 30, use_timeout: bool = True
 ):

@@ -398,3 +398,52 @@ def test_interval_join_on_in_value_cols(spark):
     )
     assert out.columns.count("match_t") == 1
     assert [(r["lv"], r["match_rv"]) for r in out.collect()] == [("e", "c")]
+
+
+def test_ivf_sq_index_pruning_and_rescore(spark, tmp_path):
+    """IVF-SQ serving: probe filter reaches the code scan as a
+    PARTITION filter; the exact rescore broadcasts the <= 4k candidate
+    ids into the base table; top-k matches the full-precision IVF path
+    on this corpus (SQ reconstruction error is far below the corpus's
+    cosine gaps at rescore=4k)."""
+    from helix_html2md_spark.operators.similarity import (
+        build_ivf_index, build_ivf_sq_index, ivf_sq_topk_from_index,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        list(r["embedding"])
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    base = emb.filter("vec_id != 0")
+    sq_path = str(tmp_path / "sq")
+    build_ivf_sq_index(base, sq_path, seeds)
+    out = ivf_sq_topk_from_index(
+        spark, sq_path, base, seeds[0], k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two scans: the base table (rescore side, no partition columns)
+    # and the index vectors — the probe must land on the LATTER
+    scans = plan.split("PartitionFilters")[1:]
+    assert any("cell" in s[:120] for s in scans), plan
+    assert "BroadcastHashJoin" in plan  # candidate ids, never the base
+    rows = out.collect()
+    assert len(rows) == 5
+    flat_path = str(tmp_path / "flat")
+    build_ivf_index(base, flat_path, seeds)
+    flat = ivf_topk_from_index(
+        spark, flat_path, seeds[0], k=5, nprobe=2
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in rows] == [
+        (r["vec_id"], r["cosine"]) for r in flat
+    ]
+    # the index stores int codes + two doubles, NOT raw vectors
+    stored = spark.read.parquet(f"{sq_path}/vectors")
+    kinds = dict(stored.dtypes)
+    assert kinds["codes"] == "array<int>"
+    assert "embedding" not in kinds
+    code_range = stored.select(
+        F.min(F.array_min("codes")), F.max(F.array_max("codes"))
+    ).collect()[0]
+    assert code_range[0] >= 0 and code_range[1] <= 255

@@ -39,7 +39,9 @@ def test_region_rollup_broadcasts_dims(spark):
 
 
 # streaming queries execute a job when called — no lazy plan to inspect
-_STREAMING_QUERIES = {"stream_extract", "stream_pdf_extract", "stream_dedup"}
+_STREAMING_QUERIES = {
+    "stream_extract", "stream_pdf_extract", "stream_dedup", "stream_dedup_wm",
+}
 # queries whose ONE intentional Python crossing is a gated mapInPandas
 # (extraction / media decode / centroid map-side partials); everything
 # else in the battery must stay pure JVM

@@ -125,3 +125,62 @@ def test_stream_dedup_suppresses_across_restarts(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 3
     assert final.select("content_md5").distinct().count() == 3
+
+
+def test_stream_dedup_wm_bounded_state(spark, tmp_path):
+    """Watermarked dedup: (a) duplicates within the watermark window are
+    suppressed across restarts; (b) state is EVICTED once the watermark
+    passes expiry, so a far-late duplicate re-emits — the bounded-state
+    tradeoff stream_dedup_wm exists to make."""
+    from datetime import datetime, timedelta
+
+    from helix_html2md_spark.streaming.stream import stream_dedup_wm
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ts timestamp"
+    )
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def run():
+        q = stream_dedup_wm(
+            spark, inp, out, ckpt, delay="10 minutes"
+        )
+        q.awaitTermination(120)
+
+    # run 1: a dup inside one batch is suppressed
+    land([
+        (1, "alpha", "en", "s", 5, t0),
+        (2, "beta", "en", "s", 4, t0 + timedelta(minutes=1)),
+        (3, "alpha", "en", "s", 5, t0 + timedelta(minutes=2)),
+    ])
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # run 2 (restart, same checkpoint): dup of run-1 content within the
+    # watermark window is still suppressed — state survived the restart
+    land([(4, "alpha", "en", "s", 5, t0 + timedelta(minutes=5))])
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # run 3: advance event time far past alpha's expiry (ts + 10 min)
+    land([(5, "gamma", "en", "s", 5, t0 + timedelta(hours=6))])
+    run()
+    # run 4: alpha reappears with a fresh event time — its old state was
+    # evicted by the advanced watermark, so it re-emits (bounded state)
+    land([(6, "alpha", "en", "s", 5, t0 + timedelta(hours=6, minutes=1))])
+    run()
+    final = spark.read.parquet(out)
+    assert final.count() == 4
+    alpha_md5 = __import__("hashlib").md5(b"alpha").hexdigest()
+    assert (
+        final.filter(final.content_md5 == alpha_md5).count() == 2
+    )  # emitted once per watermark era, not once per corpus lifetime
