@@ -51,29 +51,51 @@ def stopword_count(col) -> Column:
     return F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
 
 
+# the three ratio formulas below are transcribed into SQL in the DuckDB
+# oracles AND consumed by two operators (quality_features here,
+# operators/pipeline.py::clean_corpus) — ONE Spark-side transcription
+# each, so the copies can never diverge
+
+
+def mean_token_len(col) -> Column:
+    """Mean token length over whitespace tokens, rounded to 6dp."""
+    toks = tokens(col)
+    return F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+
+
+def stopword_ratio(col) -> Column:
+    """Stopword-token share, rounded to 6dp."""
+    return F.round(
+        stopword_count(col) / F.greatest(F.size(tokens(col)), F.lit(1)), 6
+    )
+
+
+def unique_ratio(col) -> Column:
+    """Distinct-token share (vocabulary diversity), rounded to 6dp."""
+    toks = tokens(col)
+    return F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality features: token count, mean token length,
     stopword ratio, unique-token ratio."""
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tok = F.size(toks)
     return df.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        F.size(tokens(c)).alias("n_tokens"),
         F.length(c).alias("n_chars"),
-        F.round(
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-            )
-            / F.greatest(n_tok, F.lit(1)),
-            6,
-        ).alias("mean_token_len"),
-        F.round(
-            stopword_count(c) / F.greatest(n_tok, F.lit(1)), 6
-        ).alias("stopword_ratio"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6
-        ).alias("unique_ratio"),
+        mean_token_len(c).alias("mean_token_len"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        unique_ratio(c).alias("unique_ratio"),
     )
 
 

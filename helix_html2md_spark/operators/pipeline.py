@@ -13,7 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import (
+    mean_token_len, stopword_ratio, tokens, unique_ratio,
+)
 
 
 def clean_corpus(
@@ -30,33 +32,23 @@ def clean_corpus(
     Keeps documents that (a) pass the heuristic quality gates used by
     large-scale pretraining pipelines (length band, mean token length,
     vocabulary diversity, stopword presence) and (b) are the FIRST
-    (min doc_id) copy of their exact content hash.  Returns the
-    surviving rows with their features and the per-doc keep diagnostics.
-    """
-    toks = F.array_distinct(tokens(F.col("text")))
-    all_toks = tokens(F.col("text"))
-    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    (min doc_id) copy of their exact content hash.  Returns ONLY the
+    surviving rows, carrying the feature values each gate evaluated
+    (gated-out documents do not appear; run the feature expressions
+    directly for drop-auditing).
 
-    n_tok = F.size(all_toks)
+    The feature formulas are the shared ones in functions/text.py —
+    one Spark-side transcription, kept byte-identical with the DuckDB
+    oracles there.
+    """
+    c = F.col("text")
     featured = docs.select(
         "doc_id",
         "text",
-        n_tok.alias("n_tokens"),
-        F.round(
-            F.aggregate(
-                all_toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-            )
-            / F.greatest(n_tok, F.lit(1)),
-            6,
-        ).alias("mean_token_len"),
-        F.round(
-            F.size(toks) / F.greatest(n_tok, F.lit(1)), 6
-        ).alias("unique_ratio"),
-        F.round(
-            F.size(F.filter(all_toks, lambda w: F.array_contains(stop, w)))
-            / F.greatest(n_tok, F.lit(1)),
-            6,
-        ).alias("stopword_ratio"),
+        F.size(tokens(c)).alias("n_tokens"),
+        mean_token_len(c).alias("mean_token_len"),
+        unique_ratio(c).alias("unique_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
         F.md5("text").alias("content_hash"),
     )
     gated = featured.filter(

@@ -17,13 +17,21 @@ from pathlib import Path
 
 FIXDIR = Path("/root/reference/test/fixtures")
 
+# the reference-pinned constants below are THE source of truth for both
+# test tiers: tests/fixture_config.py (pure-Python harness, callable
+# media lookups) imports them from here — one place to update when the
+# reference pin moves
 HASH_300 = "c2e2c6c049ccf4b583431e14919687f3a39cc227"
 HASH_LARGE = "20b6669c77e35fb2ad9563a4a048701b43948bd3"
+# the reference harness's over/under-limit image byte sizes
+# (test/index.test.js:545-560; note 1025, not 1024 — theirs)
+SIZE_LARGE_OVER = 25 * 1025 * 1024
+SIZE_LARGE_UNDER = 24 * 1025 * 1024
 
 REF_300 = f"media:1{HASH_300}:300x300:image/png"
 REF_LARGE_OK = f"media:1{HASH_LARGE}:0x0:image/png"
-REF_LARGE_25 = f"media:1{HASH_LARGE}:0x0:image/png:{25 * 1025 * 1024}"
-REF_LARGE_24 = f"media:1{HASH_LARGE}:0x0:image/png:{24 * 1025 * 1024}"
+REF_LARGE_25 = f"media:1{HASH_LARGE}:0x0:image/png:{SIZE_LARGE_OVER}"
+REF_LARGE_24 = f"media:1{HASH_LARGE}:0x0:image/png:{SIZE_LARGE_UNDER}"
 
 # media refs keyed by (fixture, src-url-as-written); missing url -> media
 # span with empty ref (fetch failure -> about:error, images.md:13,21)
@@ -63,7 +71,6 @@ CONFIGS = {
 }
 
 _IMG_RE = re.compile(r"<img[^>]*\ssrc=\"([^\"]*)\"[^>]*>|<meta[^>]*>")
-_SRC_RE = re.compile(r'src="([^"]*)"')
 _CONTENT_RE = re.compile(r'content="([^"]*)"')
 
 
@@ -90,10 +97,17 @@ def build_spans(name: str) -> list[dict]:
 
     for m in _IMG_RE.finditer(html_text):
         tag = m.group(0)
-        src_m = _SRC_RE.search(tag) or _CONTENT_RE.search(tag)
-        if not src_m:
-            continue
-        url = H.unescape(src_m.group(1))
+        if m.group(1) is not None:
+            # img branch: the src _IMG_RE already captured (its \s
+            # anchor can't land inside attributes like data-src; a
+            # laxer re-search of the tag could)
+            raw = m.group(1)
+        else:
+            content_m = _CONTENT_RE.search(tag)
+            if not content_m:
+                continue
+            raw = content_m.group(1)
+        url = H.unescape(raw)
         if url not in refs:
             continue
         add("html", html_text[pos : m.end()])

@@ -84,8 +84,16 @@ def build_pdf(
         objects.append(body)
         return len(objects)
 
+    if widths_font and cmap_fonts:
+        # the CMap layout is a Type0 font without the /Widths table;
+        # silently ignoring one flag would hand a caller the half-em
+        # estimate while they believe they pinned width-accurate metrics
+        raise ValueError(
+            "widths_font and cmap_fonts are mutually exclusive"
+        )
     font_num = None
     page_nums = []
+    length_nums: set[int] = set()
     pages_num_placeholder = add(b"")  # /Pages node, patched at the end
 
     glyph_code: dict[str, int] = {}
@@ -95,8 +103,11 @@ def build_pdf(
                 ch
                 for page in pages
                 for op in page
-                if op[0] in ("text", "tj")
-                for el in ([op[4]] if op[0] == "text" else op[4])
+                # every op whose payload routes through _enc: plain
+                # and Tc/Tw-spaced runs carry one string at op[4], TJ
+                # carries a string/number array there
+                if op[0] in ("text", "text_spaced", "tj")
+                for el in (op[4] if op[0] == "tj" else [op[4]])
                 if isinstance(el, str)
                 for ch in el
             }
@@ -187,6 +198,7 @@ def build_pdf(
             data, filt = raw_content, b""
         if indirect_length:
             len_num = add(str(len(data)).encode())
+            length_nums.add(len_num)
             content_num = add(
                 b"<< /Length " + str(len_num).encode() + b" 0 R" + filt
                 + b" >>\nstream\n" + data + b"\nendstream"
@@ -270,14 +282,23 @@ def build_pdf(
             if not group:
                 continue
             gkids = b" ".join(str(n).encode() + b" 0 R" for n in group)
-            mids.append(
-                add(
-                    b"<< /Type /Pages /Parent "
-                    + str(pages_num_placeholder).encode()
-                    + b" 0 R /Kids [" + gkids + b"] /Count "
-                    + str(len(group)).encode() + hoisted + b" >>"
-                )
+            mid = add(
+                b"<< /Type /Pages /Parent "
+                + str(pages_num_placeholder).encode()
+                + b" 0 R /Kids [" + gkids + b"] /Count "
+                + str(len(group)).encode() + hoisted + b" >>"
             )
+            mids.append(mid)
+            # re-point each leaf's /Parent at its IMMEDIATE parent
+            # (ISO 32000-1 §7.7.3.3): a leaf naming the root would
+            # break /Parent-chain resource inheritance in readers that
+            # walk leaf->root instead of top-down /Kids
+            root_ref = (
+                b"/Parent " + str(pages_num_placeholder).encode() + b" 0 R"
+            )
+            mid_ref = b"/Parent " + str(mid).encode() + b" 0 R"
+            for n in group:
+                objects[n - 1] = objects[n - 1].replace(root_ref, mid_ref, 1)
         kids = b" ".join(str(n).encode() + b" 0 R" for n in mids)
         root_res = b""
     else:
@@ -296,9 +317,13 @@ def build_pdf(
     objstm_num = None
     if objstm:
         # dict-only objects move into one compressed object stream;
-        # stream-bearing objects (contents, images) stay at top level
+        # stream-bearing objects (contents, images) stay at top level,
+        # and so do the indirect /Length integers — ISO 32000-1 §7.5.7
+        # forbids an object representing a stream's /Length inside an
+        # object stream (a reader must resolve the length BEFORE it can
+        # unpack any ObjStm)
         for i, body in enumerate(objects, start=1):
-            if b"stream" not in body:
+            if b"stream" not in body and i not in length_nums:
                 packed[i] = body
         if packed:
             bodies = b""

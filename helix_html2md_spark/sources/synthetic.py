@@ -133,21 +133,36 @@ def synthetic_documents(
 ) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism * 2
 
+    # bound peak task memory: an input Arrow batch is up to 10k ids
+    # (spark.sql.execution.arrow.maxRecordsPerBatch default) and the
+    # Pareto-1.1 doc sizes mean materializing all of them at once holds
+    # hundreds of MB of Python dicts + a pandas copy per task; emitting
+    # fixed-size chunks keeps the peak at ~chunk * mean_doc regardless
+    # of the input batch size, with identical output bytes
+    chunk = 256
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_doc(seed, int(i)) for i in pdf["id"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": [r["doc_id"] for r in rows],
-                    "spans": [
-                        [
-                            (s["kind"], s["text"], s["media_ref"], s["offset"])
-                            for s in r["spans"]
-                        ]
-                        for r in rows
-                    ],
-                }
-            )
+            ids = pdf["id"]
+            for lo in range(0, len(ids), chunk):
+                rows = [
+                    gen_doc(seed, int(i)) for i in ids.iloc[lo : lo + chunk]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in rows],
+                        "spans": [
+                            [
+                                (
+                                    s["kind"], s["text"],
+                                    s["media_ref"], s["offset"],
+                                )
+                                for s in r["spans"]
+                            ]
+                            for r in rows
+                        ],
+                    }
+                )
 
     return (
         spark.range(0, n_docs, numPartitions=parts)

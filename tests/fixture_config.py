@@ -6,10 +6,11 @@ verbatim); ``images`` and ``image-large`` run with media upload enabled
 against the content-addressed 300.png / large.png stand-ins.
 """
 
-# sha1 of test/fixtures/300.png (test/index.test.js:123)
-HASH_300 = "c2e2c6c049ccf4b583431e14919687f3a39cc227"
-# sha1 of the large test buffer (test/index.test.js:545-560)
-HASH_LARGE = "20b6669c77e35fb2ad9563a4a048701b43948bd3"
+# reference-pinned constants live in ONE place (the package registry);
+# this module only derives the tier-1 callable-lookup view of them
+from helix_html2md_spark.sources.fixtures import (  # noqa: F401
+    HASH_300, HASH_LARGE, SIZE_LARGE_OVER, SIZE_LARGE_UNDER,
+)
 
 
 def _images_lookup(url: str):
@@ -32,9 +33,9 @@ def _large_lookup(url: str):
 
 def _large_err_lookup(url: str):
     if url == "https://www.example.com/large.png":
-        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=25 * 1025 * 1024)
+        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=SIZE_LARGE_OVER)
     if url == "https://www.example.com/large1.png":
-        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=24 * 1025 * 1024)
+        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=SIZE_LARGE_UNDER)
     return None
 
 

@@ -33,3 +33,28 @@ def test_fixture_errors(name):
     assert type(ei.value).__name__ == etype
     if emsg is not None:
         assert str(ei.value) == emsg
+
+
+def test_fixture_config_registries_agree():
+    """tests/fixture_config.py (tier-1 callable lookups) and
+    helix_html2md_spark/sources/fixtures.py (Spark span refs) are two
+    views of the SAME reference harness pin; shared scalar options must
+    match or the two tiers silently validate different contracts."""
+    from helix_html2md_spark.sources import fixtures as pkg
+
+    from . import fixture_config as t1
+
+    names = set(t1.CONFIGS) | set(pkg.CONFIGS)
+    for name in sorted(names):
+        a, b = t1.CONFIGS.get(name, {}), pkg.CONFIGS.get(name, {})
+        for key in (
+            "media_enabled", "source_url", "org", "site",
+            "max_image_size", "unspread_lists", "max_images",
+            "max_html_size",
+        ):
+            assert a.get(key) == b.get(key), (name, key, a.get(key), b.get(key))
+        # tier-1 carries a list, the Spark config column a comma-string
+        ep_a = a.get("external_prefixes")
+        ep_b = b.get("external_prefixes")
+        ep_a = ",".join(ep_a) if isinstance(ep_a, list) else ep_a
+        assert ep_a == ep_b, (name, ep_a, ep_b)

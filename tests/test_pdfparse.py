@@ -816,3 +816,87 @@ def test_pages_node_without_type_recursed():
     assert [s["text"] for s in parse_pdf(stripped)] == [
         "page one body", "page two body",
     ]
+
+
+def test_cmap_fonts_covers_spaced_and_tj_ops():
+    """cmap_fonts must collect glyphs from EVERY op that routes through
+    the hex encoder — 'text_spaced' once crashed with KeyError because
+    the glyph table was built from 'text'/'tj' chars only."""
+    pdf = build_pdf(
+        [[
+            ("text", 72, 720, 14, "plain"),
+            ("text_spaced", 72, 700, 11, "spaced out", 2, 8),
+            ("tj", 72, 680, 11, ["ker", -300, "ned"]),
+        ]],
+        cmap_fonts=True,
+    )
+    spans = parse_pdf(pdf)
+    texts = " ".join(s["text"] for s in spans)
+    assert "spaced out" in texts and "plain" in texts
+
+
+def test_widths_font_with_cmap_fonts_rejected():
+    """The CMap Type0 layout carries no /Widths table; asking for both
+    must fail loudly instead of silently serving the half-em estimate."""
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_pdf(
+            [[("text", 72, 720, 12, "x")]],
+            cmap_fonts=True, widths_font=True,
+        )
+
+
+def test_objstm_keeps_indirect_length_objects_top_level():
+    """ISO 32000-1 §7.5.7: an object representing a stream's /Length
+    must NOT live inside an object stream (lengths must be resolvable
+    before ObjStm unpacking).  objstm=True + indirect_length=True once
+    packed the bare-integer length objects."""
+    import re as _re
+
+    pdf = build_pdf(
+        [[("text", 72, 720, 12, "hello world")]],
+        objstm=True, indirect_length=True, compress=False,
+    )
+    # find the content stream's indirect length ref and assert that
+    # object still exists as a TOP-LEVEL "N 0 obj <int> endobj"
+    m = _re.search(rb"/Length (\d+) 0 R", pdf)
+    assert m, "indirect length ref missing"
+    n = int(m.group(1))
+    assert _re.search(
+        rb"(?m)^%d 0 obj\s*\d+\s*endobj" % n, pdf
+    ), "length object was packed into the ObjStm"
+    # and the file still parses
+    assert any("hello world" in s["text"] for s in parse_pdf(pdf))
+
+
+def test_nested_pages_parent_points_at_immediate_node():
+    """ISO 32000-1 §7.7.3.3: /Parent is the IMMEDIATE parent.  With
+    nested_pages + hoist_resources the hoisted /Resources sit on the
+    intermediate nodes, so a leaf naming the root would break
+    /Parent-chain resource inheritance in leaf->root readers."""
+    import re as _re
+
+    pages = [[("text", 72, 720, 12, f"page {i}")] for i in range(4)]
+    pdf = build_pdf(pages, nested_pages=True, hoist_resources=True)
+    # root /Pages = the object whose /Kids reference the intermediates
+    objs = dict(
+        (int(m.group(1)), m.group(2))
+        for m in _re.finditer(
+            rb"(?ms)^(\d+) 0 obj\s*(.*?)\s*endobj", pdf
+        )
+    )
+    leaves = {
+        n for n, b in objs.items()
+        if b.startswith(b"<< /Type /Page ") and b"/Contents" in b
+    }
+    mids = {
+        n for n, b in objs.items()
+        if b"/Type /Pages" in b and b"/Resources" in b
+    }
+    assert mids, "no intermediate nodes with hoisted resources"
+    for n in leaves:
+        pm = _re.search(rb"/Parent (\d+) 0 R", objs[n])
+        assert int(pm.group(1)) in mids, (
+            f"leaf {n} parents the root, not its intermediate node"
+        )
+    # the parse still sees every page with inherited fonts
+    assert sum("page" in s["text"] for s in parse_pdf(pdf)) == 4
