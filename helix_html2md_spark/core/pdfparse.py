@@ -651,25 +651,39 @@ def _run_content(
     cur_cmap: dict[int, str] | None = None
     cur_widths: list[float] | None = None
     cur_first = 0
+    cur_missing: float | None = None
     size = 12.0
     leading = 0.0
     tc = 0.0  # character spacing (Tc), text-space units per glyph
     tw = 0.0  # word spacing (Tw), applied per ASCII space
-    lx = ly = 0.0  # text line origin
-    cx = 0.0  # estimated pen x within the line
+    # text LINE matrix: rotation/scale part (ma mb mc md) + origin
+    # (lx ly).  Td/TD/T* translate in TEXT space, so their steps rotate
+    # with the matrix (ISO 32000 §9.4.2); only Tm sets the full matrix,
+    # and plain Td-positioned producers keep the identity rotation.
+    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
+    lx = ly = 0.0  # device-space line origin (e, f)
+    tpen = 0.0  # pen offset along the baseline, TEXT-space units
     cm_y = 0.0
     cm_x = 0.0
     stack: list[bytes] = []
 
+    def _translate(txv: float, tyv: float):
+        nonlocal lx, ly, tpen
+        lx += txv * ma + tyv * mc
+        ly += txv * mb + tyv * md
+        tpen = 0.0
+
     def show(text: str):
-        nonlocal cx
+        nonlocal tpen
         if text:
             # pen advance: real /Widths metrics when the simple font
-            # declares them (1/1000-em units), else the half-em
-            # estimate; plus the Tc/Tw spacing the producer added
-            # (ISO 32000 §9.3.2-3, §9.4.4) — spacing shifts where
-            # SUBSEQUENT runs in this line start, which is what the
-            # x-ordered line fold consumes
+            # declares them (1/1000-em units) with /MissingWidth from
+            # the FontDescriptor for glyphs outside the table, else the
+            # half-em estimate; plus the Tc/Tw spacing the producer
+            # added (ISO 32000 §9.3.2-3, §9.4.4, §9.8.1) — spacing
+            # shifts where SUBSEQUENT runs in this line start, which is
+            # what the x-ordered line fold consumes
+            fallback = cur_missing if cur_missing is not None else 500.0
             if cur_widths is not None and cur_cmap is None:
                 glyphs = 0.0
                 for ch in text:
@@ -677,17 +691,39 @@ def _run_content(
                     glyphs += (
                         cur_widths[idx]
                         if 0 <= idx < len(cur_widths)
-                        else 500.0
+                        else fallback
                     )
                 adv = glyphs / 1000.0 * size
+            elif cur_missing is not None and cur_cmap is None:
+                # no /Widths table at all, but the FontDescriptor
+                # declares the substitute advance — better than half-em
+                adv = fallback * len(text) / 1000.0 * size
             else:
                 adv = 0.5 * size * len(text)
-            end = cx + adv + tc * len(text) + tw * text.count(" ")
+            end_t = tpen + adv + tc * len(text) + tw * text.count(" ")
             # the run carries BOTH its start and estimated end x: the
             # line fold uses the start-vs-previous-end gap to infer
             # inter-word spaces for per-word-positioned producers
-            yield_events.append(("run", ly, cx, size, text, end))
-            cx = end
+            sx, sy = lx + tpen * ma, ly + tpen * mb
+            ex, ey = lx + end_t * ma, ly + end_t * mb
+            if abs(mb) < 1e-9:
+                # horizontal baseline (the identity fast path emits
+                # exactly the pre-matrix coordinates)
+                yield_events.append(("run", sy, sx, size, text, ex))
+            elif abs(ma) < 1e-9:
+                # axis-aligned rotated text (90deg: b=1, 270deg: b=-1):
+                # the "line" is a vertical column at constant device x.
+                # Map into the consumer's (line-y desc, in-line-x asc)
+                # order: group key -sx sorts columns left-to-right, and
+                # signed y keeps runs in baseline-flow order with gap
+                # inference intact
+                s = 1.0 if mb > 0 else -1.0
+                yield_events.append(("run", -sx, sy * s, size, text, ey * s))
+            else:
+                # arbitrary rotation: degrade to the run's device
+                # anchor (never crash; ordering is best-effort)
+                yield_events.append(("run", sy, sx, size, text, ex))
+            tpen = end_t
 
     yield_events: list[tuple] = []
     for tok in _TOK_RE.finditer(stream):
@@ -714,19 +750,21 @@ def _run_content(
                 cur_cmap = rec["cmap"] if rec else None
                 cur_widths = rec["widths"] if rec else None
                 cur_first = rec["first"] if rec else 0
+                cur_missing = rec["missing"] if rec else None
         elif t in (b"Td", b"TD") and len(stack) >= 2:
             try:
                 tx, ty = float(stack[-2]), float(stack[-1])
-                lx, ly = lx + tx, ly + ty
-                cx = lx
+                _translate(tx, ty)
                 if t == b"TD":
                     leading = -ty
             except ValueError:
                 pass
         elif t == b"Tm" and len(stack) >= 6:
             try:
-                lx, ly = float(stack[-2]), float(stack[-1])
-                cx = lx
+                vals = [float(v) for v in stack[-6:]]
+                ma, mb, mc, md = vals[0], vals[1], vals[2], vals[3]
+                lx, ly = vals[4], vals[5]
+                tpen = 0.0
             except ValueError:
                 pass
         elif t == b"TL" and stack:
@@ -745,10 +783,10 @@ def _run_content(
             except ValueError:
                 pass
         elif t == b"T*":
-            ly -= leading
-            cx = lx
+            _translate(0.0, -leading)
         elif t == b"BT":
-            lx = ly = cx = 0.0
+            ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
+            lx = ly = tpen = 0.0
         elif t in (b"Tj", b"'", b'"') and stack:
             if t == b'"' and len(stack) >= 3:
                 # aw ac string " : set word/char spacing, then behave
@@ -758,8 +796,7 @@ def _run_content(
                 except ValueError:
                     pass
             if t in (b"'", b'"'):
-                ly -= leading
-                cx = lx
+                _translate(0.0, -leading)
             s = stack[-1]
             if s.startswith(b"<") and cur_cmap is not None:
                 show(_decode_with_cmap(s, cur_cmap))
@@ -824,7 +861,17 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
         fonts: dict[str, dict] = {}
         for fname, fref in _deref_dict(objs, res.get("Font")).items():
             fdict = _deref_dict(objs, fref)
-            rec: dict = {"cmap": None, "widths": None, "first": 0}
+            rec: dict = {
+                "cmap": None, "widths": None, "first": 0, "missing": None,
+            }
+            # FontDescriptor /MissingWidth (ISO 32000 §9.8.1): the
+            # advance for glyphs the /Widths table doesn't cover — and,
+            # when a Type1/TrueType font ships a descriptor but no
+            # /Widths at all, a better whole-font estimate than half-em
+            fd = _deref_dict(objs, fdict.get("FontDescriptor"))
+            mw = fd.get("MissingWidth")
+            if isinstance(mw, float):
+                rec["missing"] = mw
             tu = fdict.get("ToUnicode")
             if isinstance(tu, tuple) and tu[0] == "ref":
                 tobj = objs.get(tu[1])
@@ -845,7 +892,11 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
             ):
                 rec["widths"] = w
                 rec["first"] = int(fc)
-            if rec["cmap"] is not None or rec["widths"] is not None:
+            if (
+                rec["cmap"] is not None
+                or rec["widths"] is not None
+                or rec["missing"] is not None
+            ):
                 fonts[fname] = rec
         # link annotations (the PDF counterpart of the HTML path's link
         # surface, S15): /Annots Link + /A URI actions become 'link'

@@ -17,7 +17,8 @@ from __future__ import annotations
 import zlib
 
 __all__ = [
-    "build_pdf", "synth_pdf", "synth_link_pdf", "synth_two_column_pdf",
+    "build_pdf", "synth_pdf", "synth_link_pdf", "synth_rotated_pdf",
+    "synth_two_column_pdf",
 ]
 
 
@@ -35,6 +36,7 @@ def build_pdf(
     indirect_length: bool = False,
     indirect_annots: bool = False,
     widths_font: bool = False,
+    descriptor_font: bool = False,
     hoist_resources: bool = False,
 ) -> bytes:
     """Build a PDF from page specs.
@@ -84,6 +86,11 @@ def build_pdf(
         objects.append(body)
         return len(objects)
 
+    if descriptor_font and (widths_font or cmap_fonts):
+        raise ValueError(
+            "descriptor_font is mutually exclusive with widths_font/"
+            "cmap_fonts"
+        )
     if widths_font and cmap_fonts:
         # the CMap layout is a Type0 font without the /Widths table;
         # silently ignoring one flag would hand a caller the half-em
@@ -106,7 +113,7 @@ def build_pdf(
                 # every op whose payload routes through _enc: plain
                 # and Tc/Tw-spaced runs carry one string at op[4], TJ
                 # carries a string/number array there
-                if op[0] in ("text", "text_spaced", "tj")
+                if op[0] in ("text", "text_spaced", "text_rot", "tj")
                 for el in (op[4] if op[0] == "tj" else [op[4]])
                 if isinstance(el, str)
                 for ch in el
@@ -154,6 +161,17 @@ def build_pdf(
                 content_parts.append(
                     f"BT /F1 {size:g} Tf {tcv:g} Tc {twv:g} Tw "
                     f"{x:g} {y:g} Td {_enc(s)} Tj ET".encode("latin-1")
+                )
+            elif op[0] == "text_rot":
+                # axis-aligned rotated run via the full Tm matrix:
+                # 90deg = [0 1 -1 0] (baseline flows up the page),
+                # 270deg = [0 -1 1 0] (flows down) — the layouts real
+                # producers emit for margin labels / vertical captions
+                _, x, y, size, s, quad = op
+                mat = "0 1 -1 0" if quad == 90 else "0 -1 1 0"
+                content_parts.append(
+                    f"BT /F1 {size:g} Tf {mat} {x:g} {y:g} Tm "
+                    f"{_enc(s)} Tj ET".encode("latin-1")
                 )
             elif op[0] == "tj":
                 _, x, y, size, arr = op
@@ -209,7 +227,26 @@ def build_pdf(
                 + b" >>\nstream\n" + data + b"\nendstream"
             )
         if font_num is None:
-            if widths_font:
+            if descriptor_font:
+                # Type1 with a PARTIAL /Widths table (lowercase letters
+                # only) + a /FontDescriptor whose /MissingWidth covers
+                # everything else — the layout subset-embedded fonts
+                # emit, where the parser must fall back per glyph
+                fd_num = add(
+                    b"<< /Type /FontDescriptor /FontName /Helvetica"
+                    b" /Flags 32 /MissingWidth 600 >>"
+                )
+                ws = []
+                for code in range(97, 123):  # 'a'..'z'
+                    ws.append(400)
+                font_num = add(
+                    b"<< /Type /Font /Subtype /TrueType /BaseFont"
+                    b" /Helvetica /FirstChar 97 /LastChar 122 /Widths ["
+                    + " ".join(str(w) for w in ws).encode()
+                    + b"] /FontDescriptor "
+                    + str(fd_num).encode() + b" 0 R >>"
+                )
+            elif widths_font:
                 # real per-glyph metrics (1/1000 em): 'i' wide to make
                 # width-accurate advances observably different from the
                 # half-em estimate; space narrow, everything else 500
@@ -412,6 +449,7 @@ def synth_pdf(
     nested_pages: bool = False,
     xref_stream: bool = False,
     indirect_length: bool = False,
+    descriptor_font: bool = False,
 ) -> tuple[bytes, list[tuple[str, str | None]]]:
     """Deterministic synthetic PDF + its expected (kind, text/media) list.
 
@@ -458,6 +496,7 @@ def synth_pdf(
             nested_pages=nested_pages,
             xref_stream=xref_stream,
             indirect_length=indirect_length,
+            descriptor_font=descriptor_font,
         ),
         expected,
     )
@@ -525,4 +564,44 @@ def synth_two_column_pdf(
         right.append(("text", rwords))
     expected.extend(left)
     expected.extend(right)
+    return build_pdf([ops]), expected
+
+
+def synth_rotated_pdf(
+    seed: int,
+) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic page mixing upright flow with rotated margin
+    columns (90deg on even seeds, 270deg on odd) + expected order.
+
+    The parser's documented contract for axis-aligned rotated text:
+    rotated columns read AFTER the page's upright flow, left-to-right
+    by column x, each column's runs in baseline-flow order — the
+    expectations here are constructed from exactly that rule.  At most
+    TWO rotated columns per page: the XY-cut requires >=3 distinct
+    baselines per side, so the rotated events (one baseline per
+    column) can never fake a column gutter.
+    """
+    quad = 90 if seed % 2 == 0 else 270
+    title = f"Rotated {seed}"
+    ops: list[tuple] = [("text", 72, 740, 24, title)]
+    expected: list[tuple[str, str | None]] = [("heading", title)]
+    n_lines = 2 + seed % 3
+    y = 700
+    for li in range(n_lines):
+        line = " ".join(
+            _WORDS[(seed * 11 + li * 7 + w) % len(_WORDS)]
+            for w in range(5)
+        )
+        ops.append(("text", 72, y, 11, line))
+        expected.append(("text", line))
+        y -= 16
+    n_cols = 1 + seed % 2
+    base_y = 120 if quad == 90 else 700
+    for k in range(n_cols):
+        label = " ".join(
+            _WORDS[(seed * 13 + k * 3 + w) % len(_WORDS)]
+            for w in range(3)
+        )
+        ops.append(("text_rot", 500 + 16 * k, base_y, 10, label, quad))
+        expected.append(("text", label))
     return build_pdf([ops]), expected

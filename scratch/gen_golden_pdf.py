@@ -34,9 +34,11 @@ N_NESTED = 6   # balanced /Pages tree (intermediate nodes)
 N_INDLEN = 6   # /Length as an indirect reference
 N_TWOCOL = 6   # two-column pages, column-major expected order
 N_LINKS = 6    # /Annots URI link annotations -> 'link' spans
+N_ROT = 5      # rotated (Tm-matrix) margin columns, 90/270deg
+N_DESC = 5     # TrueType + FontDescriptor /MissingWidth metrics
 
 from helix_html2md_spark.sources.pdfgen import (  # noqa: E402
-    synth_link_pdf, synth_pdf, synth_two_column_pdf,
+    synth_link_pdf, synth_pdf, synth_rotated_pdf, synth_two_column_pdf,
 )
 
 RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
@@ -135,6 +137,23 @@ def main():
     for seed in range(N_LINKS):
         data, expected = synth_link_pdf(seed)
         doc_id = f"pdf-links-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # round-5 layout variants: rotated margin columns (full Tm matrix)
+    # and descriptor-font metrics — same construction-time expectation
+    # discipline
+    for seed in range(N_ROT):
+        data, expected = synth_rotated_pdf(seed)
+        doc_id = f"pdf-rot-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    for seed in range(N_DESC):
+        data, expected = synth_pdf(seed, descriptor_font=True)
+        doc_id = f"pdf-desc-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

@@ -18,7 +18,7 @@ import pyarrow.parquet as pq
 
 from helix_html2md_spark.core.pdfparse import parse_pdf
 from helix_html2md_spark.sources.pdfgen import (
-    synth_link_pdf, synth_pdf, synth_two_column_pdf,
+    synth_link_pdf, synth_pdf, synth_rotated_pdf, synth_two_column_pdf,
 )
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -32,6 +32,8 @@ N_NESTED = 6
 N_INDLEN = 6
 N_TWOCOL = 6
 N_LINKS = 6
+N_ROT = 5
+N_DESC = 5
 
 
 def _md5_of(expected):
@@ -52,7 +54,8 @@ def test_golden_matches_construction_expectations():
     golden = _golden()
     assert len(golden) == (
         N_SEEDS + N_OBJSTM + N_CMAP
-        + N_MODERN + N_NESTED + N_INDLEN + N_TWOCOL + N_LINKS + 2
+        + N_MODERN + N_NESTED + N_INDLEN + N_TWOCOL + N_LINKS
+        + N_ROT + N_DESC + 2
     )
     variants = (
         [(s, {}, f"pdf-{s:04d}") for s in range(N_SEEDS)]
@@ -70,12 +73,18 @@ def test_golden_matches_construction_expectations():
            for s in range(N_TWOCOL)]
         + [(s, {"links": True}, f"pdf-links-{s:04d}")
            for s in range(N_LINKS)]
+        + [(s, {"rotated": True}, f"pdf-rot-{s:04d}")
+           for s in range(N_ROT)]
+        + [(s, {"descriptor_font": True}, f"pdf-desc-{s:04d}")
+           for s in range(N_DESC)]
     )
     for seed, kwargs, doc_id in variants:
         if kwargs.pop("two_column", False):
             _, expected = synth_two_column_pdf(seed)
         elif kwargs.pop("links", False):
             _, expected = synth_link_pdf(seed)
+        elif kwargs.pop("rotated", False):
+            _, expected = synth_rotated_pdf(seed)
         else:
             _, expected = synth_pdf(seed, **kwargs)
         row = golden[doc_id]

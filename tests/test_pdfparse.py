@@ -900,3 +900,74 @@ def test_nested_pages_parent_points_at_immediate_node():
         )
     # the parse still sees every page with inherited fonts
     assert sum("page" in s["text"] for s in parse_pdf(pdf)) == 4
+
+
+def test_rotated_text_90_and_270():
+    """Axis-aligned rotated runs (full Tm matrix) assemble into their
+    own vertical 'lines': columns read left-to-right AFTER the upright
+    flow, runs within a column in baseline-flow order, with the same
+    gap-aware space inference as horizontal lines."""
+    pdf = build_pdf([[
+        ("text", 72, 740, 24, "Upright Title"),
+        ("text", 72, 700, 11, "upright body"),
+        # two 90deg columns (flow up): left column must read first
+        ("text_rot", 520, 120, 10, "left margin", 90),
+        ("text_rot", 540, 120, 10, "right margin", 90),
+    ]])
+    spans = parse_pdf(pdf)
+    texts = [s["text"] for s in spans]
+    assert texts == [
+        "Upright Title", "upright body", "left margin", "right margin",
+    ]
+    # 270deg (flow down) keeps the run text verbatim too
+    pdf2 = build_pdf([[("text_rot", 300, 700, 10, "flow down", 270)]])
+    assert [s["text"] for s in parse_pdf(pdf2)] == ["flow down"]
+
+
+def test_rotated_multiline_column_order():
+    """Two shows in the SAME rotated column (same x, successive
+    baseline positions) fold into one line in flow order with an
+    inferred space at the positional gap."""
+    pdf = build_pdf([[
+        # flow up: "hello" starts at y=100, "world" continues at y=200
+        # (a gap well past hello's estimated end -> inferred space)
+        ("text_rot", 500, 100, 10, "hello", 90),
+        ("text_rot", 500, 200, 10, "world", 90),
+    ]])
+    spans = parse_pdf(pdf)
+    assert [s["text"] for s in spans] == ["hello world"]
+
+
+def test_missing_width_fallback_from_font_descriptor():
+    """descriptor_font: partial /Widths (a-z at 400/1000em) with
+    /FontDescriptor /MissingWidth 600 for everything else — the pen
+    estimate must use the descriptor fallback, observable through
+    inter-run space inference."""
+    # run 1 'AB' at MissingWidth 600 -> adv = 2*0.6*10 = 12 units;
+    # run 2 starts at 72+12 (pen-exact: NO inferred space), run 3 at a
+    # +9 gap (0.9em > 0.3em -> inferred space)
+    pdf = build_pdf([[
+        ("text", 72, 700, 10, "AB"),
+        ("text", 84, 700, 10, "cd"),   # glued: starts at estimated end
+        ("text", 101, 700, 10, "ef"),  # cd ends 84+2*0.4*10=92; +9 gap
+    ]], descriptor_font=True)
+    spans = parse_pdf(pdf)
+    assert [s["text"] for s in spans] == ["ABcd ef"]
+    # sanity: the same positions WITHOUT the descriptor font read the
+    # half-em estimate (AB ends at 82 -> 84 is a small gap, still
+    # glued; cd ends at 94 -> 101 is 0.7em -> space) — the descriptor
+    # changes the arithmetic, not the contract
+    pdf2 = build_pdf([[
+        ("text", 72, 700, 10, "AB"),
+        ("text", 84, 700, 10, "cd"),
+        ("text", 101, 700, 10, "ef"),
+    ]])
+    assert [s["text"] for s in parse_pdf(pdf2)] == ["ABcd ef"]
+
+
+def test_descriptor_font_flag_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_pdf(
+            [[("text", 72, 700, 10, "x")]],
+            descriptor_font=True, widths_font=True,
+        )
