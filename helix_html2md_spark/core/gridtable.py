@@ -59,8 +59,12 @@ def _is_atom_line(line: str, in_fence: bool) -> bool:
     body = _QUOTE_RE.sub("", body, count=1)
     if s.startswith("#"):
         return True
-    if s.startswith(("+", "|")) and set(s) & {"+", "|"} and re.match(r"^[+|][-=+|: xv^]", s):
-        return True  # nested gridtable line
+    # nested gridtable line: '|' may be followed by a space (a content
+    # row reads '| cell ...'), but '+' must abut a border char — a '+ '
+    # opener is prose (e.g. a phone number), and classifying it atomic
+    # would inflate the column to the full line length
+    if re.match(r"^(\+[-=+|:xv^]|\|[-=+|: xv^])", s):
+        return True
     t = _strip_escapes(body)
     if "`" in t:
         return True
@@ -136,7 +140,12 @@ def _tokenize_slow(text: str, atom_limit: int):
 
 
 def _merge_tokens(tokens: list[str]):
-    """Produce (word, space_after) pairs from a word/space token stream."""
+    """Produce (word, space_after) pairs from a word/space token stream.
+
+    CONSECUTIVE non-space tokens glue into one word: the slow tokenizer
+    emits a ``**...**`` atom as its own token even when it directly
+    abuts text ('re**bold**ing'), and a soft wrap between abutting
+    tokens would re-parse as a space inside the word."""
     out = []
     append = out.append
     k = 0
@@ -144,20 +153,27 @@ def _merge_tokens(tokens: list[str]):
     while k < n:
         w = tokens[k]
         if w[0] == " ":
-            # leading spaces attach to next word as prefix
+            # leading spaces attach to the following word run as prefix
             if k + 1 < n and tokens[k + 1][0] != " ":
-                append((w + tokens[k + 1], ""))
-                k += 2
+                j = k + 1
+                while j < n and tokens[j][0] != " ":
+                    j += 1
+                append((w + "".join(tokens[k + 1 : j]), ""))
+                k = j
             else:
                 append((w, ""))
                 k += 1
             continue
-        if k + 1 < n and tokens[k + 1][0] == " ":
-            append((w, tokens[k + 1]))
-            k += 2
+        j = k
+        while j < n and tokens[j][0] != " ":
+            j += 1
+        word = "".join(tokens[k:j])
+        if j < n:
+            append((word, tokens[j]))
+            k = j + 1
         else:
-            append((w, ""))
-            k += 1
+            append((word, ""))
+            k = j
     return out
 
 
@@ -165,14 +181,10 @@ def _wrap_text(text: str, width: int, atom_limit: int) -> list[str]:
     if len(text) <= width:
         return [text]
     toks = _tokenize(text, atom_limit)
-    # split oversize ** atoms into words
-    words: list[tuple[str, str]] = []
-    for w, sp in toks:
-        words.append((w, sp))
     lines: list[str] = []
     cur = ""
     cur_sp = ""
-    for w, sp in words:
+    for w, sp in toks:
         cand = cur + cur_sp + w if cur else w
         if cur and len(cand) > width:
             lines.append(cur)
@@ -260,7 +272,17 @@ def wrap_cell(lines: list[str], width: int, atom_limit: int) -> list[str]:
             ):
                 body = body + " " + lines[j + 1]
                 j += 1
+        # a hard-break line's trailing ' \' must stay at the END of its
+        # (last) wrapped line: as a free token the backslash can wrap
+        # onto a line of its own, which both moves the break and inserts
+        # a soft break (a space) before it
+        hard_tail = ""
+        if len(body) > 2 and body.endswith(" \\"):
+            hard_tail = " \\"
+            body = body[:-2]
         wrapped = _wrap_text(body, max(width - len(prefix), 1), atom_limit)
+        if hard_tail:
+            wrapped[-1] += hard_tail
         for k, wl in enumerate(wrapped):
             out.append((prefix if k == 0 else cont) + wl)
         i = j + 1
@@ -283,8 +305,13 @@ class _Cell:
         self.lines = lines
         self.row = row
         self.col = col
-        self.colspan = max(1, int(node.get("colSpan", 1) or 1))
-        self.rowspan = max(1, int(node.get("rowSpan", 1) or 1))
+        # clamp to the browser limits (HTML spec: colspan <= 1000,
+        # rowspan <= 65534) — unclamped garbage values make the
+        # occupancy fill loop O(colspan*rowspan) and the canvas
+        # allocation unbounded (a 30-byte <td colspan="99999999">
+        # otherwise OOMs the executor)
+        self.colspan = min(1000, max(1, int(node.get("colSpan", 1) or 1)))
+        self.rowspan = min(65534, max(1, int(node.get("rowSpan", 1) or 1)))
         self.align = node.get("align")
         self.valign = node.get("valign")
         self.in_header = in_header
@@ -314,6 +341,11 @@ def layout_rows(table_node, render_cell):
             while (ri, ci) in occupied:
                 ci += 1
             cell = _Cell(cn, None, ri, ci, in_header)
+            # a rowSpan reaching past the last table row is sloppy but
+            # common HTML; clamp to the rows that exist or the height
+            # distribution indexes past `heights` (and the occupancy
+            # fill wastes rowspan*colspan entries on phantom rows)
+            cell.rowspan = min(cell.rowspan, len(rows) - ri)
             cells.append(cell)
             for dr in range(cell.rowspan):
                 for dc in range(cell.colspan):
