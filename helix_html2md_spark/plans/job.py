@@ -44,8 +44,18 @@ def remaining_documents(docs: DataFrame, output_path: str) -> DataFrame:
         done = spark.read.parquet(output_path).select("doc_id")
         n_done = done.count()  # parquet metadata count — cheap
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return docs  # first run: no output yet
+        msg = str(e)
+        # UNABLE_TO_INFER_SCHEMA: the dir exists but holds no committed
+        # data files (a first run whose driver died mid-write leaves
+        # only _temporary/) — zero committed rows is semantically a
+        # first run, and treating it as fatal wedges resume until the
+        # directory is deleted by hand
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return docs  # first run: no (committed) output yet
         raise
     if n_done <= _BROADCAST_DONE_MAX_ROWS:
         done = F.broadcast(done)
@@ -81,26 +91,38 @@ def run_extract_job(
         ).alias("failures"),
         F.sum(F.size("spans")).alias("span_count"),
     )
-    extracted = extracted.withColumn(
-        "partition_id", F.spark_partition_id()
-    ).withColumn("run_id", F.lit(run_id))
+    # attempt_id is generated PER CALL: the documented resume flow is
+    # "rerun the identical command", so run_id repeats across a crashed
+    # run and its resume — filtering the lineage read-back on run_id
+    # alone would fold the prior attempt's committed rows into this
+    # attempt's lineage (double-counted doc_ids_done, colliding
+    # partition_ids).  run_id stays the user-facing key; attempt_id
+    # scopes the read-back to the rows THIS call wrote.
+    import uuid
+
+    attempt_id = uuid.uuid4().hex
+    extracted = (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt_id", F.lit(attempt_id))
+    )
 
     t0 = time.perf_counter()
     extracted.write.mode("append").parquet(output_path)
     wall = time.perf_counter() - t0
     stats = obs.get
 
-    # per-partition lineage over THIS RUN'S rows only: the output rows
-    # carry run_id precisely so a resumed run's lineage never re-counts
-    # prior runs' documents (partition_ids collide across runs), and the
-    # read-back prunes on run_id instead of scanning the whole history.
-    # mergeSchema: an output seeded OUTSIDE this job (or by a pre-run_id
-    # version) lacks the column; those legacy rows read as null run_id
-    # and are correctly excluded from every run's lineage.
+    # per-partition lineage over THIS ATTEMPT'S rows only.  The read
+    # uses an EXPLICIT schema, not mergeSchema: schema merging reads
+    # every file footer in the output history on every run (O(total
+    # files) and growing), while a fixed schema is O(1) — files written
+    # by older versions (or seeded outside this job) lack run_id /
+    # attempt_id, read those columns as null, and are correctly
+    # excluded by the filter.
     out = (
-        spark.read.option("mergeSchema", "true")
+        spark.read.schema(extracted.schema)
         .parquet(output_path)
-        .filter(F.col("run_id") == run_id)
+        .filter(F.col("attempt_id") == attempt_id)
     )
     lineage = (
         out.groupBy("partition_id")
@@ -112,6 +134,7 @@ def run_extract_job(
             F.sum("n_chars").alias("chars_out"),
         )
         .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt_id", F.lit(attempt_id))
     )
     lineage.write.mode("append").parquet(f"{output_path}_lineage")
 

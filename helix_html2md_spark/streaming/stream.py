@@ -105,6 +105,68 @@ def stream_pdf_extract(
     return writer.start()
 
 
+def _dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark_delay: str | None,
+    available_now: bool,
+):
+    """Shared scaffold for both streaming dedup surfaces: documents
+    landing-zone reader -> content-key projection (ONE hash definition,
+    operators/dedup.py::content_key — batch and stream must agree) ->
+    state-backed duplicate drop -> checkpointed parquet sink.
+
+    ``watermark_delay=None``: full-state ``dropDuplicates`` (exact
+    across the corpus lifetime).  With a delay: event-time schema +
+    ``dropDuplicatesWithinWatermark`` (bounded state)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from ..operators.dedup import content_key
+
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+    if watermark_delay is not None:
+        fields.append(StructField("ts", TimestampType()))
+    docs = (
+        spark.readStream.schema(StructType(fields))
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    cols = [
+        content_key().alias("content_md5"),
+        F.length(F.coalesce("text", F.lit("")))
+        .cast("long")
+        .alias("text_len"),
+    ]
+    if watermark_delay is not None:
+        deduped = (
+            docs.select(*cols, "ts")
+            .withWatermark("ts", watermark_delay)
+            .dropDuplicatesWithinWatermark(["content_md5"])
+        )
+    else:
+        deduped = docs.select(*cols).dropDuplicates(["content_md5"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -123,45 +185,14 @@ def stream_dedup(
     (content_md5, text_len): WHICH duplicate row survives is
     arrival-order-dependent on a stream, so the contract exposes
     nothing arrival-dependent.  At corpus scale, bound the state with
-    ``dropDuplicatesWithinWatermark`` over an event-time column; the
-    documents table has no event time, so this surface keeps full state
-    (hash-only rows, 48 B each — documented tradeoff).
+    :func:`stream_dedup_wm`; the plain documents table has no event
+    time, so this surface keeps full state (hash-only rows, 48 B each —
+    documented tradeoff).
     """
-    from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType,
+    return _dedup_stream(
+        spark, input_dir, output_dir, checkpoint_dir,
+        watermark_delay=None, available_now=available_now,
     )
-
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(input_dir)
-    )
-    # null text hashes as '' — matching the batch dedup contract
-    # (exact_dup_stats) and keeping the sink free of null keys
-    deduped = docs.select(
-        F.md5(F.coalesce("text", F.lit(""))).alias("content_md5"),
-        F.length(F.coalesce("text", F.lit("")))
-        .cast("long")
-        .alias("text_len"),
-    ).dropDuplicates(["content_md5"])
-    writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_dedup_wm(
@@ -189,48 +220,17 @@ def stream_dedup_wm(
     cheap; unbounded streaming state at 100 TB is not).
 
     Input schema: (doc_id, text, lang, source, n_chars, ts timestamp).
-    Output carries only content-determined columns plus the event time
-    (content_md5, text_len, ts) — arrival order never shows.
+    Output: (content_md5, text_len, ts).  content_md5/text_len are
+    content-determined; the emitted ``ts`` is the FIRST-ARRIVING
+    duplicate's event time, which IS arrival-order-dependent when
+    duplicates of one content carry different event times — consumers
+    needing replay-stable rows should drop ts or derive it from
+    content (the driver harness does the latter).
     """
-    from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType, TimestampType,
+    return _dedup_stream(
+        spark, input_dir, output_dir, checkpoint_dir,
+        watermark_delay=delay, available_now=available_now,
     )
-
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-            StructField("n_chars", LongType()),
-            StructField("ts", TimestampType()),
-        ]
-    )
-    docs = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(input_dir)
-    )
-    deduped = (
-        docs.select(
-            F.md5(F.coalesce("text", F.lit(""))).alias("content_md5"),
-            F.length(F.coalesce("text", F.lit("")))
-            .cast("long")
-            .alias("text_len"),
-            "ts",
-        )
-        .withWatermark("ts", delay)
-        .dropDuplicatesWithinWatermark(["content_md5"])
-    )
-    writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stateful_sessionize(
@@ -300,6 +300,16 @@ def stateful_sessionize(
             }
         )
 
+    # null guard BEFORE the Python crossing (JVM-side filter): a null ts
+    # reaches the UDF as pd.NaT, whose .timestamp() raises ValueError —
+    # a deterministic task failure that kills the whole streaming query
+    # on one bad row; null value crashes float(None) the same way.  The
+    # batch sessionizers null-propagate, so dropping the rows here is
+    # the stream-side equivalent of "a null-ts event belongs to no
+    # session".
+    events_stream = events_stream.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id long, n_events int, sum_value double, closed_by string",

@@ -66,3 +66,36 @@ def test_deterministic_rerun(spark, corpus, tmp_path):
         for r in extract_documents(docs, None, num_partitions=2).collect()
     }
     assert a == b
+
+
+def test_resume_with_same_run_id_does_not_double_count(spark, corpus, tmp_path):
+    """The documented resume flow reruns the IDENTICAL command — same
+    run_id.  Each call's lineage must cover only the rows that call
+    wrote (attempt-scoped), never re-count the prior attempt's."""
+    out = str(tmp_path / "same_rid")
+    m1 = run_extract_job(spark, corpus, out, run_id="rX", num_partitions=2)
+    n1 = m1["docs"]
+    assert n1 > 0
+    # simulate a partial first attempt by deleting some outputs? not
+    # needed: a full rerun with the same run_id must record 0 new docs
+    m2 = run_extract_job(spark, corpus, out, run_id="rX", num_partitions=2)
+    assert m2["docs"] == 0
+    lineage = spark.read.parquet(out + "_lineage").filter("run_id = 'rX'")
+    rows = lineage.collect()
+    # two attempts, two disjoint attempt scopes: total doc_ids_done over
+    # the run_id is n1 + 0, NOT n1 doubled
+    assert sum(r["doc_ids_done"] for r in rows) == n1
+    assert lineage.select("attempt_id").distinct().count() >= 1
+
+
+def test_resume_recovers_from_uncommitted_output_dir(spark, corpus, tmp_path):
+    """An output dir holding only _temporary/ (driver died mid-first-
+    write) has zero committed rows: the next run must treat it as a
+    first run instead of raising UNABLE_TO_INFER_SCHEMA forever."""
+    import os
+
+    out = str(tmp_path / "wedged")
+    os.makedirs(os.path.join(out, "_temporary", "0"))
+    m = run_extract_job(spark, corpus, out, run_id="rW", num_partitions=2)
+    assert m["docs"] > 0
+    assert spark.read.parquet(out).count() == m["docs"]
