@@ -32,9 +32,14 @@ _NOISE_TAGS = {
     "script", "style", "noscript", "template", "nav", "header", "footer",
     "aside", "form", "iframe", "button",
 }
+# 'ad'/'ads'/'nav' are anchored: as bare substrings they delete innocent
+# subtrees ('downloads', 'roads', 'navy', 'canvas').  Readability.js's
+# published unlikelyCandidates list likewise carries '-ad-'/'ad-break'
+# with delimiters and no bare 'nav' (the <nav> TAG is dropped above).
 _NOISE_HINT = re.compile(
-    r"nav|menu|sidebar|footer|header|banner|\bad\b|ads|advert|comment|"
-    r"share|social|promo|cookie|breadcrumb",
+    r"menu|sidebar|footer|header|banner|advert|comment|"
+    r"share|social|promo|cookie|breadcrumb|"
+    r"(?:^|[^a-z])(?:ads?|nav(?:bar|igation)?)(?:[^a-z]|$)",
     re.I,
 )
 _CANDIDATE_TAGS = {"div", "article", "section", "main", "td", "body"}
@@ -45,23 +50,40 @@ def _norm(s: str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-def _text(el: Element) -> str:
-    """Subtree text with element boundaries as spaces, normalized.
+# phrasing-content tags whose boundaries must NOT break a word: a word
+# split by <b>/<a>/<span> mid-word ("re<b>mark</b>able") concatenates
+# verbatim; every other element gets a space boundary so adjacent blocks
+# written without inter-tag whitespace ("<p>a</p><p>b</p>") stay apart
+_INLINE_TAGS = {
+    "a", "abbr", "b", "bdi", "bdo", "cite", "code", "data", "dfn", "em",
+    "i", "kbd", "mark", "q", "s", "samp", "small", "span", "strong",
+    "sub", "sup", "time", "u", "var", "wbr",
+}
 
-    The fast parser drops whitespace-only text nodes between elements,
-    so naive concatenation would glue adjacent blocks ("Titlefirst
-    para"); joining text nodes with spaces keeps block boundaries and
-    _norm collapses any doubling.
-    """
+
+def _text(el: Element) -> str:
+    """Subtree text, spaces injected only at BLOCK-element boundaries,
+    normalized.  Inline (phrasing) elements concatenate verbatim —
+    joining every text node with a space corrupts words split by inline
+    tags (the parser keeps whitespace-only text nodes, so real
+    inter-block whitespace survives on its own)."""
     parts: list[str] = []
-    stack = list(reversed(el.children))  # document order, iterative
+    # document order, iterative; plain-str stack entries are boundary
+    # markers emitted around non-inline elements
+    stack: list = list(reversed(el.children))
     while stack:
         c = stack.pop()
-        if isinstance(c, Text):
+        if isinstance(c, str):
+            parts.append(c)
+        elif isinstance(c, Text):
             parts.append(c.value)
-        else:
+        elif c.tag in _INLINE_TAGS:
             stack.extend(reversed(c.children))
-    return _norm(" ".join(parts))
+        else:
+            stack.append(" ")  # popped AFTER the children
+            stack.extend(reversed(c.children))
+            stack.append(" ")  # popped first: boundary BEFORE
+    return _norm("".join(parts))
 
 
 def _is_noise(el: Element) -> bool:

@@ -84,7 +84,10 @@ def strip_boilerplate_documents(
     Single-pass JVM size gate (oversized html is blanked before the
     Arrow crossing) -> one mapInPandas.
     """
-    too_big = F.length("html") > F.lit(max_html_size)
+    # octet_length: the budget bounds Python-worker/Arrow batch MEMORY,
+    # so it is a byte limit (F.length counts characters — a multibyte
+    # CJK page would cross at up to 4x the stated budget)
+    too_big = F.octet_length("html") > F.lit(max_html_size)
     gated = docs.select(
         "doc_id",
         F.when(

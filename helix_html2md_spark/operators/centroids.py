@@ -36,10 +36,14 @@ CENTROID_SCHEMA = "label int, n_vecs bigint, centroid array<double>"
 def _centroid_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
+    # a NULL label arrives as NaN (pandas widens int-with-nulls to
+    # float64); keep it as a null GROUP — SQL GROUP BY semantics — rather
+    # than crashing the stage on int(NaN)
+    lab = pdf["label"].iloc[0]
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     return pd.DataFrame(
         {
-            "label": [int(pdf["label"].iloc[0])],
+            "label": [None if pd.isna(lab) else int(lab)],
             "n_vecs": [len(pdf)],
             "centroid": [np.round(mat.mean(axis=0), 6).tolist()],
         }
@@ -55,12 +59,18 @@ def _partial_batches(
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else 0
     for bi, pdf in enumerate(batches):
+        if not len(pdf):
+            # an empty frame's empty list-column infers float64 dtype and
+            # Arrow conversion dies (NumPyConverter <list<double>>); skip
+            continue
         out = {"pid": [], "bi": [], "label": [], "n_vecs": [], "vec_sum": []}
-        for label, g in pdf.groupby("label"):
+        # dropna=False: NULL labels form a null group (SQL GROUP BY
+        # semantics, and the twin the plain variant produces)
+        for label, g in pdf.groupby("label", dropna=False):
             mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
             out["pid"].append(pid)
             out["bi"].append(bi)
-            out["label"].append(int(label))
+            out["label"].append(None if pd.isna(label) else int(label))
             out["n_vecs"].append(len(g))
             out["vec_sum"].append(mat.sum(axis=0).tolist())
         yield pd.DataFrame(out)

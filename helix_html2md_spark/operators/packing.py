@@ -55,17 +55,27 @@ def pack_sequences(
     were collected under (within one action the exchange is shared, so
     a single materialization is always self-consistent).
     """
-    n_tok = F.size(tokens(F.col("text")))
+    # null text (failed extraction) = 0 tokens: tokens(NULL) is NULL and
+    # a NULL n_tokens would both null out this doc's pack assignment and
+    # crash the driver-side offset fold when a whole range partition is
+    # null-text (max(_cum) NULL -> int(None)); zero keeps the documented
+    # one-row-per-input-document contract with a deterministic slot
+    n_tok = F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
     base = docs.select("doc_id", n_tok.alias("n_tokens"))
 
     def emit(df: DataFrame, start) -> DataFrame:
-        start = start.cast("long")
+        # pack_id via integer `div`, not floor(double-division): the
+        # double quotient loses exactness past ~2^41*seq_len cumulative
+        # tokens, which the stated 10^12-doc scale can reach
+        df = df.withColumn("_start", start.cast("long"))
         return df.select(
             "doc_id",
             "n_tokens",
             "shard",
-            F.floor(start / seq_len).cast("long").alias("pack_id"),
-            F.pmod(start, F.lit(seq_len)).cast("long").alias(
+            F.expr(f"_start div {int(seq_len)}").cast("long").alias(
+                "pack_id"
+            ),
+            F.pmod("_start", F.lit(seq_len)).cast("long").alias(
                 "offset_in_pack"
             ),
         )
@@ -130,7 +140,20 @@ def pack_sequences(
         acc += int(r["_t"])
     off = spark.createDataFrame(offsets, "_pid int, _off long")
     joined = local.join(F.broadcast(off), "_pid", "left")
-    start = F.coalesce("_off", F.lit(0)) + F.col("_cum") - F.col("n_tokens")
+    # a _pid absent from the collected offsets means the range exchange
+    # re-executed with fresh sample bounds (cache lost / released before
+    # materialization) — fail LOUDLY rather than packing at offset 0
+    off_checked = F.when(F.col("_off").isNotNull(), F.col("_off")).otherwise(
+        F.raise_error(
+            F.lit(
+                "pack_sequences: partition id missing from collected "
+                "offsets — the range exchange re-executed after the "
+                "phase-1 cache was lost; materialize the result before "
+                "dedup.release_persisted()"
+            )
+        ).cast("long")
+    )
+    start = off_checked + F.col("_cum") - F.col("n_tokens")
     return emit(joined, start)
 
 

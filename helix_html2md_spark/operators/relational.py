@@ -81,15 +81,13 @@ def region_rollup(
 
 
 def region_nation_cube(
-    customer, nation, region
-):
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
     """Hierarchical subtotals via ROLLUP grouping sets (region -> nation
     -> grand total): two broadcast joins feed one grouping-sets
     aggregate — Spark expands the rollup into one shuffle with a
     grouping-id column, no Union of per-level scans.  Null grouping
     columns mark subtotal rows, exactly as in ANSI SQL ROLLUP."""
-    from pyspark.sql import functions as F
-
     return (
         customer.join(
             F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
@@ -193,7 +191,15 @@ def asof_join(
 
     Returns all left columns plus ``asof_<c>`` for each value col and
     ``asof_<on>`` (the matched right timestamp).
+
+    NULL semantics match DuckDB ASOF JOIN / pandas merge_asof: right
+    rows with a NULL ``on`` or NULL ``by`` are dropped before matching
+    (NULL never equals NULL in a join key, and a NULL timestamp is not
+    "earliest" — without this filter nulls sort first in the window and
+    a null-ts right row would silently become every left row's match),
+    and left rows with a NULL ``by`` or ``on`` keep NULL match columns.
     """
+    right = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
     if hot_key_warn_rows is not None:
         import warnings
 

@@ -56,3 +56,23 @@ def test_partial_shuffles_partials_not_vectors(spark):
     m = plan.find("MapInPandas")
     assert x >= 0 and m >= 0
     assert m > x  # printed tree: below = later; partials precede shuffle
+
+
+def test_null_label_is_a_group_in_both_variants(spark):
+    """A NULL label forms a null GROUP (SQL GROUP BY semantics) in both
+    the plain and partial variants — one null row must not kill the
+    stage (int(NaN) / empty-frame Arrow dtype crash)."""
+    from helix_html2md_spark.operators.centroids import label_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (None, [3.0, 4.0]), (1, [3.0, 2.0])],
+        "label int, embedding array<double>",
+    )
+    for partial in (False, True):
+        rows = {
+            r["label"]: r
+            for r in label_centroids(emb, partial=partial).collect()
+        }
+        assert set(rows) == {1, None}, partial
+        assert rows[1]["centroid"] == [2.0, 2.0], partial
+        assert rows[None]["centroid"] == [3.0, 4.0], partial

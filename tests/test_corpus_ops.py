@@ -447,3 +447,22 @@ def test_ivf_sq_index_pruning_and_rescore(spark, tmp_path):
         F.min(F.array_min("codes")), F.max(F.array_max("codes"))
     ).collect()[0]
     assert code_range[0] >= 0 and code_range[1] <= 255
+
+
+def test_asof_join_null_keys_and_timestamps(spark):
+    """DuckDB/pandas ASOF null semantics: right rows with NULL on/by are
+    dropped (a null ts must not become every left row's 'latest prior'
+    match; NULL by-keys never pair), left nulls keep NULL matches."""
+    from helix_html2md_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10), (None, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, None, "rNULL"), (None, 5, "r5")], "k int, t int, rv string"
+    )
+    out = {
+        tuple(r)
+        for r in asof_join(
+            left, right, by="k", on="t", value_cols=["rv"]
+        ).collect()
+    }
+    assert out == {(1, 10, None, None), (None, 10, None, None)}

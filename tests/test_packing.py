@@ -70,3 +70,21 @@ def test_plans_are_pure_jvm(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_pack_sequences_null_text_docs(spark):
+    """Null-text docs (failed extraction) take 0-token slots instead of
+    nulling their pack assignment or crashing the offset fold when a
+    whole range partition is null-text."""
+    from helix_html2md_spark.operators.dedup import release_persisted
+    from helix_html2md_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("d0", None), ("d1", None), ("d2", "one two three")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=4).collect()}
+    release_persisted()
+    assert len(rows) == 3
+    assert rows["d0"]["n_tokens"] == 0 and rows["d0"]["pack_id"] == 0
+    assert rows["d2"]["pack_id"] == 0 and rows["d2"]["offset_in_pack"] == 0
