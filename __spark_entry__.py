@@ -1044,10 +1044,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB, same parquet tables as pre-registered views)
 # ---------------------------------------------------------------------------
 
-from helix_html2md_spark.functions.text import SQL_TOKENS as _SQL_TOKENS
+from helix_html2md_spark.functions.text import (
+    SQL_STOPWORDS as _STOP,
+    SQL_TOKENS as _SQL_TOKENS,
+)
 
+# both fragments derive from the SAME constants the Spark formulas use
+# (functions/text.py STOPWORDS / WS_CLASS), so Spark and oracle cannot
+# drift when the word list or whitespace class changes
 _TOKENS = _SQL_TOKENS.format(c="text")
-_STOP = "['the','a','of','and','to','in','is','it']"
 
 
 _GOLDEN_EXTRACT = os.path.join(

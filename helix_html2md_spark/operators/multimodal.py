@@ -25,7 +25,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id string, doc_id string, kind string, n_bytes int, "
-    "sha1 string, feature array<float>, feature_md5 string"
+    "sha1 string, feature array<float>, feature_md5 string, error string"
 )
 
 
@@ -61,19 +61,30 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, hashes, sizes, fmd5 = [], [], [], []
+            feats, hashes, sizes, fmd5, errs = [], [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 hashes.append(hashlib.sha1(b).hexdigest())
                 sizes.append(len(b))
-                arr = decoder(b)
-                # mean-pool to a fixed dim (the stand-in "embedding")
-                pooled = arr[: dim * (len(arr) // dim)].reshape(
-                    -1, dim
-                ).mean(axis=0) if len(arr) >= dim else np.zeros(dim, np.float32)
-                pooled32 = np.asarray(pooled, dtype=np.float32)
-                feats.append([float(x) for x in pooled32])
-                fmd5.append(hashlib.md5(pooled32.tobytes()).hexdigest())
+                # per-row capture: with a REAL decoder injected, one
+                # corrupt payload among billions must degrade its row,
+                # never the task (same contract as operators/pdf.py)
+                try:
+                    arr = decoder(b)
+                    # mean-pool to a fixed dim (the stand-in "embedding")
+                    pooled = arr[: dim * (len(arr) // dim)].reshape(
+                        -1, dim
+                    ).mean(axis=0) if len(arr) >= dim else np.zeros(
+                        dim, np.float32
+                    )
+                    pooled32 = np.asarray(pooled, dtype=np.float32)
+                    feats.append([float(x) for x in pooled32])
+                    fmd5.append(hashlib.md5(pooled32.tobytes()).hexdigest())
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 - row resilience
+                    feats.append(None)
+                    fmd5.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -83,6 +94,7 @@ def extract_features(
                     "sha1": hashes,
                     "feature": feats,
                     "feature_md5": fmd5,
+                    "error": errs,
                 }
             )
 
@@ -123,7 +135,8 @@ def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
 
 RESIZED_SCHEMA = (
     "media_id string, doc_id string, width int, height int, "
-    "out_width int, out_height int, resized_sha1 string, resized binary"
+    "out_width int, out_height int, resized_sha1 string, resized binary, "
+    "error string"
 )
 
 
@@ -158,26 +171,37 @@ def resize_images(
             out = {
                 "media_id": [], "doc_id": [], "width": [], "height": [],
                 "out_width": [], "out_height": [], "resized_sha1": [],
-                "resized": [],
+                "resized": [], "error": [],
             }
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
-                arr = np.asarray(decoder(payload))
-                if arr.ndim >= 2:
-                    img = arr.reshape(arr.shape[0], -1)
-                else:
-                    side = max(int(len(arr) ** 0.5), 1)
-                    img = arr[: side * side].reshape(side, side)
-                resized = resize_pixels(img, out_w, out_h)
-                blob = (resized * 255).astype(np.uint8).tobytes()
+                try:
+                    arr = np.asarray(decoder(payload))
+                    if arr.ndim >= 2:
+                        img = arr.reshape(arr.shape[0], -1)
+                    else:
+                        side = max(int(len(arr) ** 0.5), 1)
+                        img = arr[: side * side].reshape(side, side)
+                    resized = resize_pixels(img, out_w, out_h)
+                    blob = (resized * 255).astype(np.uint8).tobytes()
+                    sha, err = hashlib.sha1(blob).hexdigest(), None
+                except Exception as e:  # noqa: BLE001 - row resilience
+                    blob, sha, err = None, None, f"{type(e).__name__}: {e}"
                 out["media_id"].append(row.media_id)
                 out["doc_id"].append(row.doc_id)
-                out["width"].append(int(row.width))
-                out["height"].append(int(row.height))
+                # NULL metadata stays NULL (int(NaN) raises; width/height
+                # are nullable per MEDIA_SCHEMA and never validated)
+                out["width"].append(
+                    None if pd.isna(row.width) else int(row.width)
+                )
+                out["height"].append(
+                    None if pd.isna(row.height) else int(row.height)
+                )
                 out["out_width"].append(out_w)
                 out["out_height"].append(out_h)
-                out["resized_sha1"].append(hashlib.sha1(blob).hexdigest())
+                out["resized_sha1"].append(sha)
                 out["resized"].append(blob)
+                out["error"].append(err)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
@@ -185,7 +209,7 @@ def resize_images(
 
 FRAME_SCHEMA = (
     "media_id string, doc_id string, frame_idx int, ts_ms int, "
-    "frame_sha1 string, frame binary"
+    "frame_sha1 string, frame binary, error string"
 )
 
 
@@ -218,28 +242,39 @@ def sample_frames(
     """
     if every_ms <= 0:
         raise ValueError("every_ms must be positive")
-    # non-video payloads never cross Arrow
-    media = media.filter(F.col("kind") == "video")
+    # non-video payloads never cross Arrow; NULL duration means
+    # "unmeasured" — sampling it would fabricate a ts=0 frame nobody
+    # measured (same contract as audio_chunks), and the NaN it arrives
+    # as in pandas would crash int()
+    media = media.filter(
+        (F.col("kind") == "video") & F.col("duration_ms").isNotNull()
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "media_id": [], "doc_id": [], "frame_idx": [],
-                "ts_ms": [], "frame_sha1": [], "frame": [],
+                "ts_ms": [], "frame_sha1": [], "frame": [], "error": [],
             }
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
-                dur = int(row.duration_ms or 0)
+                dur = int(row.duration_ms)
                 n_frames = min(dur // every_ms + 1, max_frames)
                 for fi in range(n_frames):
                     ts = fi * every_ms
-                    frame = decoder(payload, ts)
+                    try:
+                        frame = decoder(payload, ts)
+                        sha, err = hashlib.sha1(frame).hexdigest(), None
+                    except Exception as e:  # noqa: BLE001 - row resilience
+                        frame, sha = None, None
+                        err = f"{type(e).__name__}: {e}"
                     out["media_id"].append(row.media_id)
                     out["doc_id"].append(row.doc_id)
                     out["frame_idx"].append(fi)
                     out["ts_ms"].append(ts)
-                    out["frame_sha1"].append(hashlib.sha1(frame).hexdigest())
+                    out["frame_sha1"].append(sha)
                     out["frame"].append(frame)
+                    out["error"].append(err)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -112,9 +112,14 @@ def parse_pdf_documents(
     """
     magic_ok = F.expr(f"substring(payload, 1, 5) = X'{_MAGIC}'")
     too_big = F.length("payload") > F.lit(max_pdf_size)
+    # a NULL payload must be gated EXPLICITLY: both predicates above
+    # evaluate to NULL for it, so without this branch it slipped through
+    # un-blanked and surfaced as a misleading Python-side parse_error
+    is_null = F.col("payload").isNull()
     gated = pdfs.select(
         "doc_id",
-        F.when(
+        F.when(is_null, F.lit("payload missing"))
+        .when(
             too_big,
             F.concat(
                 F.lit("pdf larger than "),
@@ -125,7 +130,7 @@ def parse_pdf_documents(
         .when(~magic_ok, F.lit("not a PDF (missing %PDF- magic)"))
         .alias("_gate_error"),
         F.when(
-            too_big | ~magic_ok, F.lit(b"")
+            is_null | too_big | ~magic_ok, F.lit(b"")
         ).otherwise(F.col("payload")).alias("payload"),
     )
     if num_partitions:

@@ -41,11 +41,18 @@ def iceberg_session_conf(warehouse: str, catalog: str = "graft") -> dict:
 
 
 def has_iceberg(spark: SparkSession) -> bool:
-    """True when the Iceberg runtime is on the session classpath."""
+    """True when the Iceberg runtime is on the session classpath.
+
+    Must actually LOAD the class: py4j resolves a missing class to a
+    JavaPackage object without raising (it only errors when called), so
+    a bare attribute probe returns True on every session.
+    """
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 - ClassNotFound via py4j
         return False
 
 
@@ -64,7 +71,9 @@ def create_extracted_table(
             n_images int,
             n_blocks int,
             n_chars int,
-            partition_id int
+            partition_id int,
+            run_id string,
+            attempt_id string
         ) USING iceberg
         PARTITIONED BY (bucket({n_buckets}, doc_id))
         """
@@ -77,9 +86,13 @@ def append_extracted(df: DataFrame, table: str) -> None:
 
 
 def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    # snapshot_id DESC tie-break: committed_at has millisecond grain, so
+    # two snapshots in the same millisecond (routine in tests/small
+    # runs) would otherwise pick arbitrarily and corrupt lineage
+    # provenance
     row = (
         spark.sql(f"SELECT snapshot_id FROM {table}.snapshots "
-                  "ORDER BY committed_at DESC LIMIT 1")
+                  "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1")
         .collect()
     )
     return int(row[0][0]) if row else None
@@ -89,13 +102,38 @@ def remaining_documents_iceberg(
     docs: DataFrame, table: str
 ) -> DataFrame:
     """Snapshot-consistent resume: anti-join against the doc_ids already
-    committed to the table's current snapshot."""
+    committed to the table's current snapshot.
+
+    Only a MISSING table disables resume (first run); any other read
+    failure propagates — swallowing a transient catalog/storage error
+    would silently re-extract everything and append duplicates (same
+    invariant as plans/job.remaining_documents).
+    """
+    from pyspark.errors import AnalysisException
+
+    from .job import _BROADCAST_DONE_MAX_ROWS
+
     spark = docs.sparkSession
     try:
         done = spark.read.format("iceberg").load(table).select("doc_id")
-    except Exception:  # noqa: BLE001 - table absent: first run
-        return docs
-    return docs.join(F.broadcast(done), "doc_id", "left_anti")
+        n_done = done.count()  # manifest-metadata count — cheap
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or "NoSuchTableException" in msg
+            or "Table or view not found" in msg
+        ):
+            return docs  # first run: table not created yet
+        raise
+    # broadcast only while the done-set plausibly fits every executor;
+    # at the documented 10^12-doc scale the committed set is billions of
+    # rows and an unconditional broadcast OOMs exactly when resume
+    # matters most — the shuffled anti-join can be planned bucket-local
+    # (both sides bucketed by doc_id)
+    if n_done <= _BROADCAST_DONE_MAX_ROWS:
+        done = F.broadcast(done)
+    return docs.join(done, "doc_id", "left_anti")
 
 
 def run_extract_job_iceberg(
@@ -110,6 +148,7 @@ def run_extract_job_iceberg(
     """Iceberg-native twin of plans.job.run_extract_job: resume from the
     current snapshot, append atomically, record lineage + snapshot_id."""
     import time
+    import uuid
 
     from ..operators.extract import extract_documents
 
@@ -117,9 +156,18 @@ def run_extract_job_iceberg(
     docs = spark.read.parquet(input_path)
     todo = remaining_documents_iceberg(docs, table)
 
-    extracted = extract_documents(
-        todo, config, num_partitions=num_partitions
-    ).withColumn("partition_id", F.spark_partition_id())
+    # attempt_id scopes the lineage read-back to the rows THIS call
+    # wrote: run_id repeats across a crashed run and its resume (the
+    # documented flow is "rerun the identical command"), and aggregating
+    # the whole table would double-count prior runs' rows under this
+    # run_id with colliding partition_ids (same invariant as plans/job)
+    attempt_id = uuid.uuid4().hex
+    extracted = (
+        extract_documents(todo, config, num_partitions=num_partitions)
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt_id", F.lit(attempt_id))
+    )
 
     t0 = time.perf_counter()
     append_extracted(extracted, table)
@@ -129,6 +177,7 @@ def run_extract_job_iceberg(
     lineage = (
         spark.read.format("iceberg")
         .load(table)
+        .filter(F.col("attempt_id") == attempt_id)
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("doc_ids_done"),
@@ -137,7 +186,21 @@ def run_extract_job_iceberg(
             ).alias("docs_failed"),
         )
         .withColumn("run_id", F.lit(run_id))
-        .withColumn("snapshot_id", F.lit(snap))
+        .withColumn("attempt_id", F.lit(attempt_id))
+        .withColumn("snapshot_id", F.lit(snap).cast("long"))
     )
-    lineage.writeTo(f"{table}_lineage").createOrReplace()
+    # append per run (createOrReplace would drop prior runs' lineage)
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table}_lineage (
+            partition_id int,
+            doc_ids_done bigint,
+            docs_failed bigint,
+            run_id string,
+            attempt_id string,
+            snapshot_id bigint
+        ) USING iceberg
+        """
+    )
+    lineage.writeTo(f"{table}_lineage").append()
     return {"run_id": run_id, "snapshot_id": snap, "wall_sec": round(wall, 3)}

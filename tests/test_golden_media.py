@@ -157,3 +157,46 @@ def test_spark_resize_and_frames_match_golden(spark, media_df):
         ).to_pylist()
     }
     assert got_f == golden_f
+
+
+def test_null_metadata_and_corrupt_payload_degrade_rows(spark):
+    """NULL duration/width/height media rows and a decoder that raises
+    must degrade the ROW (error column / filtered), never the task —
+    the contract operators/pdf.py established for binary inputs."""
+    from helix_html2md_spark.operators.multimodal import (
+        extract_features, resize_images, sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("m0", "d0", "video", "video/mp4", None, None, None, b"vv"),
+            ("m1", "d1", "video", "video/mp4", 8, 8, 1500, b"vv"),
+            ("m2", "d2", "image", "image/png", None, None, None, b"ii"),
+        ],
+        "media_id string, doc_id string, kind string, content_type string,"
+        " width int, height int, duration_ms int, payload binary",
+    )
+    # NULL-duration video is unmeasured: no fabricated ts=0 frame
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {r["media_id"] for r in frames} == {"m1"}
+    assert len(frames) == 2 and all(r["error"] is None for r in frames)
+
+    # NULL width/height stay NULL, row survives
+    rz = {r["media_id"]: r for r in resize_images(media).collect()}
+    assert rz["m2"]["width"] is None and rz["m2"]["resized_sha1"]
+
+    def bomb(b):
+        raise ValueError("corrupt payload")
+
+    feats = {r["media_id"]: r for r in extract_features(media, decoder=bomb).collect()}
+    assert len(feats) == 3
+    assert all(r["feature"] is None for r in feats.values())
+    assert all("corrupt payload" in r["error"] for r in feats.values())
+    rz2 = {r["media_id"]: r for r in resize_images(media, decoder=bomb).collect()}
+    assert rz2["m2"]["resized"] is None and "corrupt" in rz2["m2"]["error"]
+
+    def bomb2(b, ts):
+        raise ValueError("corrupt frame")
+
+    fr2 = sample_frames(media, every_ms=1000, decoder=bomb2).collect()
+    assert len(fr2) == 2 and all("corrupt frame" in r["error"] for r in fr2)

@@ -971,3 +971,18 @@ def test_descriptor_font_flag_exclusive():
             [[("text", 72, 700, 10, "x")]],
             descriptor_font=True, widths_font=True,
         )
+
+
+def test_null_payload_is_a_constraint_error(spark):
+    """A NULL payload is gated JVM-side (both gate predicates evaluate
+    to NULL for it) and reported as a constraint error, not a misleading
+    Python TypeError parse_error."""
+    from helix_html2md_spark.operators.pdf import parse_pdf_documents
+
+    df = spark.createDataFrame(
+        [("missing", None), ("tiny", b"%PDF-x")],
+        "doc_id string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in parse_pdf_documents(df).collect()}
+    assert got["missing"]["status"] == "constraint_error"
+    assert got["missing"]["error"] == "payload missing"
