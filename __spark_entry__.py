@@ -454,10 +454,13 @@ def _cached_index(
         for f in sorted(files):
             if f.endswith(".parquet"):
                 st = _os.stat(_os.path.join(root, f))
-                parts.append(f"{f}:{int(st.st_mtime)}:{st.st_size}")
+                # mtime_ns: a same-size regeneration within the same
+                # SECOND would collide under truncated mtime and serve
+                # the stale index
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
     if not parts and _os.path.exists(src):  # single-file table
         st = _os.stat(src)
-        parts.append(f"{source}:{int(st.st_mtime)}:{st.st_size}")
+        parts.append(f"{source}:{st.st_mtime_ns}:{st.st_size}")
     fp = _hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     safe = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/graft_{kind}_{version}_{safe}_{fp}"
@@ -478,11 +481,7 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     half, quarter, drop-all (0), and the 32/256 default."""
     from helix_html2md_spark.operators.corpus import mix_corpus
 
-    mixed = mix_corpus(
-        _docs(spark, sf_dir),
-        {"src0": 256, "src1": 128, "src2": 64, "src3": 0},
-        default=32,
-    )
+    mixed = mix_corpus(_docs(spark, sf_dir), _MIX_WEIGHTS, default=_MIX_DEFAULT)
     return (
         mixed.groupBy("source")
         .agg(
@@ -494,6 +493,57 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEARCH_QUERY = "stream batch window order"
+
+# corpus_mix weights — module-level so the DuckDB oracle derives its CASE
+# thresholds from the SAME dict and the SAME threshold encoder as the
+# Spark query (hand-transcribed hex literals drift)
+from helix_html2md_spark.operators.corpus import _thr as _corpus_thr
+
+_MIX_WEIGHTS = {"src0": 256, "src1": 128, "src2": 64, "src3": 0}
+_MIX_DEFAULT = 32
+
+
+def _span_md5():
+    """spans -> md5 fingerprint of the (kind, text, media_ref) stream.
+
+    Shared by q_pdf_extract and q_stream_pdf_extract: both compare
+    against the SAME golden parquet, so the representation must stay
+    byte-identical between them.
+    """
+    span_repr = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x1f",
+            F.coalesce(s["kind"], F.lit("")),
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+        ),
+    )
+    return F.md5(F.array_join(span_repr, "\x1e"))
+
+
+def _ivf_seed_vectors(emb: DataFrame) -> list:
+    """Deterministic IVF seed vectors (shared by the two index queries)."""
+    return [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _IVF_SEEDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
+def _stream_base(name: str) -> str:
+    """Per-query streaming scratch dir, WIPED at entry: the returned
+    DataFrame lazily reads the sink, so cleanup can't happen inside the
+    query function — instead each run removes the PREVIOUS run's tree,
+    bounding /tmp growth to one tree per query name (mkdtemp leaked one
+    landing+sink+checkpoint tree per invocation, forever)."""
+    import shutil
+
+    base = f"/tmp/graft_stream/{name}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
 
 
 def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,12 +576,7 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    seeds = [
-        list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < _IVF_SEEDS)
-        .orderBy("vec_id")
-        .collect()
-    ]
+    seeds = _ivf_seed_vectors(emb)
     path = _cached_index(
         spark, sf_dir, "ivf_index", "v1",
         lambda p: build_ivf_index(
@@ -559,12 +604,7 @@ def q_ivf_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    seeds = [
-        list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < _IVF_SEEDS)
-        .orderBy("vec_id")
-        .collect()
-    ]
+    seeds = _ivf_seed_vectors(emb)
     path = _cached_index(
         spark, sf_dir, "ivf_sq", "v1",
         lambda p: build_ivf_sq_index(
@@ -591,19 +631,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pdfs = spark.read.parquet(os.path.join(_DATA_DIR, "pdfs.parquet"))
     out = parse_pdf_documents(pdfs)
-    span_repr = F.transform(
-        "spans",
-        lambda s: F.concat_ws(
-            "\x1f",
-            F.coalesce(s["kind"], F.lit("")),
-            F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
-        ),
-    )
     return out.select(
         "doc_id", "status", "error", "n_headings", "n_text", "n_images",
         "n_chars",
-        F.md5(F.array_join(span_repr, "\x1e")).alias("spans_md5"),
+        _span_md5().alias("spans_md5"),
     ).orderBy("doc_id")
 
 
@@ -832,12 +863,10 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical Arrow transform + checkpointed sink, read the sink
     back.  Oracled against the same golden parquet as extract_spans —
     the stream must produce byte-identical markdown."""
-    import tempfile
-
     from helix_html2md_spark.sources.fixtures import fixture_documents
     from helix_html2md_spark.streaming.stream import stream_extract
 
-    base = tempfile.mkdtemp(prefix="graft_stream_q_")
+    base = _stream_base("extract")
     docs, cfg = fixture_documents(spark)
     docs.select("doc_id", "spans").write.parquet(f"{base}/in")
     q = stream_extract(
@@ -856,11 +885,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed sink back.  Output is content-determined only
     (content_md5, text_len) — arrival order never shows.  Oracle:
     SELECT DISTINCT over the same table."""
-    import tempfile
-
     from helix_html2md_spark.streaming.stream import stream_dedup
 
-    base = tempfile.mkdtemp(prefix="graft_stream_dedup_")
+    base = _stream_base("dedup")
     _docs(spark, sf_dir).write.parquet(f"{base}/in")
     q = stream_dedup(spark, f"{base}/in", f"{base}/out", f"{base}/cp")
     q.awaitTermination()
@@ -882,11 +909,9 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppresses every duplicate deterministically.  Watermark EVICTION
     semantics (state bounded, late re-emits) are pinned by
     tests/test_streaming.py, which drives multi-batch restarts."""
-    import tempfile
-
     from helix_html2md_spark.streaming.stream import stream_dedup_wm
 
-    base = tempfile.mkdtemp(prefix="graft_stream_wm_")
+    base = _stream_base("dedup_wm")
     docs = _docs(spark, sf_dir).withColumn(
         "ts",
         F.timestamp_seconds(
@@ -915,28 +940,17 @@ def q_stream_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow parse as batch), read the checkpointed sink back.  Oracled by
     the same construction-time golden parquet as pdf_extract — the
     stream must produce identical span fingerprints."""
-    import tempfile
-
     from helix_html2md_spark.streaming.stream import stream_pdf_extract
 
-    base = tempfile.mkdtemp(prefix="graft_stream_pdf_")
+    base = _stream_base("pdf")
     pdfs = spark.read.parquet(os.path.join(_DATA_DIR, "pdfs.parquet"))
     pdfs.write.parquet(f"{base}/in")
     q = stream_pdf_extract(spark, f"{base}/in", f"{base}/out", f"{base}/cp")
     q.awaitTermination()
     out = spark.read.parquet(f"{base}/out")
-    span_repr = F.transform(
-        "spans",
-        lambda s: F.concat_ws(
-            "\x1f",
-            F.coalesce(s["kind"], F.lit("")),
-            F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
-        ),
-    )
     return out.select(
         "doc_id", "status",
-        F.md5(F.array_join(span_repr, "\x1e")).alias("spans_md5"),
+        _span_md5().alias("spans_md5"),
     ).orderBy("doc_id")
 
 
@@ -947,11 +961,9 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator emits gap-closed sessions; each user's final session stays
     in state, so the oracle is SQL gap-sessionization minus the last
     session per user."""
-    import tempfile
-
     from helix_html2md_spark.streaming.stream import stateful_sessionize
 
-    base = tempfile.mkdtemp(prefix="graft_state_")
+    base = _stream_base("state")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.coalesce(1).write.parquet(f"{base}/in")
     stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
@@ -1078,10 +1090,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_groups": f"""
             WITH sig AS (
               SELECT doc_id,
-                     list_min(list_transform(list_distinct({_TOKENS}), x -> md5('0:' || x))) ||
-                     '|' || list_min(list_transform(list_distinct({_TOKENS}), x -> md5('1:' || x))) ||
-                     '|' || list_min(list_transform(list_distinct({_TOKENS}), x -> md5('2:' || x))) ||
-                     '|' || list_min(list_transform(list_distinct({_TOKENS}), x -> md5('3:' || x))) AS signature
+                     -- concat_ws, not ||: Spark's concat_ws SKIPS the
+                     -- NULL band mins a zero-token doc produces ('' vs
+                     -- ||'s NULL-propagating signature)
+                     concat_ws('|',
+                       list_min(list_transform(list_distinct({_TOKENS}), x -> md5('0:' || x))),
+                       list_min(list_transform(list_distinct({_TOKENS}), x -> md5('1:' || x))),
+                       list_min(list_transform(list_distinct({_TOKENS}), x -> md5('2:' || x))),
+                       list_min(list_transform(list_distinct({_TOKENS}), x -> md5('3:' || x)))) AS signature
               FROM documents)
             SELECT signature, count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM sig GROUP BY signature HAVING count(*) > 1 ORDER BY signature
@@ -1089,15 +1105,22 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": f"""
             SELECT doc_id,
                    length({_TOKENS}) AS n_tokens,
-                   md5(list_aggregate(list_sort(list_distinct({_TOKENS})), 'string_agg', ' ')) AS fingerprint
+                   -- empty token list: string_agg over [] is NULL in
+                   -- DuckDB but Spark's array_join([]) is '' -> md5('');
+                   -- NULL text stays NULL (Spark md5(NULL)=NULL)
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE md5(coalesce(list_aggregate(list_sort(list_distinct({_TOKENS})), 'string_agg', ' '), '')) END AS fingerprint
             FROM documents ORDER BY doc_id
         """,
         "quality": f"""
             SELECT doc_id,
                    length({_TOKENS}) AS n_tokens,
                    length(text) AS n_chars,
-                   round(list_sum(list_transform({_TOKENS}, x -> length(x)))
-                         / greatest(length({_TOKENS}), 1), 6) AS mean_token_len,
+                   -- list_sum([]) is NULL in DuckDB but Spark folds
+                   -- from 0 -> 0.0; NULL text stays NULL on both sides
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE round(coalesce(list_sum(list_transform({_TOKENS}, x -> length(x))), 0)
+                                   / greatest(length({_TOKENS}), 1), 6) END AS mean_token_len,
                    round(length(list_filter({_TOKENS}, x -> list_contains({_STOP}, x)))
                          / greatest(length({_TOKENS}), 1), 6) AS stopword_ratio,
                    round(length(list_distinct({_TOKENS}))
@@ -1308,14 +1331,15 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY p.event_id
         """,
-        "corpus_mix": """
+        # thresholds derive from the SAME weight dict + _thr encoder the
+        # Spark query uses (hand-transcribed hex literals drift)
+        "corpus_mix": f"""
             WITH k AS (
               SELECT source, n_chars FROM documents
               WHERE substr(md5(cast(doc_id AS varchar)), 1, 2) <
                     CASE source
-                      WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '80'
-                      WHEN 'src2' THEN '40' WHEN 'src3' THEN '00'
-                      ELSE '20' END)
+                      {' '.join(f"WHEN '{s}' THEN '{_corpus_thr(n)}'" for s, n in sorted(_MIX_WEIGHTS.items()))}
+                      ELSE '{_corpus_thr(_MIX_DEFAULT)}' END)
             SELECT source, count(*) AS n_kept,
                    cast(sum(n_chars) AS bigint) AS chars_kept
             FROM k GROUP BY source ORDER BY source
@@ -1325,7 +1349,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, term
               FROM (SELECT doc_id, unnest({_TOKENS}) AS term
                     FROM documents)
-              WHERE term IN ('batch', 'order', 'stream', 'window')),
+              WHERE term IN ('{"', '".join(sorted(set(_SEARCH_QUERY.split())))}')),
             tf AS (
               SELECT doc_id, term, count(*) AS tf
               FROM t GROUP BY doc_id, term),
