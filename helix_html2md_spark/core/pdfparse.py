@@ -199,19 +199,62 @@ def _parse_tounicode(stream: bytes) -> dict[int, str]:
     return cmap
 
 
-def _decode_with_cmap(tok: bytes, cmap: dict[int, str]) -> str:
-    """Hex show-string of 2-byte glyph codes -> text via the CMap."""
+def _decode_with_cmap_cids(
+    tok: bytes, cmap: dict[int, str]
+) -> tuple[str, list[int]]:
+    """Hex show-string of 2-byte glyph codes -> (text, CID list).
+
+    The CID list drives /W metrics lookups: advances are per GLYPH
+    CODE, not per output character (a bfchar destination may be
+    multi-char, e.g. a ligature expanding to 'ffi')."""
     hexdigits = re.sub(rb"\s", b"", tok[1:-1])
     if len(hexdigits) % 4:
         hexdigits = hexdigits.ljust((len(hexdigits) + 3) // 4 * 4, b"0")
     try:
         raw = bytes.fromhex(hexdigits.decode("ascii"))
     except ValueError:
-        return ""
-    return "".join(
-        cmap.get((raw[i] << 8) | raw[i + 1], "")
-        for i in range(0, len(raw) - 1, 2)
-    )
+        return "", []
+    cids = [
+        (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw) - 1, 2)
+    ]
+    return "".join(cmap.get(c, "") for c in cids), cids
+
+
+def _decode_with_cmap(tok: bytes, cmap: dict[int, str]) -> str:
+    """Hex show-string of 2-byte glyph codes -> text via the CMap."""
+    return _decode_with_cmap_cids(tok, cmap)[0]
+
+
+def _parse_w_array(arr: list) -> dict[int, float]:
+    """CIDFont /W array -> {CID: width} (ISO 32000 §9.7.4.3).
+
+    Both forms, freely mixed: ``c [w1 w2 ...]`` assigns consecutive
+    CIDs starting at c their listed widths; ``c_first c_last w`` assigns
+    one width to a whole range.  Malformed runs stop the scan (lenient:
+    whatever parsed so far still serves; missing CIDs fall to /DW)."""
+    out: dict[int, float] = {}
+    i = 0
+    while i < len(arr):
+        a = arr[i]
+        if not isinstance(a, float):
+            break
+        if i + 1 < len(arr) and isinstance(arr[i + 1], list):
+            for k, w in enumerate(arr[i + 1]):
+                if isinstance(w, float):
+                    out[int(a) + k] = w
+            i += 2
+        elif (
+            i + 2 < len(arr)
+            and isinstance(arr[i + 1], float)
+            and isinstance(arr[i + 2], float)
+        ):
+            lo, hi = int(a), int(arr[i + 1])
+            for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                out[c] = arr[i + 2]
+            i += 3
+        else:
+            break
+    return out
 
 
 # -- minimal object-dictionary reader ---------------------------------------
@@ -652,6 +695,8 @@ def _run_content(
     cur_widths: list[float] | None = None
     cur_first = 0
     cur_missing: float | None = None
+    cur_cidw: dict[int, float] | None = None
+    cur_dw: float | None = None
     size = 12.0
     leading = 0.0
     tc = 0.0  # character spacing (Tc), text-space units per glyph
@@ -673,7 +718,7 @@ def _run_content(
         ly += txv * mb + tyv * md
         tpen = 0.0
 
-    def show(text: str):
+    def show(text: str, cids: list[int] | None = None):
         nonlocal tpen
         if text:
             # pen advance: real /Widths metrics when the simple font
@@ -684,7 +729,22 @@ def _run_content(
             # shifts where SUBSEQUENT runs in this line start, which is
             # what the x-ordered line fold consumes
             fallback = cur_missing if cur_missing is not None else 500.0
-            if cur_widths is not None and cur_cmap is None:
+            if cids is not None and (
+                cur_cidw is not None or cur_dw is not None
+            ):
+                # composite-font metrics: per-CID /W advance with /DW
+                # for unlisted CIDs (spec default 1000).  Tc applies per
+                # GLYPH (CID count, not output-char count: a ligature
+                # destination is one glyph); Tw never applies here —
+                # word spacing only fires on single-byte code 32, which
+                # a 2-byte Identity-H string cannot contain (§9.3.3)
+                dw = cur_dw if cur_dw is not None else 1000.0
+                glyphs = sum(
+                    (cur_cidw or {}).get(c, dw) for c in cids
+                )
+                adv = glyphs / 1000.0 * size
+                spacing = tc * len(cids)
+            elif cur_widths is not None and cur_cmap is None:
                 glyphs = 0.0
                 for ch in text:
                     idx = ord(ch) - cur_first
@@ -694,13 +754,16 @@ def _run_content(
                         else fallback
                     )
                 adv = glyphs / 1000.0 * size
+                spacing = tc * len(text) + tw * text.count(" ")
             elif cur_missing is not None and cur_cmap is None:
                 # no /Widths table at all, but the FontDescriptor
                 # declares the substitute advance — better than half-em
                 adv = fallback * len(text) / 1000.0 * size
+                spacing = tc * len(text) + tw * text.count(" ")
             else:
                 adv = 0.5 * size * len(text)
-            end_t = tpen + adv + tc * len(text) + tw * text.count(" ")
+                spacing = tc * len(text) + tw * text.count(" ")
+            end_t = tpen + adv + spacing
             # the run carries BOTH its start and estimated end x: the
             # line fold uses the start-vs-previous-end gap to infer
             # inter-word spaces for per-word-positioned producers
@@ -751,6 +814,8 @@ def _run_content(
                 cur_widths = rec["widths"] if rec else None
                 cur_first = rec["first"] if rec else 0
                 cur_missing = rec["missing"] if rec else None
+                cur_cidw = rec.get("cidw") if rec else None
+                cur_dw = rec.get("dw") if rec else None
         elif t in (b"Td", b"TD") and len(stack) >= 2:
             try:
                 tx, ty = float(stack[-2]), float(stack[-1])
@@ -799,18 +864,21 @@ def _run_content(
                 _translate(0.0, -leading)
             s = stack[-1]
             if s.startswith(b"<") and cur_cmap is not None:
-                show(_decode_with_cmap(s, cur_cmap))
+                show(*_decode_with_cmap_cids(s, cur_cmap))
             elif s.startswith(b"(") or s.startswith(b"<"):
                 show(_decode_pdf_string(s))
         elif t == b"TJ":
             # consume back to the matching [
             parts: list[str] = []
+            tj_cids: list[int] = []
             i = len(stack) - 1
             while i >= 0 and stack[i] != b"[":
                 i -= 1
             for el in stack[i + 1 :] if i >= 0 else []:
                 if el.startswith(b"<") and cur_cmap is not None:
-                    parts.append(_decode_with_cmap(el, cur_cmap))
+                    txt, el_cids = _decode_with_cmap_cids(el, cur_cmap)
+                    parts.append(txt)
+                    tj_cids.extend(el_cids)
                 elif el.startswith(b"(") or el.startswith(b"<"):
                     parts.append(_decode_pdf_string(el))
                 else:
@@ -819,7 +887,10 @@ def _run_content(
                             parts.append(" ")
                     except ValueError:
                         pass
-            show("".join(parts))
+            show(
+                "".join(parts),
+                tj_cids if cur_cmap is not None else None,
+            )
         elif t == b"cm" and len(stack) >= 6:
             try:
                 cm_x, cm_y = float(stack[-2]), float(stack[-1])
@@ -863,7 +934,22 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
             fdict = _deref_dict(objs, fref)
             rec: dict = {
                 "cmap": None, "widths": None, "first": 0, "missing": None,
+                "cidw": None, "dw": None,
             }
+            # Type0 (composite) metrics: the /DescendantFonts CIDFont
+            # carries per-CID advances in /W with /DW as the default
+            # (ISO 32000 §9.7.4.3) — without them, CMap-encoded text
+            # keeps the half-em estimate
+            df = fdict.get("DescendantFonts")
+            df_arr = _resolve_array(objs, df)
+            if df_arr:
+                cidfont = _deref_dict(objs, df_arr[0])
+                w_arr = _resolve_array(objs, cidfont.get("W"))
+                if w_arr:
+                    rec["cidw"] = _parse_w_array(w_arr)
+                dw = cidfont.get("DW")
+                if isinstance(dw, float):
+                    rec["dw"] = dw
             # FontDescriptor /MissingWidth (ISO 32000 §9.8.1): the
             # advance for glyphs the /Widths table doesn't cover — and,
             # when a Type1/TrueType font ships a descriptor but no
@@ -896,6 +982,8 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                 rec["cmap"] is not None
                 or rec["widths"] is not None
                 or rec["missing"] is not None
+                or rec["cidw"] is not None
+                or rec["dw"] is not None
             ):
                 fonts[fname] = rec
         # link annotations (the PDF counterpart of the HTML path's link

@@ -17,9 +17,21 @@ from __future__ import annotations
 import zlib
 
 __all__ = [
-    "build_pdf", "synth_pdf", "synth_link_pdf", "synth_rotated_pdf",
-    "synth_two_column_pdf",
+    "build_pdf", "synth_pdf", "synth_link_pdf", "synth_two_column_pdf",
+    "synth_rotated_pdf", "synth_cid_pdf", "cid_glyph_width", "CID_DW",
 ]
+
+CID_DW = 600.0
+
+
+def cid_glyph_width(code: int) -> float:
+    """Deterministic per-CID width (1/1000 em) for ``cid_widths`` fonts.
+
+    Shared by build_pdf's /W emission and synth_cid_pdf's construction-
+    time pen arithmetic so the expectation never re-derives from the
+    parser.  The LAST assigned code is deliberately left out of /W and
+    falls to /DW — synth callers must apply the same last-code rule."""
+    return 350.0 + (code % 5) * 75.0
 
 
 def _esc(s: str) -> str:
@@ -31,6 +43,7 @@ def build_pdf(
     compress: bool = True,
     objstm: bool = False,
     cmap_fonts: bool = False,
+    cid_widths: bool = False,
     nested_pages: bool = False,
     xref_stream: bool = False,
     indirect_length: bool = False,
@@ -86,6 +99,11 @@ def build_pdf(
         objects.append(body)
         return len(objects)
 
+    if cid_widths and not cmap_fonts:
+        # /W hangs off the Type0 font's /DescendantFonts CIDFont — it
+        # has no meaning for a simple font; failing loudly beats handing
+        # the caller a widthless layout they believe carries metrics
+        raise ValueError("cid_widths requires cmap_fonts")
     if descriptor_font and (widths_font or cmap_fonts):
         raise ValueError(
             "descriptor_font is mutually exclusive with widths_font/"
@@ -134,10 +152,37 @@ def build_pdf(
             b"<< /Length " + str(len(cmap_stream)).encode()
             + b" >>\nstream\n" + cmap_stream + b"\nendstream"
         )
+        desc_ref = b""
+        if cid_widths and glyph_code:
+            # CIDFontType2 descendant with /W in the consecutive-list
+            # form (codes ARE consecutive by construction: 0x0100+i).
+            # The LAST code is left out of /W and falls to /DW — the
+            # corpus exercises both lookup paths on every document.
+            codes = sorted(glyph_code.values())
+            listed = codes[:-1]
+            w_body = b""
+            if listed:
+                w_body = (
+                    b" /W [ " + str(listed[0]).encode() + b" [ "
+                    + " ".join(
+                        f"{cid_glyph_width(c):g}" for c in listed
+                    ).encode()
+                    + b" ] ]"
+                )
+            cidfont_num = add(
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+                b" /SyntheticSubset /CIDSystemInfo << /Registry (Adobe)"
+                b" /Ordering (Identity) /Supplement 0 >> /DW "
+                + f"{CID_DW:g}".encode() + w_body + b" >>"
+            )
+            desc_ref = (
+                b" /DescendantFonts [" + str(cidfont_num).encode()
+                + b" 0 R]"
+            )
         font_num = add(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /SyntheticSubset"
             b" /Encoding /Identity-H /ToUnicode "
-            + str(tounicode_num).encode() + b" 0 R >>"
+            + str(tounicode_num).encode() + b" 0 R" + desc_ref + b" >>"
         )
 
     def _enc(s: str) -> str:
@@ -605,3 +650,63 @@ def synth_rotated_pdf(
         ops.append(("text_rot", 500 + 16 * k, base_y, 10, label, quad))
         expected.append(("text", label))
     return build_pdf([ops]), expected
+
+
+def synth_cid_pdf(
+    seed: int,
+) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic Type0/CID page with /W width metrics + expected
+    spans.
+
+    Body words are PER-WORD positioned runs (the Word/Quartz layout) at
+    x offsets computed from the SAME /W advances build_pdf emits
+    (cid_glyph_width; the last assigned code falls to /DW) — so the
+    parser's 0.3em gap rule inserts a space exactly where the
+    construction placed a 0.45em gap and joins verbatim across the
+    0.05em gaps.  A parser estimating half-em instead of reading /W
+    mis-measures the pen end and flips gap classifications; the
+    expectation is arithmetic in the construction, never parser-derived.
+    """
+    title = f"CID Metrics {seed}"
+    n_lines = 2 + seed % 3
+    lines: list[list[str]] = []
+    for li in range(n_lines):
+        lines.append(
+            [
+                _WORDS[(seed * 17 + li * 5 + w * 2) % len(_WORDS)]
+                for w in range(4)
+            ]
+        )
+    # replicate build_pdf's glyph assignment: sorted chars over ALL
+    # strings on the page -> 0x0100 + index; last code uses /DW
+    chars = sorted({ch for s in [title, *[w for ln in lines for w in ln]] for ch in s})
+    code = {ch: 0x0100 + i for i, ch in enumerate(chars)}
+    max_code = 0x0100 + len(chars) - 1
+
+    def _w(ch: str) -> float:
+        c = code[ch]
+        return CID_DW if c == max_code else cid_glyph_width(c)
+
+    def _adv(word: str, size: float) -> float:
+        return sum(_w(ch) for ch in word) / 1000.0 * size
+
+    ops: list[tuple] = [("text", 72, 740, 24, title)]
+    expected: list[tuple[str, str | None]] = [("heading", title)]
+    size = 11
+    y = 700
+    for li, words in enumerate(lines):
+        x = 72.0
+        text_parts: list[str] = []
+        for k, word in enumerate(words):
+            if k:
+                spaced = (seed + li + k) % 2 == 0
+                gap = (0.45 if spaced else 0.05) * size
+                x += gap
+                if spaced:
+                    text_parts.append(" ")
+            ops.append(("text", round(x, 4), y, size, word))
+            text_parts.append(word)
+            x += _adv(word, size)
+        expected.append(("text", "".join(text_parts)))
+        y -= 16
+    return build_pdf([ops], cmap_fonts=True, cid_widths=True), expected

@@ -36,9 +36,11 @@ N_TWOCOL = 6   # two-column pages, column-major expected order
 N_LINKS = 6    # /Annots URI link annotations -> 'link' spans
 N_ROT = 5      # rotated (Tm-matrix) margin columns, 90/270deg
 N_DESC = 5     # TrueType + FontDescriptor /MissingWidth metrics
+N_CID = 5      # Type0/CID fonts with /W + /DW width metrics
 
 from helix_html2md_spark.sources.pdfgen import (  # noqa: E402
-    synth_link_pdf, synth_pdf, synth_rotated_pdf, synth_two_column_pdf,
+    synth_cid_pdf, synth_link_pdf, synth_pdf, synth_rotated_pdf,
+    synth_two_column_pdf,
 )
 
 RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
@@ -154,6 +156,15 @@ def main():
     for seed in range(N_DESC):
         data, expected = synth_pdf(seed, descriptor_font=True)
         doc_id = f"pdf-desc-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # Type0/CID composite-font metrics: per-word runs whose inter-word
+    # gaps are classified by the /W advances (last code falls to /DW)
+    for seed in range(N_CID):
+        data, expected = synth_cid_pdf(seed)
+        doc_id = f"pdf-cid-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

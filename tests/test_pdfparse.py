@@ -986,3 +986,68 @@ def test_null_payload_is_a_constraint_error(spark):
     got = {r["doc_id"]: r for r in parse_pdf_documents(df).collect()}
     assert got["missing"]["status"] == "constraint_error"
     assert got["missing"]["error"] == "payload missing"
+
+
+def test_parse_w_array_both_forms():
+    """ISO 32000 §9.7.4.3: 'c [w1 w2 ...]' lists consecutive CIDs,
+    'c_first c_last w' covers a range; forms mix freely; malformed
+    tails degrade leniently."""
+    from helix_html2md_spark.core.pdfparse import _parse_w_array
+
+    got = _parse_w_array([256.0, [400.0, 500.0], 300.0, 302.0, 650.0])
+    assert got == {256: 400.0, 257: 500.0, 300: 650.0, 301: 650.0,
+                   302: 650.0}
+    assert _parse_w_array([]) == {}
+    # malformed: a bare trailing number parses nothing further
+    assert _parse_w_array([256.0, [700.0], 9.0]) == {256: 700.0}
+
+
+def test_cid_w_metrics_classify_word_gaps():
+    """A per-word-positioned Type0 page where the /W advances and the
+    half-em estimate disagree on gap classification: 'He' at width
+    900/1000em each ends at x+18; the next run starts at x+19 (gap
+    1 unit < 0.3em) so CORRECT metrics join the words — the half-em
+    estimate (end x+10) would read a 9-unit gap (0.9em) as a space."""
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    pdf = build_pdf(
+        [[("text", 72, 700, 10, "He"), ("text", 91, 700, 10, "yo")]],
+        cmap_fonts=True, cid_widths=True, compress=False,
+    )
+    # override the generated /W: every listed CID 900 wide
+    import re as _re
+
+    pdf = _re.sub(rb"/W \[ (\d+) \[ [^\]]*\]", rb"/W [ \1 [ 900 900 900 900 ]", pdf)
+    spans = parse_pdf(pdf)
+    assert [s["text"] for s in spans] == ["Heyo"]
+
+
+def test_cid_dw_fallback_for_unlisted_cids():
+    """CIDs missing from /W advance by /DW: synth_cid_pdf leaves the
+    LAST assigned code out of /W by construction, and its expectations
+    (which encode the /DW advance arithmetically) must round-trip."""
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import synth_cid_pdf
+
+    for seed in range(6):
+        data, expected = synth_cid_pdf(seed)
+        spans = parse_pdf(data)
+        got = [
+            (
+                s["kind"],
+                s["text"] if s["kind"] not in ("image", "link")
+                else s["media_ref"],
+            )
+            for s in spans
+        ]
+        assert got == expected, seed
+
+
+def test_cid_widths_requires_cmap():
+    import pytest
+
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    with pytest.raises(ValueError):
+        build_pdf([[("text", 72, 700, 10, "x")]], cid_widths=True)
