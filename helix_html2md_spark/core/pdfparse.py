@@ -30,6 +30,7 @@ contract as the HTML transform).
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import re
 import zlib
@@ -389,6 +390,22 @@ def _lzw_decode(data: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _a85_decode(data: bytes) -> bytes | None:
+    """ASCII85Decode (PDF 32000 §7.4.3): 5 chars -> 4 bytes base-85,
+    'z' = a zero group, whitespace ignored, '~>' ends the data (a
+    leading '<~' from btoa-style producers is tolerated)."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    data = data.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    try:
+        return base64.a85decode(data)
+    except ValueError:
+        return None
+
+
 def _stream_bytes(body: bytes, info: dict) -> bytes | None:
     m = _STREAM_RE.search(body)
     if not m:
@@ -445,6 +462,11 @@ def _stream_bytes(body: bytes, info: dict) -> bytes | None:
             data = decoded
         elif name == "LZWDecode":
             decoded = _lzw_decode(data)
+            if decoded is None:
+                return None
+            data = decoded
+        elif name == "ASCII85Decode":
+            decoded = _a85_decode(data)
             if decoded is None:
                 return None
             data = decoded
@@ -682,6 +704,55 @@ def _column_split(page_events: list[tuple]) -> float | None:
 # reads as an inter-word space
 _TJ_SPACE = -180.0
 
+# inline-image section delimiters (ISO 32000 §8.9.7): BI starts the
+# image dictionary, ID ends it (followed by ONE whitespace byte, then
+# raw sample data), EI — preceded by whitespace — ends the data
+_BI_RE = re.compile(rb"(?:\A|(?<=[\s\]>]))BI(?=[\s/])")
+_ID_RE = re.compile(rb"(?<![A-Za-z])ID(?=\s)")
+_EI_RE = re.compile(rb"(?<=\s)EI(?![0-9A-Za-z])")
+
+
+def _excise_inline_images(stream: bytes) -> bytes:
+    """Replace each ``BI .. ID <data> EI`` inline image with a sentinel
+    ``/XI<sha1> INLINEIMG`` pair.
+
+    Raw sample bytes must NEVER reach the token scanner: binary data can
+    contain ``(..) Tj`` lookalikes that would fabricate text runs (or a
+    stray ``BT`` that corrupts the text state machine).  The sentinel
+    keeps the image event in content order, so the prevailing ``cm``
+    offset still positions it like an XObject ``Do``.  Data extent is
+    the first whitespace-preceded ``EI`` (the spec's own lenient scan
+    rule — §8.9.7 notes the data length is implicit); sample bytes that
+    contain that byte pattern truncate the HASH of that one image, never
+    the page text.  Unterminated sections are dropped to the end of the
+    stream rather than scanned."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        m = _BI_RE.search(stream, pos)
+        if m is None:
+            break
+        mid = _ID_RE.search(stream, m.end())
+        if mid is None or not stream[mid.end() : mid.end() + 1]:
+            # BI without ID: malformed — keep everything before BI,
+            # drop the rest (arbitrary binary must not be tokenized)
+            out.append(stream[pos : m.start()])
+            pos = len(stream)
+            break
+        data_start = mid.end() + 1  # skip the single post-ID whitespace
+        mei = _EI_RE.search(stream, data_start)
+        if mei is None:
+            out.append(stream[pos : m.start()])
+            pos = len(stream)
+            break
+        raw = stream[data_start : mei.start() - 1]
+        digest = hashlib.sha1(raw).hexdigest()
+        out.append(stream[pos : m.start()])
+        out.append(b" /XI" + digest.encode("ascii") + b" INLINEIMG ")
+        pos = mei.end()
+    out.append(stream[pos:])
+    return b"".join(out)
+
 
 def _run_content(
     stream: bytes,
@@ -789,6 +860,9 @@ def _run_content(
             tpen = end_t
 
     yield_events: list[tuple] = []
+    # inline images leave the stream BEFORE tokenization: their raw
+    # sample bytes can contain anything, including operator lookalikes
+    stream = _excise_inline_images(stream)
     for tok in _TOK_RE.finditer(stream):
         t = tok.group(0)
         if t in (b"[", b"]"):
@@ -896,6 +970,13 @@ def _run_content(
                 cm_x, cm_y = float(stack[-2]), float(stack[-1])
             except ValueError:
                 pass
+        elif t == b"INLINEIMG" and stack and stack[-1].startswith(b"/XI"):
+            # sentinel from _excise_inline_images: the name payload IS
+            # the sha1 of the raw sample data (content-addressed like
+            # XObject images), positioned by the prevailing cm offset
+            digest = stack[-1][3:].decode("ascii")
+            if len(digest) == 40:
+                yield_events.append(("image", cm_y, cm_x, digest))
         elif t == b"Do" and stack and stack[-1].startswith(b"/"):
             name = stack[-1][1:].decode("latin-1")
             ref = xobjects.get(name)

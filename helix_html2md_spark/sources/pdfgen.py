@@ -14,11 +14,13 @@ must produce identical snapshots).
 
 from __future__ import annotations
 
+import base64
 import zlib
 
 __all__ = [
     "build_pdf", "synth_pdf", "synth_link_pdf", "synth_two_column_pdf",
-    "synth_rotated_pdf", "synth_cid_pdf", "cid_glyph_width", "CID_DW",
+    "synth_rotated_pdf", "synth_cid_pdf", "synth_inline_pdf",
+    "cid_glyph_width", "CID_DW",
 ]
 
 CID_DW = 600.0
@@ -41,6 +43,7 @@ def _esc(s: str) -> str:
 def build_pdf(
     pages: list[list[tuple]],
     compress: bool = True,
+    ascii85: bool = False,
     objstm: bool = False,
     cmap_fonts: bool = False,
     cid_widths: bool = False,
@@ -62,8 +65,17 @@ def build_pdf(
     * ``("tj", x, y, size, ["a", -300, "b"])`` — a TJ array with
       kerning adjustments (thousandths; <= -180 reads as a space)
     * ``("image", x, y, raw_bytes)`` — an RGB image XObject stub
+    * ``("inline_image", x, y, raw_bytes)`` — a BI/ID/EI inline image
+      (ISO 32000 §8.9.7): raw sample bytes embedded directly in the
+      content stream, the layout scanned documents and label printers
+      emit for small images
     * ``("link", x, y, w, h, uri)`` — a /Annots Link annotation with a
       /A URI action covering the given rectangle
+
+    ``ascii85=True`` encodes content streams as
+    ``/Filter [/ASCII85Decode /FlateDecode]`` (base-85 text armor over
+    deflate, applied in decode order) — the chain mail-gateway-safe
+    producers emit.
 
     ``nested_pages=True`` builds a balanced page TREE (intermediate
     /Pages nodes with two kids each, the layout real multi-page
@@ -238,6 +250,16 @@ def build_pdf(
                         .encode("latin-1")
                     )
                 )
+            elif op[0] == "inline_image":
+                # raw sample bytes straight in the content stream; data
+                # runs from the byte after ID's single whitespace to the
+                # byte before EI's preceding whitespace
+                _, x, y, raw = op
+                content_parts.append(
+                    f"q 1 0 0 1 {x:g} {y:g} cm BI /W 2 /H 2"
+                    f" /CS /DeviceRGB /BPC 8 ID\n".encode("latin-1")
+                    + raw + b"\nEI Q"
+                )
             elif op[0] == "image":
                 _, x, y, raw = op
                 img_stream = zlib.compress(raw, 6)
@@ -254,7 +276,12 @@ def build_pdf(
                     f"q 1 0 0 1 {x:g} {y:g} cm /{name} Do Q".encode("latin-1")
                 )
         raw_content = b"\n".join(content_parts)
-        if compress:
+        if ascii85:
+            # decode order is as listed: ASCII85 first, then Flate —
+            # so the encoder deflates, then text-armors
+            data = base64.a85encode(zlib.compress(raw_content, 6)) + b"~>"
+            filt = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif compress:
             data = zlib.compress(raw_content, 6)
             filt = b" /Filter /FlateDecode"
         else:
@@ -710,3 +737,46 @@ def synth_cid_pdf(
         expected.append(("text", "".join(text_parts)))
         y -= 16
     return build_pdf([ops], cmap_fonts=True, cid_widths=True), expected
+
+
+def synth_inline_pdf(
+    seed: int,
+) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic page mixing text with BI/ID/EI inline images.
+
+    Sample bytes are arbitrary binary EXCEPT 0x45 ('E') is remapped to
+    0x46: the parser's data-extent rule (first whitespace-preceded
+    ``EI``, the spec's own lenient scan) would truncate an image whose
+    samples happen to contain that pattern, and a construction-time
+    expectation must not depend on the parser's recovery of that edge
+    (the hostile-bytes case is a unit test, not a golden).  Even seeds
+    additionally armor the whole content stream as
+    /Filter [/ASCII85Decode /FlateDecode], exercising the filter chain
+    in the corpus.
+    """
+    import hashlib
+
+    title = f"Inline Art {seed}"
+    ops: list[tuple] = [("text", 72, 740, 24, title)]
+    expected: list[tuple[str, str | None]] = [("heading", title)]
+    n_lines = 2 + seed % 3
+    y = 700
+    for li in range(n_lines):
+        words = [
+            _WORDS[(seed * 11 + li * 7 + w * 3) % len(_WORDS)]
+            for w in range(5)
+        ]
+        line = " ".join(words)
+        ops.append(("text", 72, y, 11, line))
+        expected.append(("text", line))
+        y -= 16
+    for k in range(1 + seed % 2):
+        raw = bytes(
+            v if (v := (seed * 29 + k * 13 + i * 7) % 256) != 0x45 else 0x46
+            for i in range(12)
+        )
+        ops.append(("inline_image", 72 + 40 * k, y - 60, raw))
+        expected.append(
+            ("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}")
+        )
+    return build_pdf([ops], ascii85=(seed % 2 == 0)), expected

@@ -37,10 +37,11 @@ N_LINKS = 6    # /Annots URI link annotations -> 'link' spans
 N_ROT = 5      # rotated (Tm-matrix) margin columns, 90/270deg
 N_DESC = 5     # TrueType + FontDescriptor /MissingWidth metrics
 N_CID = 5      # Type0/CID fonts with /W + /DW width metrics
+N_INLINE = 5   # BI/ID/EI inline images; even seeds ASCII85-armored
 
 from helix_html2md_spark.sources.pdfgen import (  # noqa: E402
-    synth_cid_pdf, synth_link_pdf, synth_pdf, synth_rotated_pdf,
-    synth_two_column_pdf,
+    synth_cid_pdf, synth_inline_pdf, synth_link_pdf, synth_pdf,
+    synth_rotated_pdf, synth_two_column_pdf,
 )
 
 RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
@@ -165,6 +166,16 @@ def main():
     for seed in range(N_CID):
         data, expected = synth_cid_pdf(seed)
         doc_id = f"pdf-cid-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # BI/ID/EI inline images (even seeds also armor the content
+    # stream as /Filter [/ASCII85Decode /FlateDecode]): sample bytes
+    # live raw in the content stream and must never tokenize as text
+    for seed in range(N_INLINE):
+        data, expected = synth_inline_pdf(seed)
+        doc_id = f"pdf-inline-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

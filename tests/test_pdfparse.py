@@ -1051,3 +1051,87 @@ def test_cid_widths_requires_cmap():
 
     with pytest.raises(ValueError):
         build_pdf([[("text", 72, 700, 10, "x")]], cid_widths=True)
+
+
+def test_ascii85_filter_chain_matches_flate():
+    """/Filter [/ASCII85Decode /FlateDecode] content streams decode to
+    the same spans as plain FlateDecode (filters apply in list order)."""
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    ops = [[("text", 72, 740, 24, "Armored"),
+            ("text", 72, 700, 11, "body line one")]]
+    plain = parse_pdf(build_pdf(ops))
+    armored = parse_pdf(build_pdf(ops, ascii85=True))
+    assert armored == plain
+    assert [s["text"] for s in armored] == ["Armored", "body line one"]
+
+
+def test_a85_decode_edges():
+    """'z' zero groups, whitespace, '~>' EOD, leading '<~', partial
+    final group; non-85 bytes degrade to None (stream skipped, never a
+    crash)."""
+    from helix_html2md_spark.core.pdfparse import _a85_decode
+
+    assert _a85_decode(b"z") == b"\x00\x00\x00\x00"
+    assert _a85_decode(b" 9j qo^ ~>trailing junk ignored") == b"Man "
+    assert _a85_decode(b"<~9jqo^~>") == b"Man "
+    assert _a85_decode(b"9jqo") == b"Man"  # partial final group
+    assert _a85_decode(b"\xff\xfe") is None
+
+
+def test_inline_image_bytes_never_fabricate_text():
+    """BI/ID/EI sample bytes containing operator lookalikes — a literal
+    '(bogus) Tj' and a 'BT 1 0 0 1 9 9 Tm' — must not reach the token
+    scanner: the page shows exactly its real runs plus one image span
+    whose sha1 is the sample bytes'."""
+    import hashlib
+
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    hostile = b"\x00\x01(bogus) Tj BT 1 0 0 1 9 9 Tm\xfe\xff"
+    pdf = build_pdf(
+        [[("text", 72, 740, 24, "Real Title"),
+          ("inline_image", 72, 650, hostile),
+          ("text", 72, 600, 11, "real body")]],
+        compress=False,
+    )
+    spans = parse_pdf(pdf)
+    kinds = [(s["kind"], s["text"] or s["media_ref"]) for s in spans]
+    assert kinds == [
+        ("heading", "Real Title"),
+        ("image", f"pdfimg:{hashlib.sha1(hostile).hexdigest()}"),
+        ("text", "real body"),
+    ]
+
+
+def test_unterminated_inline_image_drops_tail_not_garbage():
+    """A BI..ID section with no closing EI: everything from BI on is
+    binary of unknown extent — the parser must drop it (and any
+    operator lookalikes inside) rather than tokenize it, while text
+    before the BI survives."""
+    from helix_html2md_spark.core.pdfparse import _run_content
+
+    stream = (
+        b"BT /F1 12 Tf 72 700 Td (kept) Tj ET\n"
+        b"BI /W 2 /H 2 ID\n\x00\x01(leaked) Tj\xff"
+    )
+    events = _run_content(stream, {}, {}, {})
+    assert [e[4] for e in events if e[0] == "run"] == ["kept"]
+
+
+def test_inline_image_positions_use_cm_offset():
+    """Two inline images at different cm offsets order by their y like
+    XObject images do."""
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    pdf = build_pdf(
+        [[("inline_image", 72, 700, b"\x01\x02"),
+          ("inline_image", 72, 500, b"\x03\x04"),
+          ("text", 72, 600, 11, "between")]],
+        compress=False,
+    )
+    spans = parse_pdf(pdf)
+    assert [s["kind"] for s in spans] == ["image", "text", "image"]
