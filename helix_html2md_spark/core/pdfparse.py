@@ -221,11 +221,6 @@ def _decode_with_cmap_cids(
     return "".join(cmap.get(c, "") for c in cids), cids
 
 
-def _decode_with_cmap(tok: bytes, cmap: dict[int, str]) -> str:
-    """Hex show-string of 2-byte glyph codes -> text via the CMap."""
-    return _decode_with_cmap_cids(tok, cmap)[0]
-
-
 def _parse_w_array(arr: list) -> dict[int, float]:
     """CIDFont /W array -> {CID: width} (ISO 32000 §9.7.4.3).
 
@@ -401,7 +396,9 @@ def _a85_decode(data: bytes) -> bytes | None:
     if data.startswith(b"<~"):
         data = data[2:]
     try:
-        return base64.a85decode(data)
+        # ignore ALL PDF whitespace (§7.2.2), not just a85decode's
+        # default set: \f and \x00 are spec-legal inside the armor
+        return base64.a85decode(data, ignorechars=b" \t\n\r\v\f\x00")
     except ValueError:
         return None
 
@@ -711,6 +708,25 @@ _BI_RE = re.compile(rb"(?:\A|(?<=[\s\]>]))BI(?=[\s/])")
 _ID_RE = re.compile(rb"(?<![A-Za-z])ID(?=\s)")
 _EI_RE = re.compile(rb"(?<=\s)EI(?![0-9A-Za-z])")
 
+# what may legally sit between BI and ID: the image dictionary —
+# whitespace, /names, numbers, arrays, hex strings, << >> (for
+# /DecodeParms dicts), booleans/null.  NO literal strings (§8.9.5
+# prohibits file specifications inline), no arbitrary prose — this is
+# what lets the excision tell a real image header from the word "BI"
+# inside page text ("Power BI dashboards ... user ID ...")
+_BI_DICT_RE = re.compile(
+    rb"(?:\s|/[^\s/\[\]()<>{}%]*|[-+]?\d*\.?\d+"
+    rb"|\[|\]|<<|>>|<[0-9A-Fa-f\s]*>|true|false|null)*"
+)
+
+
+def _bi_dict_shaped(chunk: bytes) -> bool:
+    """True if ``chunk`` looks like an inline-image dictionary body:
+    only dict-legal tokens, at least one /name key."""
+    return (
+        _BI_DICT_RE.fullmatch(chunk) is not None and b"/" in chunk
+    )
+
 
 def _excise_inline_images(stream: bytes) -> bytes:
     """Replace each ``BI .. ID <data> EI`` inline image with a sentinel
@@ -720,12 +736,19 @@ def _excise_inline_images(stream: bytes) -> bytes:
     contain ``(..) Tj`` lookalikes that would fabricate text runs (or a
     stray ``BT`` that corrupts the text state machine).  The sentinel
     keeps the image event in content order, so the prevailing ``cm``
-    offset still positions it like an XObject ``Do``.  Data extent is
-    the first whitespace-preceded ``EI`` (the spec's own lenient scan
-    rule — §8.9.7 notes the data length is implicit); sample bytes that
-    contain that byte pattern truncate the HASH of that one image, never
-    the page text.  Unterminated sections are dropped to the end of the
-    stream rather than scanned."""
+    offset still positions it like an XObject ``Do``.
+
+    A ``BI`` only counts as an image start when what follows it (up to
+    ``ID``, or to end-of-stream when truncated) is dictionary-shaped —
+    names/numbers/arrays only, at least one key.  Raw-byte scanning is
+    string-blind by nature, so without this check the word "BI" inside
+    a literal show string would eat the rest of the page's text.
+
+    Data extent is the first whitespace-preceded ``EI`` (the spec's own
+    lenient scan rule — §8.9.7 notes the data length is implicit);
+    sample bytes that contain that pattern truncate the HASH of that one
+    image, never the page text.  Truncated real sections (dict-shaped
+    but missing ID/EI) drop the tail rather than scanning binary."""
     out: list[bytes] = []
     pos = 0
     while True:
@@ -734,11 +757,21 @@ def _excise_inline_images(stream: bytes) -> bytes:
             break
         mid = _ID_RE.search(stream, m.end())
         if mid is None or not stream[mid.end() : mid.end() + 1]:
-            # BI without ID: malformed — keep everything before BI,
-            # drop the rest (arbitrary binary must not be tokenized)
-            out.append(stream[pos : m.start()])
-            pos = len(stream)
-            break
+            # no ID anywhere after: a truncated image header drops the
+            # tail; prose containing "BI" keeps scanning as text
+            if _bi_dict_shaped(stream[m.end() :]):
+                out.append(stream[pos : m.start()])
+                pos = len(stream)
+                break
+            out.append(stream[pos : m.end()])
+            pos = m.end()
+            continue
+        if not _bi_dict_shaped(stream[m.end() : mid.start()]):
+            # the span between this BI and the next ID is not an image
+            # dictionary — this "BI" is page text, not an image start
+            out.append(stream[pos : m.end()])
+            pos = m.end()
+            continue
         data_start = mid.end() + 1  # skip the single post-ID whitespace
         mei = _EI_RE.search(stream, data_start)
         if mei is None:
@@ -800,9 +833,14 @@ def _run_content(
             # shifts where SUBSEQUENT runs in this line start, which is
             # what the x-ordered line fold consumes
             fallback = cur_missing if cur_missing is not None else 500.0
-            if cids is not None and (
-                cur_cidw is not None or cur_dw is not None
-            ):
+            if cids and (cur_cidw is not None or cur_dw is not None):
+                # NB: `cids` truthy, not just non-None — a TJ of literal
+                # strings under a composite font yields text with ZERO
+                # CIDs, and the /W sum over [] would be a zero advance
+                # (worse than the half-em estimate it replaced).  A TJ
+                # MIXING hex and literal parts undercounts the literal
+                # part's advance — documented approximation; producers
+                # do not mix encodings within one show in practice.
                 # composite-font metrics: per-CID /W advance with /DW
                 # for unlisted CIDs (spec default 1000).  Tc applies per
                 # GLYPH (CID count, not output-char count: a ligature

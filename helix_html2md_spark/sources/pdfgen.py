@@ -20,7 +20,7 @@ import zlib
 __all__ = [
     "build_pdf", "synth_pdf", "synth_link_pdf", "synth_two_column_pdf",
     "synth_rotated_pdf", "synth_cid_pdf", "synth_inline_pdf",
-    "cid_glyph_width", "CID_DW",
+    "assign_glyph_codes", "cid_glyph_width", "CID_DW",
 ]
 
 CID_DW = 600.0
@@ -34,6 +34,18 @@ def cid_glyph_width(code: int) -> float:
     parser.  The LAST assigned code is deliberately left out of /W and
     falls to /DW — synth callers must apply the same last-code rule."""
     return 350.0 + (code % 5) * 75.0
+
+
+def assign_glyph_codes(strings) -> dict[str, int]:
+    """The ``cmap_fonts`` glyph-code assignment: sorted distinct chars
+    over all shown strings -> 0x0100 + index.
+
+    ONE definition shared by build_pdf's CMap/W emission and the synth
+    generators' construction-time pen arithmetic — two copies of this
+    rule would let a build_pdf change silently desynchronize the
+    expected-span math."""
+    chars = sorted({ch for s in strings for ch in s})
+    return {ch: 0x0100 + i for i, ch in enumerate(chars)}
 
 
 def _esc(s: str) -> str:
@@ -135,21 +147,17 @@ def build_pdf(
 
     glyph_code: dict[str, int] = {}
     if cmap_fonts:
-        chars = sorted(
-            {
-                ch
-                for page in pages
-                for op in page
-                # every op whose payload routes through _enc: plain
-                # and Tc/Tw-spaced runs carry one string at op[4], TJ
-                # carries a string/number array there
-                if op[0] in ("text", "text_spaced", "text_rot", "tj")
-                for el in (op[4] if op[0] == "tj" else [op[4]])
-                if isinstance(el, str)
-                for ch in el
-            }
+        glyph_code = assign_glyph_codes(
+            el
+            for page in pages
+            for op in page
+            # every op whose payload routes through _enc: plain
+            # and Tc/Tw-spaced runs carry one string at op[4], TJ
+            # carries a string/number array there
+            if op[0] in ("text", "text_spaced", "text_rot", "tj")
+            for el in (op[4] if op[0] == "tj" else [op[4]])
+            if isinstance(el, str)
         )
-        glyph_code = {ch: 0x0100 + i for i, ch in enumerate(chars)}
         bfchars = "".join(
             f"<{code:04X}> <{ord(ch):04X}>\n"
             for ch, code in glyph_code.items()
@@ -704,11 +712,10 @@ def synth_cid_pdf(
                 for w in range(4)
             ]
         )
-    # replicate build_pdf's glyph assignment: sorted chars over ALL
-    # strings on the page -> 0x0100 + index; last code uses /DW
-    chars = sorted({ch for s in [title, *[w for ln in lines for w in ln]] for ch in s})
-    code = {ch: 0x0100 + i for i, ch in enumerate(chars)}
-    max_code = 0x0100 + len(chars) - 1
+    # build_pdf's own glyph assignment (shared helper, never a copy);
+    # the last code uses /DW by the cid_widths emission rule
+    code = assign_glyph_codes([title, *[w for ln in lines for w in ln]])
+    max_code = max(code.values())
 
     def _w(ch: str) -> float:
         c = code[ch]

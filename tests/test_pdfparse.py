@@ -1135,3 +1135,71 @@ def test_inline_image_positions_use_cm_offset():
     )
     spans = parse_pdf(pdf)
     assert [s["kind"] for s in spans] == ["image", "text", "image"]
+
+
+def test_prose_bi_is_not_an_inline_image():
+    """Review finding (repro-verified): the excision is string-blind on
+    raw bytes, so the word 'BI' inside a literal show string must not
+    start an image section — the dict-shape check between BI and the
+    next ID is what saves the rest of the page."""
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    pdf = build_pdf(
+        [[("text", 72, 740, 24, "Reports"),
+          ("text", 72, 700, 11, "Power BI dashboards show the user ID"),
+          ("text", 72, 684, 11, "and totals for the quarter")]],
+        compress=False,
+    )
+    spans = parse_pdf(pdf)
+    assert [s["text"] for s in spans] == [
+        "Reports",
+        "Power BI dashboards show the user ID",
+        "and totals for the quarter",
+    ]
+
+
+def test_prose_bi_coexists_with_real_inline_image():
+    """Prose 'BI ... ID' before a REAL BI/ID/EI section: the prose scans
+    as text, the real section still excises to one image span."""
+    import hashlib
+
+    from helix_html2md_spark.core.pdfparse import parse_pdf
+    from helix_html2md_spark.sources.pdfgen import build_pdf
+
+    raw = b"\x01\x02\x03\x04"
+    pdf = build_pdf(
+        [[("text", 72, 740, 11, "BI tools need an ID column"),
+          ("inline_image", 72, 650, raw)]],
+        compress=False,
+    )
+    spans = parse_pdf(pdf)
+    assert [(s["kind"], s["text"] or s["media_ref"]) for s in spans] == [
+        ("text", "BI tools need an ID column"),
+        ("image", f"pdfimg:{hashlib.sha1(raw).hexdigest()}"),
+    ]
+
+
+def test_composite_literal_string_keeps_half_em_advance():
+    """Review finding (repro-verified): a TJ of literal strings under a
+    composite font with /W metrics has no CIDs — the advance must fall
+    to the half-em estimate, not a zero /W sum over []."""
+    from helix_html2md_spark.core.pdfparse import _run_content
+
+    fonts = {"F1": {"cmap": {}, "widths": None, "first": 0,
+                    "missing": None, "cidw": {256: 900.0}, "dw": 600.0}}
+    stream = b"BT /F1 12 Tf 72 700 Td [(Hello)] TJ ET"
+    events = _run_content(stream, {}, {}, fonts)
+    runs = [e for e in events if e[0] == "run"]
+    assert len(runs) == 1
+    # end x = start + 0.5em * 5 chars * 12pt = 72 + 30
+    assert runs[0][5] == 72 + 0.5 * 12 * 5
+
+
+def test_a85_ignores_all_pdf_whitespace():
+    """\\f and \\x00 are PDF whitespace (7.2.2) and must be ignored
+    inside ASCII85 armor, not kill the stream."""
+    from helix_html2md_spark.core.pdfparse import _a85_decode
+
+    assert _a85_decode(b"9jqo\x0c^~>") == b"Man "
+    assert _a85_decode(b"9j\x00qo^~>") == b"Man "
