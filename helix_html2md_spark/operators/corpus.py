@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import STOPWORDS, char_count, tokens
 from .dedup import _PERSISTED
 
 
@@ -142,3 +142,178 @@ def mix_corpus(
     )
     keep = prefix < F.coalesce(m[F.col("source")], F.lit(_thr(default)))
     return docs.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText-style repetition + quality rules
+# ---------------------------------------------------------------------------
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Table A1), expressed in integer parts
+# per million so the keep decision is bit-portable across engines
+GOPHER_TOP2_MAX_PPM = 200_000   # top 2-gram may cover <= 20% of chars
+GOPHER_DUP5_MAX_PPM = 150_000   # duplicated 5-grams <= 15% of chars
+GOPHER_MIN_TOKENS = 40
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_LEN_MILLI = (3_000, 10_000)  # mean token length in [3, 10]
+GOPHER_MIN_STOP_DISTINCT = 2    # >= 2 distinct stop words present
+
+
+def _ngrams(toks_col, n: int):
+    """Token n-grams as space-joined strings.
+
+    Guarded: ``sequence(0, size-n)`` DESCENDS when ``size < n`` (Spark
+    steps -1 toward a smaller stop), fabricating negative indices — a
+    short document must yield an empty gram array instead."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Per-document Gopher-style repetition metrics, integer-exact.
+
+    Output: ``doc_id, n_tokens, n_chars, top_gram_ppm, dup_gram_ppm``.
+
+    * ``top_gram_ppm`` — characters covered by the most frequent
+      ``top_n``-gram (count x gram length) as parts-per-million of the
+      document's characters.  Tie-break among equally-frequent grams:
+      the one with the LARGEST coverage (max over ``struct(cnt, cov)``
+      — deterministic in any engine with lexicographic struct compare).
+    * ``dup_gram_ppm`` — characters covered by ALL duplicated
+      ``dup_n``-grams (count >= 2), counted per occurrence.  Documented
+      approximation of Gopher's overlap-aware accounting: overlapping
+      occurrences double-count, so the value is clamped to 1e6.
+
+    Everything is integer arithmetic (``div``, not float division): the
+    keep decisions built on these numbers must be bit-portable across
+    engines (see tfidf's quantized idf for the same discipline).
+
+    Scale shape: one tokenize, two explode -> map-side-combinable
+    ``(doc_id, gram)`` counts -> per-doc aggregation.  Shuffle keys
+    carry the doc_id, so no gram (stopword pairs included) can funnel
+    one task; fan-out is bounded by tokens-per-document.
+    """
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        char_count(F.col("text")).alias("n_chars"),
+    )
+    # feeds both gram pipelines + the final join: break the diamond
+    base = base.persist()
+    _PERSISTED.append(base)
+
+    def coverage(n: int, top_alias: str, dup_alias: str) -> DataFrame:
+        grams = base.select(
+            "doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("gram")
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(
+            F.count("*").alias("cnt")
+        )
+        cov = (F.col("cnt") * F.length("gram")).alias("cov")
+        return counts.groupBy("doc_id").agg(
+            F.max(F.struct(F.col("cnt").alias("cnt"), cov))
+            .getField("cov")
+            .alias(top_alias),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+                .otherwise(F.lit(0))
+            ).alias(dup_alias),
+        )
+
+    top_cov = coverage(top_n, "top_chars", "_dup_at_top_n")
+    dup_cov = (
+        top_cov.select("doc_id", F.col("_dup_at_top_n").alias("dup_chars"))
+        if dup_n == top_n
+        else coverage(dup_n, "_top_at_dup_n", "dup_chars").select(
+            "doc_id", "dup_chars"
+        )
+    )
+    out = (
+        base.select(
+            "doc_id", F.size("toks").alias("n_tokens"), "n_chars"
+        )
+        .join(top_cov.select("doc_id", "top_chars"), "doc_id", "left")
+        .join(dup_cov, "doc_id", "left")
+    )
+    ppm = "least(1000000, (1000000 * coalesce({c}, 0)) div greatest(n_chars, 1))"
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.expr(ppm.format(c="top_chars")).alias("top_gram_ppm"),
+        F.expr(ppm.format(c="dup_chars")).alias("dup_gram_ppm"),
+    )
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText document-quality rules as a keep/drop verdict.
+
+    Output: ``doc_id, n_tokens, mean_len_milli, n_stop_distinct,
+    top_gram_ppm, dup_gram_ppm, keep, reason`` — ``reason`` is the
+    FIRST failed rule in a fixed priority order ('' when kept), so the
+    verdict is reproducible row-for-row in any engine (every input is
+    an integer; no float ever reaches a comparison).
+
+    Rules (Rae et al. 2021, Table A1, adapted to integer milli/ppm):
+    token count in [40, 100k]; mean token length in [3, 10]; at least
+    2 distinct stop words; top 2-gram covers <= 20% of characters;
+    duplicated 5-grams cover <= 15% of characters.
+    """
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_tok_chars"),
+        F.size(
+            F.array_distinct(
+                F.filter(toks, lambda w: F.array_contains(stop, w))
+            )
+        ).alias("n_stop_distinct"),
+    )
+    rep = repetition_stats(docs)
+    j = per_doc.join(
+        rep.select("doc_id", "top_gram_ppm", "dup_gram_ppm"), "doc_id"
+    ).withColumn(
+        "mean_len_milli",
+        F.expr("(1000 * sum_tok_chars) div greatest(n_tokens, 1)"),
+    )
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < GOPHER_MIN_TOKENS),
+        ("too_many_tokens", F.col("n_tokens") > GOPHER_MAX_TOKENS),
+        (
+            "mean_len_out_of_range",
+            (F.col("mean_len_milli") < GOPHER_MEAN_LEN_MILLI[0])
+            | (F.col("mean_len_milli") > GOPHER_MEAN_LEN_MILLI[1]),
+        ),
+        (
+            "too_few_stopwords",
+            F.col("n_stop_distinct") < GOPHER_MIN_STOP_DISTINCT,
+        ),
+        ("top_ngram_repetition", F.col("top_gram_ppm") > GOPHER_TOP2_MAX_PPM),
+        ("dup_ngram_repetition", F.col("dup_gram_ppm") > GOPHER_DUP5_MAX_PPM),
+    ]
+    reason = F.lit("")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "mean_len_milli",
+        "n_stop_distinct",
+        "top_gram_ppm",
+        "dup_gram_ppm",
+        (reason == "").alias("keep"),
+        reason.alias("reason"),
+    )
