@@ -787,14 +787,24 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-threshold corpus sampling (64/256 = 25%):
-    keep iff substr(md5(doc_id),1,2) < '40' — stateless, shuffle-free
-    predicate identical in any engine; per-language sample statistics
-    in one map-side-combined aggregation (operators/corpus.py)."""
-    from helix_html2md_spark.operators.corpus import hash_sample_stats
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality verdicts (Rae et al. 2021
+    Table A1): token count, mean token length, distinct stopwords,
+    top-2-gram and duplicated-5-gram character coverage — every metric
+    integer (milli / parts-per-million), so the keep decision and the
+    first-failed-rule reason are bit-portable across engines
+    (operators/corpus.py gopher_filter).  ``keep`` is emitted as int —
+    the driver's value canon sorts raw pandas objects and boolean
+    columns are the kind of cross-engine dtype hazard the contract
+    bans alongside raw arrays."""
+    from helix_html2md_spark.operators.corpus import gopher_filter
 
-    return hash_sample_stats(_docs(spark, sf_dir), numerator=64)
+    out = gopher_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "mean_len_milli", "n_stop_distinct",
+        "top_gram_ppm", "dup_gram_ppm",
+        F.col("keep").cast("int").alias("keep_flag"), "reason",
+    ).orderBy("doc_id")
 
 
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,7 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk": q_search_topk,
         "ivf_index_topk": q_ivf_index_topk,
         "corpus_mix": q_corpus_mix,
-        "corpus_sample": q_corpus_sample,
+        "gopher_filter": q_gopher_filter,
         "tfidf_terms": q_tfidf_terms,
         "media_stats": q_media_stats,
         "audio_chunks": q_audio_chunks,
@@ -1413,19 +1423,66 @@ def oracle_sql() -> dict[str, str]:
               AND c.t_us BETWEEN e.t_us - 14400000000 AND e.t_us
             ORDER BY e.event_id, click_id
         """,
-        "corpus_sample": """
-            SELECT lang,
-                   count(*) AS n_total,
-                   cast(sum(CASE WHEN
-                            substr(md5(cast(doc_id AS varchar)), 1, 2)
-                              < '40'
-                            THEN 1 ELSE 0 END) AS bigint) AS n_sampled,
-                   cast(sum(CASE WHEN
-                            substr(md5(cast(doc_id AS varchar)), 1, 2)
-                              < '40'
-                            THEN n_chars ELSE 0 END) AS bigint)
-                     AS chars_sampled
-            FROM documents GROUP BY lang ORDER BY lang
+        "gopher_filter": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks, length(text) AS n_chars
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' '))
+                ELSE []::VARCHAR[] END) AS gram FROM t),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt
+                   FROM g2 GROUP BY 1, 2),
+            a2 AS (SELECT doc_id,
+                     max(struct_pack(cnt := cnt,
+                                     cov := cnt * length(gram))) AS top_s
+                   FROM c2 GROUP BY 1),
+            g5 AS (
+              SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+                THEN list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))
+                ELSE []::VARCHAR[] END) AS gram FROM t),
+            c5 AS (SELECT doc_id, gram, count(*) AS cnt
+                   FROM g5 GROUP BY 1, 2),
+            a5 AS (SELECT doc_id,
+                     cast(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                              ELSE 0 END) AS bigint) AS dup
+                   FROM c5 GROUP BY 1),
+            m AS (
+              SELECT t.doc_id,
+                len(t.toks) AS n_tokens,
+                cast((1000 * coalesce(list_sum(
+                   list_transform(t.toks, x -> length(x))), 0))
+                  // greatest(len(t.toks), 1) AS bigint)
+                  AS mean_len_milli,
+                len(list_distinct(list_filter(t.toks,
+                   x -> list_contains({_STOP}, x)))) AS n_stop_distinct,
+                least(1000000,
+                  (1000000 * coalesce((a2.top_s).cov, 0))
+                    // greatest(t.n_chars, 1)) AS top_gram_ppm,
+                least(1000000,
+                  (1000000 * coalesce(a5.dup, 0))
+                    // greatest(t.n_chars, 1)) AS dup_gram_ppm
+              FROM t
+              LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)),
+            v AS (
+              SELECT *,
+                CASE
+                  WHEN n_tokens < 40 THEN 'too_few_tokens'
+                  WHEN n_tokens > 100000 THEN 'too_many_tokens'
+                  WHEN mean_len_milli < 3000 OR mean_len_milli > 10000
+                    THEN 'mean_len_out_of_range'
+                  WHEN n_stop_distinct < 2 THEN 'too_few_stopwords'
+                  WHEN top_gram_ppm > 200000 THEN 'top_ngram_repetition'
+                  WHEN dup_gram_ppm > 150000 THEN 'dup_ngram_repetition'
+                  ELSE '' END AS reason
+              FROM m)
+            SELECT doc_id, n_tokens, mean_len_milli, n_stop_distinct,
+                   top_gram_ppm, dup_gram_ppm,
+                   CASE WHEN reason = '' THEN 1 ELSE 0 END AS keep_flag,
+                   reason
+            FROM v ORDER BY doc_id
         """,
         "dedup_segments": f"""
             WITH t AS (
