@@ -683,3 +683,120 @@ def dedup_segments(
             )
         )
     )
+
+
+def _window_hashes(toks: Column, window: int) -> Column:
+    """md5 of every overlapping ``window``-token run (stride 1).
+
+    Guarded like corpus._ngrams: ``sequence(0, size-window)`` DESCENDS
+    when the document is shorter than the window, so short docs must map
+    to an empty array instead of negative slice indices.
+    """
+    return F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_window_stats(docs: DataFrame, window: int = 50) -> DataFrame:
+    """Cross-document repeated-substring statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    A *duplicated window* is a ``window``-token run (stride 1) whose
+    exact token sequence occurs >= 2 times anywhere in the corpus —
+    across documents or repeated within one, matching the paper's
+    any-second-occurrence semantics.  Unlike ``dedup_segments`` (fixed
+    non-overlapping segments, a line-dedup stand-in) this is the
+    overlapping-substring formulation: a 200-token boilerplate shared by
+    two documents is caught at EVERY alignment, so coverage measures the
+    true duplicated token mass, not segment-boundary luck.
+
+    Output, one row per input document (short/empty docs included with
+    zeros): ``doc_id, n_tokens, dup_windows, dup_tokens, dup_ppm`` where
+    ``dup_tokens`` is the size of the UNION of the duplicated windows'
+    token intervals [pos, pos+window) — overlapping hits are not
+    double-counted — and ``dup_ppm`` = 1e6 * dup_tokens / n_tokens in
+    integer arithmetic (bit-portable across engines).
+
+    Scale shape: the exploded window table (~n_tokens rows per doc) is
+    NOT persisted — at corpus scale materializing it costs window x the
+    corpus; it is recomputed from the persisted token table for the
+    join-back pass instead (two cheap JVM hash passes).  The global
+    count groupBy keys on the md5 (uniform, map-side combinable); the
+    dup filter keeps only count >= 2 hashes, so the semi-join's right
+    side is the duplicated-vocabulary table, orders of magnitude smaller
+    than the window table.  The interval-union window function
+    partitions by doc_id — bounded by document length, the same bound
+    tokenization already imposes.  A pathologically common window (site
+    boilerplate in millions of docs) is k rows on the probe side
+    matching one dup-hash row: plain shuffle join + AQE skew split, no
+    single-task funnel.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = base.persist()
+    _PERSISTED.append(base)
+
+    wins = base.select(
+        "doc_id",
+        F.posexplode(_window_hashes(F.col("toks"), window)).alias(
+            "pos", "whash"
+        ),
+    )
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("whash")
+    )
+    dup_pos = wins.join(dup_hashes, "whash", "left_semi")
+
+    prev_end = F.max(F.col("pos") + window).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + F.lit(window)
+        - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+    )
+    per_doc = (
+        dup_pos.select("doc_id", "pos", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sum("contrib").alias("dup_tokens"),
+        )
+    )
+    out = base.select("doc_id", F.size("toks").alias("n_tokens")).join(
+        per_doc, "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "(1000000 * coalesce(dup_tokens, 0))"
+            " div greatest(n_tokens, 1)"
+        ).alias("dup_ppm"),
+    )
+
+
+def drop_dup_window_docs(
+    docs: DataFrame, window: int = 50, max_dup_ppm: int = 500_000
+) -> DataFrame:
+    """Keep documents whose duplicated-window coverage stays under
+    ``max_dup_ppm`` (Lee et al.'s NearDup-style document drop, expressed
+    on exact-substring coverage).  Join back on doc_id so the full input
+    row survives; short/empty documents have zero coverage and are kept.
+    """
+    stats = dup_window_stats(docs, window=window)
+    keep = stats.filter(F.col("dup_ppm") <= max_dup_ppm).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
