@@ -11,7 +11,10 @@ Output model matches the extraction span contract
 (operators/extract.py SPAN_TYPE): ``(kind, text, media_ref, order)``
 where kind is ``heading`` / ``text`` / ``image`` / ``link`` (URI link
 annotations, the PDF counterpart of the HTML path's link handling —
-media_ref carries the URI).  Layout recovery:
+media_ref carries the URI) / ``table`` (ruled grids detected from
+painted path rules, the PDF counterpart of the HTML path's
+<table> -> gridTable handling — text carries cells row-major, ``` | ```
+between cells, newline between rows).  Layout recovery:
 
 * text runs carry (page, y, x, font_size); runs sharing a page and a
   y-baseline (rounded) fold into one line, left-to-right
@@ -672,9 +675,11 @@ def _column_split(page_events: list[tuple]) -> float | None:
     positions must exceed ``_COLUMN_GAP`` AND each side must carry >= 3
     distinct baselines AND the sides' y-ranges must overlap (side by
     side, not stacked).  Known tradeoff of the published XY-cut family:
-    a data TABLE with >=3 rows and a >=150-unit column gutter reads
-    column-major; single-column pages with continuation runs or indents
-    never split (continuation runs share too few baselines).
+    an UNRULED data table with >=3 rows and a >=150-unit column gutter
+    reads column-major (ruled tables are consumed by _assemble_tables
+    before the cut and are immune); single-column pages with
+    continuation runs or indents never split (continuation runs share
+    too few baselines).
     """
     runs = [e for e in page_events if e[3][0] == "t"]
     xs = sorted({e[2] for e in runs})
@@ -693,6 +698,201 @@ def _column_split(page_events: list[tuple]) -> float | None:
     if min(max(left_y), max(right_y)) <= max(min(left_y), min(right_y)):
         return None
     return split
+
+
+# -- ruled-table detection ----------------------------------------------------
+
+# how far apart two painted rule positions may sit and still read as the
+# same grid line (producers double-stroke borders), and how much slack a
+# rule's extent gets when checked against the crossing lines' span
+_RULE_CLUSTER = 1.0
+_RULE_TOL = 3.0
+
+
+def _merge_rules(segs: list[tuple]) -> list[tuple[float, float, float]]:
+    """Collapse collinear painted segments into maximal (pos, lo, hi)
+    lines: positions within ``_RULE_CLUSTER`` are one line, and extents
+    along it merge when they overlap or nearly touch."""
+    out: list[tuple[float, float, float]] = []
+    for _, pos, lo, hi in sorted(segs, key=lambda s: (s[1], s[2])):
+        placed = False
+        for i, (p, plo, phi) in enumerate(out):
+            if abs(pos - p) <= _RULE_CLUSTER:
+                if lo <= phi + 2.0 and hi >= plo - 2.0:
+                    out[i] = (p, min(plo, lo), max(phi, hi))
+                    placed = True
+                    break
+        if not placed:
+            out.append((pos, lo, hi))
+    return out
+
+
+def _detect_tables(
+    rules: list[tuple],
+) -> list[tuple[list[float], list[float]]]:
+    """Find ruled-table grids among a page's painted rule segments.
+
+    Returns ``[(ys_desc, xs_asc), ...]`` — the row/column boundary
+    positions of each detected grid.  Conservative by design, mirroring
+    the published T-Recs/pdfplumber lattice family: a grid needs at
+    least 3 horizontal and 3 vertical lines (>= 2x2 cells — a plain
+    stroked figure box is 2+2 and never qualifies), mutually connected,
+    and COMPLETE: every horizontal rule spans the full x-range of the
+    vertical rules and vice versa (within ``_RULE_TOL``).  Partial rule
+    boxes (underlines, side bars) therefore stay in the normal text
+    flow rather than half-capturing it.
+    """
+    hs = _merge_rules([r for r in rules if r[0] == "h"])
+    vs = _merge_rules([r for r in rules if r[0] == "v"])
+    if len(hs) < 3 or len(vs) < 3:
+        return []
+
+    # connected components over the h/v intersection graph
+    n_h, n_v = len(hs), len(vs)
+    parent = list(range(n_h + n_v))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, (y, x0, x1) in enumerate(hs):
+        for j, (x, y0, y1) in enumerate(vs):
+            if (
+                x0 - _RULE_TOL <= x <= x1 + _RULE_TOL
+                and y0 - _RULE_TOL <= y <= y1 + _RULE_TOL
+            ):
+                ra, rb = find(i), find(n_h + j)
+                if ra != rb:
+                    parent[ra] = rb
+
+    comps: dict[int, tuple[list, list]] = {}
+    for i, h in enumerate(hs):
+        comps.setdefault(find(i), ([], []))[0].append(h)
+    for j, v in enumerate(vs):
+        comps.setdefault(find(n_h + j), ([], []))[1].append(v)
+
+    grids: list[tuple[list[float], list[float]]] = []
+    for ch, cv in comps.values():
+        if len(ch) < 3 or len(cv) < 3:
+            continue
+        xs = sorted(x for x, _, _ in cv)
+        ys = sorted((y for y, _, _ in ch), reverse=True)
+        if all(
+            x0 <= xs[0] + _RULE_TOL and x1 >= xs[-1] - _RULE_TOL
+            for _, x0, x1 in ch
+        ) and all(
+            y0 <= ys[-1] + _RULE_TOL and y1 >= ys[0] - _RULE_TOL
+            for _, y0, y1 in cv
+        ):
+            grids.append((ys, xs))
+    return grids
+
+
+def _join_runs(parts: list[tuple[float, str, float, float]]) -> str:
+    """Gap-aware join of one baseline's runs ((size, text, sx, ex) in
+    x order): per-word-positioned producers (one Td/Tm per word) would
+    otherwise glue the whole line; a start-x more than ~0.3em past the
+    previous run's estimated end reads as an inter-word space.  Runs
+    continuing at the pen position (gap ~0) and runs whose text already
+    carries the space join verbatim."""
+    pieces: list[str] = []
+    prev_end: float | None = None
+    prev_size = 0.0
+    for size, text, sx, ex in parts:
+        if (
+            pieces
+            and prev_end is not None
+            and sx - prev_end > 0.3 * max(prev_size, size)
+            and not pieces[-1].endswith(" ")
+            and not text.startswith(" ")
+        ):
+            pieces.append(" ")
+        pieces.append(text)
+        prev_end, prev_size = ex, size
+    return "".join(pieces).strip()
+
+
+def _assemble_tables(
+    events: list[tuple], page_rules: dict[int, list[tuple]]
+) -> list[tuple]:
+    """Capture text runs inside each detected rule grid into one
+    ``("tbl", text)`` event at the grid's top-left; all other events
+    pass through unchanged.
+
+    Cell addressing is geometric: a run belongs to the cell whose rule
+    boundaries bracket its baseline y and start x.  Within a cell,
+    same-baseline runs fold with the standard gap rule and distinct
+    baselines (wrapped cell text) join with a single space.  A grid
+    whose cells hold no text at all (a decorative empty frame) emits
+    nothing.  Rotated-text events cannot be captured: their sort key
+    encodes -x as the line position, which is negative where grids
+    live in positive page space.
+    """
+    if not page_rules:
+        return events
+    by_page: dict[int, list[tuple]] = {}
+    for e in events:
+        by_page.setdefault(e[0], []).append(e)
+    out: list[tuple] = []
+    for page in sorted(set(by_page) | set(page_rules)):
+        evs = by_page.get(page, [])
+        for ys, xs in _detect_tables(page_rules.get(page, [])):
+            top, bottom, left, right = ys[0], ys[-1], xs[0], xs[-1]
+            cells: dict[tuple[int, int], list[tuple]] = {}
+            rest: list[tuple] = []
+            for e in evs:
+                _, ny, x, payload = e
+                y = -ny
+                if not (
+                    payload[0] == "t"
+                    and bottom < y < top
+                    and left < x < right
+                ):
+                    rest.append(e)
+                    continue
+                ri = ci = 0
+                for i in range(len(ys) - 1):
+                    if y > ys[i + 1]:
+                        ri = i
+                        break
+                for j in range(len(xs) - 1):
+                    if x < xs[j + 1]:
+                        ci = j
+                        break
+                cells.setdefault((ri, ci), []).append(
+                    (y, x, payload[1], payload[2], payload[3])
+                )
+            if not cells:
+                continue
+
+            def cell_text(ri: int, ci: int) -> str:
+                runs = sorted(cells.get((ri, ci), []))
+                lines: list[str] = []
+                parts: list[tuple] = []
+                line_y: float | None = None
+                for y, x, size, text, ex in sorted(
+                    runs, key=lambda r: (-r[0], r[1])
+                ):
+                    if line_y is not None and abs(y - line_y) > 0.5:
+                        lines.append(_join_runs(parts))
+                        parts = []
+                    line_y = y
+                    parts.append((size, text, x, ex))
+                if parts:
+                    lines.append(_join_runs(parts))
+                return " ".join(s for s in lines if s).strip()
+
+            text = "\n".join(
+                " | ".join(
+                    cell_text(ri, ci) for ci in range(len(xs) - 1)
+                )
+                for ri in range(len(ys) - 1)
+            )
+            evs = rest + [(page, -round(top, 1), left, ("tbl", text))]
+        out.extend(evs)
+    return out
 
 
 # -- content-stream interpreter ----------------------------------------------
@@ -793,7 +993,18 @@ def _run_content(
     objs: dict[int, _Obj],
     fonts: dict[str, dict] | None = None,
 ):
-    """Yield ('run', y, x, size, text) and ('image', y, x, sha1) events."""
+    """Yield ('run', y, x, size, text), ('image', y, x, sha1) and
+    ('rule', axis, pos, lo, hi) events.
+
+    Rules are the axis-aligned painted path segments table producers
+    draw their grid lines with: ``re`` rectangles (a thin one — w or h
+    <= 2 units — is itself a single line, the filled-rect rule idiom)
+    and ``m``/``l`` polylines, committed by any painting operator
+    (S/s/f/F/f*/B/B*/b/b*).  ``n`` ends a path WITHOUT painting (the
+    ``W n`` clipping idiom), so clip rectangles never read as rules;
+    diagonal segments and curves are dropped (grid lines are
+    axis-aligned by construction).
+    """
     fonts = fonts or {}
     cur_cmap: dict[int, str] | None = None
     cur_widths: list[float] | None = None
@@ -815,6 +1026,24 @@ def _run_content(
     cm_y = 0.0
     cm_x = 0.0
     stack: list[bytes] = []
+    # current path: axis-aligned candidate rule segments, committed on a
+    # painting op, discarded on `n` (ISO 32000 §8.5.3) — coordinates
+    # carry the prevailing cm translation at construction time
+    path_segs: list[tuple] = []
+    pen_x = pen_y = 0.0  # path current point (post-cm device space)
+    sub_x = sub_y = 0.0  # current subpath start, for the `h` closepath
+
+    def _path_line(x0: float, y0: float, x1: float, y1: float):
+        # keep only axis-aligned segments with real extent; store in
+        # normalized (lo <= hi) form
+        if abs(y1 - y0) <= 0.5 and abs(x1 - x0) > 0.5:
+            path_segs.append(
+                ("h", (y0 + y1) / 2.0, min(x0, x1), max(x0, x1))
+            )
+        elif abs(x1 - x0) <= 0.5 and abs(y1 - y0) > 0.5:
+            path_segs.append(
+                ("v", (x0 + x1) / 2.0, min(y0, y1), max(y0, y1))
+            )
 
     def _translate(txv: float, tyv: float):
         nonlocal lx, ly, tpen
@@ -1008,6 +1237,70 @@ def _run_content(
                 cm_x, cm_y = float(stack[-2]), float(stack[-1])
             except ValueError:
                 pass
+        elif t == b"re" and len(stack) >= 4:
+            try:
+                rx, ry, rw, rh = (float(v) for v in stack[-4:])
+            except ValueError:
+                pass
+            else:
+                rx, ry = rx + cm_x, ry + cm_y
+                # a thin rectangle IS a rule (producers fill 1-unit-high
+                # rects as horizontal lines); a full box contributes its
+                # four border segments
+                if abs(rh) <= 2.0 and abs(rw) > 0.5:
+                    path_segs.append(
+                        ("h", ry + rh / 2.0,
+                         min(rx, rx + rw), max(rx, rx + rw))
+                    )
+                elif abs(rw) <= 2.0 and abs(rh) > 0.5:
+                    path_segs.append(
+                        ("v", rx + rw / 2.0,
+                         min(ry, ry + rh), max(ry, ry + rh))
+                    )
+                else:
+                    _path_line(rx, ry, rx + rw, ry)
+                    _path_line(rx, ry + rh, rx + rw, ry + rh)
+                    _path_line(rx, ry, rx, ry + rh)
+                    _path_line(rx + rw, ry, rx + rw, ry + rh)
+                # `re` also starts a new subpath at (rx, ry) (§8.5.2.1)
+                pen_x, pen_y = rx, ry
+                sub_x, sub_y = rx, ry
+        elif t == b"m" and len(stack) >= 2:
+            try:
+                pen_x = float(stack[-2]) + cm_x
+                pen_y = float(stack[-1]) + cm_y
+                sub_x, sub_y = pen_x, pen_y
+            except ValueError:
+                pass
+        elif t == b"l" and len(stack) >= 2:
+            try:
+                nx = float(stack[-2]) + cm_x
+                ny_ = float(stack[-1]) + cm_y
+            except ValueError:
+                pass
+            else:
+                _path_line(pen_x, pen_y, nx, ny_)
+                pen_x, pen_y = nx, ny_
+        elif t in (b"c", b"v", b"y"):
+            # curves never form grid lines; just move the current point
+            try:
+                pen_x = float(stack[-2]) + cm_x
+                pen_y = float(stack[-1]) + cm_y
+            except (ValueError, IndexError):
+                pass
+        elif t == b"h":
+            _path_line(pen_x, pen_y, sub_x, sub_y)
+            pen_x, pen_y = sub_x, sub_y
+        elif t in (b"S", b"s", b"f", b"F", b"B", b"b") or t in (
+            b"f*", b"B*", b"b*",
+        ):
+            if t in (b"s", b"b", b"b*"):
+                _path_line(pen_x, pen_y, sub_x, sub_y)
+            for seg in path_segs:
+                yield_events.append(("rule",) + seg)
+            path_segs = []
+        elif t == b"n":
+            path_segs = []
         elif t == b"INLINEIMG" and stack and stack[-1].startswith(b"/XI"):
             # sentinel from _excise_inline_images: the name payload IS
             # the sha1 of the raw sample data (content-addressed like
@@ -1045,6 +1338,7 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
         raise PdfError("no objects")
 
     events: list[tuple] = []  # (page, -y, x, payload)
+    page_rules: dict[int, list[tuple]] = {}  # painted rule segments
     for pageno, (page, res_val) in enumerate(_page_order(objs)):
         res = _deref_dict(objs, res_val)
         xobjects = _deref_dict(objs, res.get("XObject"))
@@ -1150,9 +1444,20 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
                 events.append(
                     (pageno, -round(y, 1), x, ("t", size, text, end_x))
                 )
+            elif ev[0] == "rule":
+                page_rules.setdefault(pageno, []).append(ev[1:])
             else:
                 _, y, x, digest = ev
                 events.append((pageno, -round(y, 1), x, ("i", digest)))
+
+    # ruled tables: grids detected from painted rules capture the text
+    # runs inside their bounding box into one 'table' span (cells read
+    # row-major, ` | ` between cells, newline between rows), placed at
+    # the grid's top-left.  This runs BEFORE the XY-cut, so a ruled
+    # table can no longer fake a column gutter and read column-major —
+    # only unruled (whitespace-aligned) tables keep that documented
+    # XY-cut-family tradeoff.
+    events = _assemble_tables(events, page_rules)
 
     # column-aware reading order: one optional vertical XY-cut per page
     # (page asc, column asc, baseline y desc, x asc)
@@ -1171,27 +1476,9 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
     spans: list[dict] = []
 
     def flush_line(parts: list[tuple[float, str, float, float]]):
-        # gap-aware join: per-word-positioned producers (Word/Quartz
-        # emit one Td/Tm per word) would otherwise glue the whole line
-        # ('Helloworld'); a start-x more than ~0.3em past the previous
-        # run's estimated end reads as an inter-word space.  Runs that
-        # continue at the pen position (gap ~0) and runs whose text
-        # already carries the space are joined verbatim.
-        pieces: list[str] = []
-        prev_end: float | None = None
-        prev_size = 0.0
-        for size, text, sx, ex in parts:
-            if (
-                pieces
-                and prev_end is not None
-                and sx - prev_end > 0.3 * max(prev_size, size)
-                and not pieces[-1].endswith(" ")
-                and not text.startswith(" ")
-            ):
-                pieces.append(" ")
-            pieces.append(text)
-            prev_end, prev_size = ex, size
-        text = "".join(pieces).strip()
+        # gap-aware join (see _join_runs): per-word-positioned
+        # producers would otherwise glue the whole line
+        text = _join_runs(parts)
         if not text:
             return
         kind = (
@@ -1211,11 +1498,21 @@ def parse_pdf(data: bytes, heading_min_size: float = 16.0) -> list[dict]:
     line_key = None
     line_parts: list[tuple[float, str, float, float]] = []
     for page, col, ny, x, payload in events:
-        if payload[0] in ("i", "l"):
+        if payload[0] in ("i", "l", "tbl"):
             if line_parts:
                 flush_line(line_parts)
                 line_parts = []
             line_key = None
+            if payload[0] == "tbl":
+                spans.append(
+                    {
+                        "kind": "table",
+                        "text": payload[1],
+                        "media_ref": None,
+                        "order": len(spans),
+                    }
+                )
+                continue
             spans.append(
                 {
                     "kind": "image" if payload[0] == "i" else "link",

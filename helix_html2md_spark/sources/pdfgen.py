@@ -83,6 +83,10 @@ def build_pdf(
       emit for small images
     * ``("link", x, y, w, h, uri)`` — a /Annots Link annotation with a
       /A URI action covering the given rectangle
+    * ``("rect", x, y, w, h)`` — a stroked ``re`` rectangle path
+    * ``("line", x0, y0, x1, y1)`` — a stroked ``m``/``l`` segment
+      (rect + line are the two path forms ruled-table grids are drawn
+      with)
 
     ``ascii85=True`` encodes content streams as
     ``/Filter [/ASCII85Decode /FlateDecode]`` (base-85 text armor over
@@ -247,6 +251,19 @@ def build_pdf(
                 content_parts.append(
                     f"BT /F1 {size:g} Tf {x:g} {y:g} Td [{items}] TJ ET"
                     .encode("latin-1")
+                )
+            elif op[0] == "rect":
+                # stroked rectangle path — the outer-border form table
+                # producers emit (a thin one reads as a single rule)
+                _, x, y, w, h = op
+                content_parts.append(
+                    f"{x:g} {y:g} {w:g} {h:g} re S".encode("latin-1")
+                )
+            elif op[0] == "line":
+                # stroked m/l segment — the inner-rule form
+                _, x0, y0, x1, y1 = op
+                content_parts.append(
+                    f"{x0:g} {y0:g} m {x1:g} {y1:g} l S".encode("latin-1")
                 )
             elif op[0] == "link":
                 _, x, y, w, h, uri = op
@@ -744,6 +761,66 @@ def synth_cid_pdf(
         expected.append(("text", "".join(text_parts)))
         y -= 16
     return build_pdf([ops], cmap_fonts=True, cid_widths=True), expected
+
+
+def synth_table_pdf(
+    seed: int,
+) -> tuple[bytes, list[tuple[str, str | None]]]:
+    """Deterministic page with a ruled data table + expected spans.
+
+    The grid is drawn with BOTH path forms real producers use — the
+    outer border as a stroked ``re`` rectangle, inner rules as ``m/l``
+    segments — and one word sits in each cell, its baseline inside its
+    row band and its start x inside its column.  The expected 'table'
+    span text is assembled from the same construction arithmetic
+    (cells row-major, `` | `` between cells, newline between rows),
+    never from the parser; a closing body line below the grid pins that
+    normal flow resumes after the table.
+    """
+    title = f"Table Report {seed}"
+    ops: list[tuple] = [("text", 72, 740, 24, title)]
+    expected: list[tuple[str, str | None]] = [("heading", title)]
+    y = 700.0
+    for li in range(1 + seed % 2):
+        line = " ".join(
+            _WORDS[(seed * 19 + li * 7 + w) % len(_WORDS)]
+            for w in range(5)
+        )
+        ops.append(("text", 72, y, 11, line))
+        expected.append(("text", line))
+        y -= 16
+    rows = 2 + seed % 3
+    cols = 2 + seed % 2
+    col_w, row_h, x0 = 110.0, 24.0, 72.0
+    top = y - 30.0
+    bottom = top - rows * row_h
+    width = cols * col_w
+    ops.append(("rect", x0, bottom, width, rows * row_h))
+    for i in range(1, rows):
+        ops.append(
+            ("line", x0, bottom + i * row_h, x0 + width, bottom + i * row_h)
+        )
+    for j in range(1, cols):
+        ops.append(("line", x0 + j * col_w, bottom, x0 + j * col_w, top))
+    cell_rows: list[list[str]] = []
+    for i in range(rows):
+        rcells: list[str] = []
+        for j in range(cols):
+            word = _WORDS[(seed * 23 + i * 5 + j * 3) % len(_WORDS)]
+            ops.append(
+                ("text", x0 + j * col_w + 8, top - i * row_h - 15, 10, word)
+            )
+            rcells.append(word)
+        cell_rows.append(rcells)
+    expected.append(
+        ("table", "\n".join(" | ".join(r) for r in cell_rows))
+    )
+    closing = " ".join(
+        _WORDS[(seed * 29 + w) % len(_WORDS)] for w in range(4)
+    )
+    ops.append(("text", 72, bottom - 24, 11, closing))
+    expected.append(("text", closing))
+    return build_pdf([ops]), expected
 
 
 def synth_inline_pdf(

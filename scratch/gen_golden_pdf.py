@@ -38,10 +38,11 @@ N_ROT = 5      # rotated (Tm-matrix) margin columns, 90/270deg
 N_DESC = 5     # TrueType + FontDescriptor /MissingWidth metrics
 N_CID = 5      # Type0/CID fonts with /W + /DW width metrics
 N_INLINE = 5   # BI/ID/EI inline images; even seeds ASCII85-armored
+N_TABLE = 6    # ruled tables (re + m/l grids) -> 'table' spans
 
 from helix_html2md_spark.sources.pdfgen import (  # noqa: E402
     synth_cid_pdf, synth_inline_pdf, synth_link_pdf, synth_pdf,
-    synth_rotated_pdf, synth_two_column_pdf,
+    synth_rotated_pdf, synth_table_pdf, synth_two_column_pdf,
 )
 
 RS, FS = "\x1e", "\x1f"  # record / field separators for the span md5
@@ -176,6 +177,15 @@ def main():
     for seed in range(N_INLINE):
         data, expected = synth_inline_pdf(seed)
         doc_id = f"pdf-inline-{seed:04d}"
+        inputs["doc_id"].append(doc_id)
+        inputs["payload"].append(data)
+        grow(doc_id, "ok", "", expected)
+
+    # ruled tables: grids drawn with both path forms (re border, m/l
+    # inner rules); the expected 'table' span text is construction-time
+    for seed in range(N_TABLE):
+        data, expected = synth_table_pdf(seed)
+        doc_id = f"pdf-table-{seed:04d}"
         inputs["doc_id"].append(doc_id)
         inputs["payload"].append(data)
         grow(doc_id, "ok", "", expected)

@@ -19,7 +19,7 @@ import pyarrow.parquet as pq
 from helix_html2md_spark.core.pdfparse import parse_pdf
 from helix_html2md_spark.sources.pdfgen import (
     synth_cid_pdf, synth_inline_pdf, synth_link_pdf, synth_pdf,
-    synth_rotated_pdf, synth_two_column_pdf,
+    synth_rotated_pdf, synth_table_pdf, synth_two_column_pdf,
 )
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,6 +37,7 @@ N_ROT = 5
 N_DESC = 5
 N_CID = 5
 N_INLINE = 5
+N_TABLE = 6
 
 
 def _md5_of(expected):
@@ -58,7 +59,7 @@ def test_golden_matches_construction_expectations():
     assert len(golden) == (
         N_SEEDS + N_OBJSTM + N_CMAP
         + N_MODERN + N_NESTED + N_INDLEN + N_TWOCOL + N_LINKS
-        + N_ROT + N_DESC + N_CID + N_INLINE + 2
+        + N_ROT + N_DESC + N_CID + N_INLINE + N_TABLE + 2
     )
     variants = (
         [(s, {}, f"pdf-{s:04d}") for s in range(N_SEEDS)]
@@ -83,6 +84,8 @@ def test_golden_matches_construction_expectations():
         + [(s, {"cid": True}, f"pdf-cid-{s:04d}") for s in range(N_CID)]
         + [(s, {"inline": True}, f"pdf-inline-{s:04d}")
            for s in range(N_INLINE)]
+        + [(s, {"table": True}, f"pdf-table-{s:04d}")
+           for s in range(N_TABLE)]
     )
     for seed, kwargs, doc_id in variants:
         if kwargs.pop("two_column", False):
@@ -95,6 +98,8 @@ def test_golden_matches_construction_expectations():
             _, expected = synth_cid_pdf(seed)
         elif kwargs.pop("inline", False):
             _, expected = synth_inline_pdf(seed)
+        elif kwargs.pop("table", False):
+            _, expected = synth_table_pdf(seed)
         else:
             _, expected = synth_pdf(seed, **kwargs)
         row = golden[doc_id]

@@ -1203,3 +1203,146 @@ def test_a85_ignores_all_pdf_whitespace():
 
     assert _a85_decode(b"9jqo\x0c^~>") == b"Man "
     assert _a85_decode(b"9j\x00qo^~>") == b"Man "
+
+
+# -- ruled-table extraction ---------------------------------------------------
+
+
+def _splice_content(raw: bytes) -> bytes:
+    """Valid one-page skeleton with ``raw`` as its content stream."""
+    pdf = build_pdf([[("text", 72, 700, 11, "x")]], compress=False)
+    pdf = pdf.replace(b"BT /F1 11 Tf 72 700 Td (x) Tj ET", raw)
+    return pdf.replace(b"/Length 32", b"/Length " + str(len(raw)).encode())
+
+
+def test_ruled_table_mixed_path_forms():
+    # outer border via re, inner rules via m/l; one word per cell; flow
+    # resumes after the grid
+    ops = [
+        ("text", 72, 740, 24, "Grid Doc"),
+        ("text", 72, 700, 11, "before the table"),
+        ("rect", 72, 500, 220, 96),
+        ("line", 72, 548, 292, 548),
+        ("line", 182, 500, 182, 596),
+        ("text", 80, 570, 10, "alpha"),
+        ("text", 190, 570, 10, "beta"),
+        ("text", 80, 522, 10, "gamma"),
+        ("text", 190, 522, 10, "delta"),
+        ("text", 72, 460, 11, "after the table"),
+    ]
+    spans = parse_pdf(build_pdf([ops]))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("heading", "Grid Doc"),
+        ("text", "before the table"),
+        ("table", "alpha | beta\ngamma | delta"),
+        ("text", "after the table"),
+    ]
+
+
+def test_plain_stroked_box_is_not_a_table():
+    # 2 horizontal + 2 vertical rules (a figure frame) never qualify:
+    # the text inside stays in normal flow
+    ops = [
+        ("rect", 72, 500, 220, 96),
+        ("text", 80, 540, 11, "framed callout"),
+    ]
+    spans = parse_pdf(build_pdf([ops]))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("text", "framed callout")
+    ]
+
+
+def test_clip_path_W_n_is_not_a_rule():
+    # the `W n` clipping idiom paints nothing — its rect must not feed
+    # the grid detector even when a real table sits on the page
+    raw = (
+        b"0 0 612 792 re W n\n"
+        b"72 500 220 96 re S\n"
+        b"72 548 m 292 548 l S\n"
+        b"182 500 m 182 596 l S\n"
+        b"BT /F1 10 Tf 80 570 Td (a) Tj ET\n"
+        b"BT /F1 10 Tf 190 570 Td (b) Tj ET\n"
+        b"BT /F1 10 Tf 80 522 Td (c) Tj ET\n"
+        b"BT /F1 10 Tf 190 522 Td (d) Tj ET"
+    )
+    spans = parse_pdf(_splice_content(raw))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "a | b\nc | d")
+    ]
+    # clip alone (no painted grid) leaves text untouched
+    raw2 = b"0 0 612 792 re W n\nBT /F1 11 Tf 72 700 Td (plain) Tj ET"
+    assert [
+        (s["kind"], s["text"]) for s in parse_pdf(_splice_content(raw2))
+    ] == [("text", "plain")]
+
+
+def test_filled_thin_rects_are_rules():
+    # producers draw grid lines as 1-unit filled rects; f commits them
+    raw = (
+        b"72 595 220 1 re f 72 547.5 220 1 re f 72 499 220 1 re f\n"
+        b"71.5 500 1 96 re f 181.5 500 1 96 re f 291.5 500 1 96 re f\n"
+        b"BT /F1 10 Tf 80 570 Td (a) Tj ET\n"
+        b"BT /F1 10 Tf 190 570 Td (b) Tj ET\n"
+        b"BT /F1 10 Tf 80 522 Td (c) Tj ET\n"
+        b"BT /F1 10 Tf 190 522 Td (d) Tj ET"
+    )
+    spans = parse_pdf(_splice_content(raw))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "a | b\nc | d")
+    ]
+
+
+def test_ruled_table_immune_to_column_major_xycut():
+    # a ruled 2-col table with >=3 rows per side and a >150-unit start
+    # gap used to satisfy the XY-cut and read column-major; the grid
+    # consumes those runs first, so the cells read row-major
+    rows = 4
+    top, row_h = 640.0, 24.0
+    bottom = top - rows * row_h
+    ops = [("rect", 72, bottom, 440, rows * row_h),
+           ("line", 292, bottom, 292, top)]
+    for i in range(1, rows):
+        ops.append(("line", 72, bottom + i * row_h, 512, bottom + i * row_h))
+    exp_rows = []
+    for i in range(rows):
+        y = top - i * row_h - 15
+        ops.append(("text", 80, y, 10, f"L{i}"))
+        ops.append(("text", 300, y, 10, f"R{i}"))
+        exp_rows.append(f"L{i} | R{i}")
+    spans = parse_pdf(build_pdf([ops]))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "\n".join(exp_rows))
+    ]
+
+
+def test_incomplete_grid_rejected():
+    # a grid whose inner vertical rule stops halfway is not COMPLETE:
+    # conservative fallback keeps every run in normal text flow
+    ops = [
+        ("rect", 72, 500, 220, 96),
+        ("line", 72, 548, 292, 548),
+        ("line", 182, 548, 182, 596),  # spans only the top half
+        ("text", 80, 570, 10, "aa"),
+        ("text", 190, 570, 10, "bb"),
+        ("text", 80, 522, 10, "cc"),
+    ]
+    spans = parse_pdf(build_pdf([ops]))
+    assert all(s["kind"] == "text" for s in spans)
+    assert [s["text"] for s in spans] == ["aa bb", "cc"]
+
+
+def test_synth_table_pdf_expected_sequence():
+    from helix_html2md_spark.sources.pdfgen import synth_table_pdf
+
+    for seed in (0, 1, 2, 3, 4, 5):
+        data, expected = synth_table_pdf(seed)
+        got = [
+            (
+                s["kind"],
+                s["text"]
+                if s["kind"] not in ("image", "link")
+                else s["media_ref"],
+            )
+            for s in parse_pdf(data)
+        ]
+        assert got == expected, seed
