@@ -712,19 +712,30 @@ _RULE_TOL = 3.0
 def _merge_rules(segs: list[tuple]) -> list[tuple[float, float, float]]:
     """Collapse collinear painted segments into maximal (pos, lo, hi)
     lines: positions within ``_RULE_CLUSTER`` are one line, and extents
-    along it merge when they overlap or nearly touch."""
-    out: list[tuple[float, float, float]] = []
-    for _, pos, lo, hi in sorted(segs, key=lambda s: (s[1], s[2])):
-        placed = False
-        for i, (p, plo, phi) in enumerate(out):
-            if abs(pos - p) <= _RULE_CLUSTER:
-                if lo <= phi + 2.0 and hi >= plo - 2.0:
-                    out[i] = (p, min(plo, lo), max(phi, hi))
-                    placed = True
-                    break
-        if not placed:
-            out.append((pos, lo, hi))
-    return out
+    along it merge when they overlap or nearly touch.  Runs to a
+    FIXPOINT: a merge can widen an entry until it reaches a neighbor
+    that was rejected earlier (dashes drawn out of extent order at
+    slightly different positions), so one first-fit pass is not
+    enough."""
+    cur: list[tuple[float, float, float]] = [
+        (pos, lo, hi)
+        for _, pos, lo, hi in sorted(segs, key=lambda s: (s[1], s[2]))
+    ]
+    while True:
+        out: list[tuple[float, float, float]] = []
+        for pos, lo, hi in cur:
+            placed = False
+            for i, (p, plo, phi) in enumerate(out):
+                if abs(pos - p) <= _RULE_CLUSTER:
+                    if lo <= phi + 2.0 and hi >= plo - 2.0:
+                        out[i] = (p, min(plo, lo), max(phi, hi))
+                        placed = True
+                        break
+            if not placed:
+                out.append((pos, lo, hi))
+        if len(out) == len(cur):
+            return out
+        cur = out
 
 
 def _detect_tables(
@@ -868,12 +879,11 @@ def _assemble_tables(
                 continue
 
             def cell_text(ri: int, ci: int) -> str:
-                runs = sorted(cells.get((ri, ci), []))
                 lines: list[str] = []
                 parts: list[tuple] = []
                 line_y: float | None = None
                 for y, x, size, text, ex in sorted(
-                    runs, key=lambda r: (-r[0], r[1])
+                    cells.get((ri, ci), []), key=lambda r: (-r[0], r[1])
                 ):
                     if line_y is not None and abs(y - line_y) > 0.5:
                         lines.append(_join_runs(parts))
@@ -1025,6 +1035,7 @@ def _run_content(
     tpen = 0.0  # pen offset along the baseline, TEXT-space units
     cm_y = 0.0
     cm_x = 0.0
+    gs_stack: list[tuple[float, float]] = []  # q/Q saved cm translation
     stack: list[bytes] = []
     # current path: axis-aligned candidate rule segments, committed on a
     # painting op, discarded on `n` (ISO 32000 §8.5.3) — coordinates
@@ -1104,9 +1115,14 @@ def _run_content(
             end_t = tpen + adv + spacing
             # the run carries BOTH its start and estimated end x: the
             # line fold uses the start-vs-previous-end gap to infer
-            # inter-word spaces for per-word-positioned producers
-            sx, sy = lx + tpen * ma, ly + tpen * mb
-            ex, ey = lx + end_t * ma, ly + end_t * mb
+            # inter-word spaces for per-word-positioned producers.
+            # The prevailing cm translation applies here too — rules,
+            # images and text must live in ONE device frame or a
+            # producer drawing its grid and cells under one `q .. cm`
+            # translate (Cairo does) would put the grid bbox and the
+            # text it must capture in different coordinate spaces
+            sx, sy = lx + tpen * ma + cm_x, ly + tpen * mb + cm_y
+            ex, ey = lx + end_t * ma + cm_x, ly + end_t * mb + cm_y
             if abs(mb) < 1e-9:
                 # horizontal baseline (the identity fast path emits
                 # exactly the pre-matrix coordinates)
@@ -1233,10 +1249,20 @@ def _run_content(
                 tj_cids if cur_cmap is not None else None,
             )
         elif t == b"cm" and len(stack) >= 6:
+            # translation-only CTM tracking: `cm` CONCATENATES, so the
+            # new offset composes onto the prevailing one (§8.3.4);
+            # rotation/scale components are ignored (documented
+            # approximation — positioning producers translate)
             try:
-                cm_x, cm_y = float(stack[-2]), float(stack[-1])
+                cm_x += float(stack[-2])
+                cm_y += float(stack[-1])
             except ValueError:
                 pass
+        elif t == b"q":
+            gs_stack.append((cm_x, cm_y))
+        elif t == b"Q":
+            if gs_stack:
+                cm_x, cm_y = gs_stack.pop()
         elif t == b"re" and len(stack) >= 4:
             try:
                 rx, ry, rw, rh = (float(v) for v in stack[-4:])

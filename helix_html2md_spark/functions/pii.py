@@ -19,8 +19,11 @@ The IPv4 pattern is deliberately the conventional naive form (it accepts
 999.999.999.999): octet-range tightening triples the pattern for a
 false-positive class that barely exists in real text, and corpus
 scrubbing errs toward over-masking.  Phone matching is conservative —
-an international-prefix-or-paren start, then 7-14 digits with common
-separators, ending in a digit — to keep years/prices/ids unmasked.
+strictly NANP-shaped (optional +1-3-digit country code, optional
+parenthesized area code, then exactly 3-3-4 digit groups with
+explicit separators) — to keep years, ISO dates, prices and long id
+runs unmasked; bare 7-digit or unseparated international forms are
+deliberately out of scope.
 """
 
 from __future__ import annotations
@@ -71,7 +74,10 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     matches it).
     """
     cols = [F.col(c) for c in docs.columns if c != text_col]
-    cur = F.col(text_col)
+    # NULL text must yield 0-counts, not NULL: size(regexp_extract_all)
+    # propagates NULL, which would make has_pii NULL and silently drop
+    # the row from both `has_pii = 0` and `has_pii = 1` filters
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for pattern, token, name in _PASSES:
         counts.append(_count(cur, pattern).alias(name))

@@ -37,6 +37,24 @@ def char_count(col) -> Column:
     return F.length(col)
 
 
+def token_ngrams(toks_col, n: int) -> Column:
+    """Token n-grams over a TOKEN-ARRAY column, as space-joined strings.
+
+    The one shared windower (corpus gram coverage and dedup window
+    hashing both build on it — one guard to maintain, not two).
+    Guarded: ``sequence(0, size-n)`` DESCENDS when ``size < n`` (Spark
+    steps -1 toward a smaller stop), fabricating negative slice
+    indices — a short document must yield an empty gram array
+    instead."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(col) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (equivalent of a bag-of-words content hash)."""

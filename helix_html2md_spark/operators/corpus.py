@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import STOPWORDS, char_count, tokens
+from ..functions.text import STOPWORDS, char_count, token_ngrams, tokens
 from .dedup import _PERSISTED
 
 
@@ -159,23 +159,33 @@ GOPHER_MEAN_LEN_MILLI = (3_000, 10_000)  # mean token length in [3, 10]
 GOPHER_MIN_STOP_DISTINCT = 2    # >= 2 distinct stop words present
 
 
-def _ngrams(toks_col, n: int):
-    """Token n-grams as space-joined strings.
+# shared guarded windower (functions/text.py): the descending-sequence
+# guard lives in ONE place for both gram coverage here and dedup's
+# window hashing
+_ngrams = token_ngrams
 
-    Guarded: ``sequence(0, size-n)`` DESCENDS when ``size < n`` (Spark
-    steps -1 toward a smaller stop), fabricating negative indices — a
-    short document must yield an empty gram array instead."""
-    return F.when(
-        F.size(toks_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks_col) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+def _token_base(docs: DataFrame) -> DataFrame:
+    """Persisted ``(doc_id, toks, n_chars)`` base: tokenize ONCE and
+    materialize, so every consumer reads the token column instead of
+    re-running the regexp split (and so repeated references to ``toks``
+    in one select read a stored array rather than inlining the
+    tokenizer per reference)."""
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        char_count(F.col("text")).alias("n_chars"),
+    )
+    base = base.persist()
+    _PERSISTED.append(base)
+    return base
 
 
 def repetition_stats(
-    docs: DataFrame, top_n: int = 2, dup_n: int = 5
+    docs: DataFrame,
+    top_n: int = 2,
+    dup_n: int = 5,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document Gopher-style repetition metrics, integer-exact.
 
@@ -200,14 +210,10 @@ def repetition_stats(
     carry the doc_id, so no gram (stopword pairs included) can funnel
     one task; fan-out is bounded by tokens-per-document.
     """
-    base = docs.select(
-        "doc_id",
-        tokens(F.col("text")).alias("toks"),
-        char_count(F.col("text")).alias("n_chars"),
-    )
-    # feeds both gram pipelines + the final join: break the diamond
-    base = base.persist()
-    _PERSISTED.append(base)
+    # feeds both gram pipelines + the final join: the persisted base
+    # breaks the diamond (gopher_filter passes its own so the whole
+    # filter tokenizes the corpus exactly once)
+    base = _base if _base is not None else _token_base(docs)
 
     def coverage(n: int, top_alias: str, dup_alias: str) -> DataFrame:
         grams = base.select(
@@ -267,8 +273,13 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     duplicated 5-grams cover <= 15% of characters.
     """
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    toks = tokens(F.col("text"))
-    per_doc = docs.select(
+    # ONE tokenize for the whole filter: the persisted base feeds the
+    # per-doc metrics here AND both of repetition_stats' gram
+    # pipelines — and its stored `toks` column means the three
+    # references below read an array, not three inlined regexp splits
+    base = _token_base(docs)
+    toks = F.col("toks")
+    per_doc = base.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.aggregate(
@@ -282,7 +293,7 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
             )
         ).alias("n_stop_distinct"),
     )
-    rep = repetition_stats(docs)
+    rep = repetition_stats(docs, _base=base)
     j = per_doc.join(
         rep.select("doc_id", "top_gram_ppm", "dup_gram_ppm"), "doc_id"
     ).withColumn(

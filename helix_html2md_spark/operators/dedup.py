@@ -23,7 +23,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import token_ngrams, tokens
 
 N_BANDS = 4
 # md5 hex alphabet used for digit -> int decoding on both engines
@@ -686,19 +686,11 @@ def dedup_segments(
 
 
 def _window_hashes(toks: Column, window: int) -> Column:
-    """md5 of every overlapping ``window``-token run (stride 1).
-
-    Guarded like corpus._ngrams: ``sequence(0, size-window)`` DESCENDS
-    when the document is shorter than the window, so short docs must map
-    to an empty array instead of negative slice indices.
-    """
-    return F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """md5 of every overlapping ``window``-token run (stride 1), built
+    on the ONE shared guarded windower (functions/text.py
+    ``token_ngrams`` — short docs yield an empty array there, so the
+    descending-sequence guard has a single home)."""
+    return F.transform(token_ngrams(toks, window), F.md5)
 
 
 def dup_window_stats(docs: DataFrame, window: int = 50) -> DataFrame:

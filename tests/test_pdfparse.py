@@ -1346,3 +1346,47 @@ def test_synth_table_pdf_expected_sequence():
             for s in parse_pdf(data)
         ]
         assert got == expected, seed
+
+
+def test_table_under_cm_translation():
+    # a producer drawing grid AND cells under one `q .. cm` translate
+    # (Cairo layout): rules and text must land in the same device
+    # frame, and Q must restore the offset for what follows
+    raw = (
+        b"q 1 0 0 1 0 -300 cm\n"
+        b"72 500 220 96 re S\n"
+        b"72 548 m 292 548 l S\n"
+        b"182 500 m 182 596 l S\n"
+        b"BT /F1 10 Tf 80 570 Td (a) Tj ET\n"
+        b"BT /F1 10 Tf 190 570 Td (b) Tj ET\n"
+        b"BT /F1 10 Tf 80 522 Td (c) Tj ET\n"
+        b"BT /F1 10 Tf 190 522 Td (d) Tj ET\n"
+        b"Q\n"
+        b"BT /F1 11 Tf 72 250 Td (unrelated body line) Tj ET"
+    )
+    spans = parse_pdf(_splice_content(raw))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "a | b\nc | d"),
+        ("text", "unrelated body line"),
+    ]
+
+
+def test_dashed_rules_merge_to_fixpoint():
+    # one horizontal rule stroked as dashes out of extent order at
+    # slightly different y: first-fit alone leaves two entries and the
+    # COMPLETE check would reject the grid
+    raw = (
+        b"72 596 m 150 596 l S 230 595.5 m 292 595.5 l S "
+        b"140 596.4 m 240 596.4 l S\n"
+        b"72 500 220 96 re S\n"
+        b"72 548 m 292 548 l S\n"
+        b"182 500 m 182 596 l S\n"
+        b"BT /F1 10 Tf 80 570 Td (a) Tj ET\n"
+        b"BT /F1 10 Tf 190 570 Td (b) Tj ET\n"
+        b"BT /F1 10 Tf 80 522 Td (c) Tj ET\n"
+        b"BT /F1 10 Tf 190 522 Td (d) Tj ET"
+    )
+    spans = parse_pdf(_splice_content(raw))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "a | b\nc | d")
+    ]

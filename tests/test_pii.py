@@ -134,3 +134,22 @@ def test_plan_is_pure_jvm(spark):
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # row-local: no shuffle at all
+
+
+def test_null_text_counts_are_zero(spark):
+    # size(regexp_extract_all(NULL)) is NULL — without the coalesce a
+    # NULL-text row got NULL counts and a NULL has_pii, invisible to
+    # both has_pii = 0 and has_pii = 1 filters
+    df = spark.createDataFrame(
+        [("a", None), ("b", "mail x@y.io")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (
+        rows["a"]["n_emails"], rows["a"]["n_ipv4"],
+        rows["a"]["n_phones"], rows["a"]["has_pii"],
+    ) == (0, 0, 0, 0)
+    assert rows["b"]["has_pii"] == 1
+    # redaction keeps NULL text NULL (no fabricated empty string)
+    red = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+    assert red["a"] is None and red["b"] == "mail <EMAIL>"
