@@ -86,11 +86,21 @@ def _text(el: Element) -> str:
     return _norm("".join(parts))
 
 
+_CAMEL_SPLIT = re.compile(r"(?<=[a-z])(?=[A-Z])")
+
+
 def _is_noise(el: Element) -> bool:
     if el.tag in _NOISE_TAGS:
         return True
     hint = f"{el.attrs.get('class') or ''} {el.attrs.get('id') or ''}"
-    return bool(hint.strip()) and bool(_NOISE_HINT.search(hint))
+    if not hint.strip():
+        return False
+    # camelCase word boundaries become spaces BEFORE matching: the
+    # anchored alternatives ('ads?'/'nav...') delimit on non-letters,
+    # and under re.I the [^a-z] class excludes uppercase too — without
+    # the split, 'topNav'/'mainNav'/'adSense' (very common real-world
+    # classes) would never anchor-match
+    return bool(_NOISE_HINT.search(_CAMEL_SPLIT.sub(" ", hint)))
 
 
 def _clean(el: Element) -> None:
@@ -136,9 +146,10 @@ def select_content(root: Element, min_para_len: int = 25) -> Element | None:
 
 def _best_candidate(
     root: Element, min_para_len: int
-) -> tuple[Element, tuple, dict[int, int]] | None:
+) -> tuple[Element, tuple, dict[int, int], str, int] | None:
     """(winner element, its (-final, order) key, per-candidate paragraph
-    counts) — or None when nothing scores."""
+    counts, winner's normalized text, winner's link-text length) — or
+    None when nothing scores."""
     body = root.find("body") or root
     _clean(body)
 
@@ -187,19 +198,24 @@ def _best_candidate(
         return None
 
     by_id = {id(el): el for el in seq}
-    best_el, best_final = None, None
+    best_el, best_final, best_text, best_link = None, None, "", 0
     for el_id, raw in scores.items():
         el = by_id.get(el_id)
         if el is None:
             continue
-        text_len = len(_text(el))
+        text = _text(el)
+        text_len = len(text)
         link_len = _link_text_len(el)
         density = (link_len / text_len) if text_len else 1.0
         final = raw * (1.0 - density)
         key = (-final, order.get(el_id, 1 << 30))
         if best_final is None or key < best_final:
             best_final, best_el = key, el
-    return best_el, best_final, para_counts
+            best_text, best_link = text, link_len
+    # the winner's text and link length ride along: strip_boilerplate
+    # would otherwise re-walk the same subtree twice for values this
+    # loop just computed
+    return best_el, best_final, para_counts, best_text, best_link
 
 
 def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
@@ -217,10 +233,8 @@ def strip_boilerplate(html: str, min_para_len: int = 25) -> dict:
             "content_text": "", "text_len": 0, "link_density": 0.0,
             "n_paras": 0, "score": 0,
         }
-    el, best_final, para_counts = got
-    text = _text(el)
+    el, best_final, para_counts, text, link_len = got
     text_len = len(text)
-    link_len = _link_text_len(el)
     density = round((link_len / text_len) if text_len else 1.0, 4)
     return {
         "status": "ok",

@@ -76,13 +76,38 @@ def _partial_batches(
         yield pd.DataFrame(out)
 
 
-def label_centroids(emb: DataFrame, *, partial: bool = False) -> DataFrame:
-    """Per-label mean embedding: (label, n_vecs, centroid)."""
+def label_centroids(
+    emb: DataFrame, *, partial: bool = False, dim: int | None = None
+) -> DataFrame:
+    """Per-label mean embedding: (label, n_vecs, centroid).
+
+    Rows whose embedding is NULL or whose length differs from the
+    corpus dimensionality are EXCLUDED before the Python stage: one
+    corrupt row must degrade itself, not abort the whole aggregation
+    (``np.stack`` raises on ragged input, and a NULL arrives as a
+    row-killing None).  ``dim`` pins the expected dimensionality; when
+    omitted it is inferred with one cheap count-per-length aggregate
+    (majority length, smaller-length tie-break — deterministic on any
+    engine).  Pass ``dim`` explicitly on the 100 TB path to skip the
+    inference scan.
+    """
+    vecs = emb.select("label", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
+    if dim is None:
+        row = (
+            vecs.groupBy(F.size("embedding").alias("_d"))
+            .count()
+            .orderBy(F.desc("count"), "_d")
+            .first()
+        )
+        dim = int(row["_d"]) if row is not None else 0
+    vecs = vecs.filter(F.size("embedding") == dim)
     if not partial:
-        return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        return vecs.groupBy("label").applyInPandas(
             _centroid_fn, CENTROID_SCHEMA
         )
-    partials = emb.select("label", "embedding").mapInPandas(
+    partials = vecs.mapInPandas(
         _partial_batches,
         "pid int, bi int, label int, n_vecs bigint, vec_sum array<double>",
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import token_count, tokens
 
 
 def pack_sequences(
@@ -55,12 +55,21 @@ def pack_sequences(
     were collected under (within one action the exchange is shared, so
     a single materialization is always self-consistent).
     """
+    if seq_len <= 0:
+        # fail at call time, not as a mid-job DIVIDE_BY_ZERO (ANSI on)
+        # or an all-NULL pack assignment (ANSI off)
+        raise ValueError("seq_len must be positive")
+    if partition_by_shard and n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    if num_partitions is not None and num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
     # null text (failed extraction) = 0 tokens: tokens(NULL) is NULL and
     # a NULL n_tokens would both null out this doc's pack assignment and
     # crash the driver-side offset fold when a whole range partition is
     # null-text (max(_cum) NULL -> int(None)); zero keeps the documented
     # one-row-per-input-document contract with a deterministic slot
-    n_tok = F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+    # (token_count is the one oracle-shared token-count definition)
+    n_tok = F.coalesce(token_count(F.col("text")), F.lit(0))
     base = docs.select("doc_id", n_tok.alias("n_tokens"))
 
     def emit(df: DataFrame, start) -> DataFrame:
@@ -125,30 +134,57 @@ def pack_sequences(
         .withColumn("shard", F.lit(0))
     )
     w = Window.partitionBy("_pid").orderBy("doc_id")
+    wp = Window.partitionBy("_pid")  # whole-partition frame, same stage
     local = local.withColumn(
         "_cum", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn(
+        # per-partition fingerprint (total tokens + row count), computed
+        # in the SAME stage as _cum and persisted with it: if the cache
+        # is lost and the range exchange re-executes with fresh sample
+        # bounds, the recomputed fingerprints shift with the bounds and
+        # the equality check below catches it — a pid-presence check
+        # alone cannot (a re-executed exchange reproduces the same pid
+        # universe 0..p-1, so every pid would still "find" a stale
+        # offset and silently mispack)
+        "_ptot", F.max("_cum").over(wp).cast("long")
+    ).withColumn(
+        "_pcnt", F.count("*").over(wp).cast("long")
     )
     local = local.persist()
     _PERSISTED.append(local)
     totals = sorted(
-        local.groupBy("_pid").agg(F.max("_cum").alias("_t")).collect(),
+        local.groupBy("_pid")
+        .agg(
+            F.max("_cum").alias("_t"),
+            F.count("*").alias("_c"),
+        )
+        .collect(),
         key=lambda r: r["_pid"],
     )
     offsets, acc = [], 0
     for r in totals:
-        offsets.append((int(r["_pid"]), acc))
+        offsets.append((int(r["_pid"]), acc, int(r["_t"]), int(r["_c"])))
         acc += int(r["_t"])
-    off = spark.createDataFrame(offsets, "_pid int, _off long")
+    off = spark.createDataFrame(
+        offsets, "_pid int, _off long, _tot long, _cnt long"
+    )
     joined = local.join(F.broadcast(off), "_pid", "left")
-    # a _pid absent from the collected offsets means the range exchange
-    # re-executed with fresh sample bounds (cache lost / released before
-    # materialization) — fail LOUDLY rather than packing at offset 0
-    off_checked = F.when(F.col("_off").isNotNull(), F.col("_off")).otherwise(
+    # stale-offset guard: offsets were collected from the persisted
+    # phase-1 table; a missing pid OR a fingerprint mismatch means the
+    # exchange re-executed after the cache was lost (released before
+    # materialization) — fail LOUDLY rather than mispacking
+    fresh = (
+        F.col("_off").isNotNull()
+        & (F.col("_ptot") == F.col("_tot"))
+        & (F.col("_pcnt") == F.col("_cnt"))
+    )
+    off_checked = F.when(fresh, F.col("_off")).otherwise(
         F.raise_error(
             F.lit(
-                "pack_sequences: partition id missing from collected "
-                "offsets — the range exchange re-executed after the "
-                "phase-1 cache was lost; materialize the result before "
+                "pack_sequences: collected offsets do not match the "
+                "live phase-1 partitions — the range exchange "
+                "re-executed after the phase-1 cache was lost; "
+                "materialize the result before "
                 "dedup.release_persisted()"
             )
         ).cast("long")

@@ -163,3 +163,22 @@ def test_hostile_html_never_raises():
     for html in cases:
         out = strip_boilerplate(html)
         assert out["status"] in ("ok", "no_content")
+
+
+def test_camelcase_noise_classes_are_stripped():
+    """'topNav'/'adSense'-style camelCase class hints must match the
+    noise regex: under re.I the [^a-z] delimiter class excludes
+    uppercase, so word boundaries are synthesized by splitting
+    camelCase before matching (round-5 review finding)."""
+    para = "Real article content, long enough to score as a paragraph."
+    html = (
+        "<html><body>"
+        '<div class="topNav"><a href="/a">AAA</a><a href="/b">BBB</a>'
+        '<a href="/c">CCC</a><a href="/d">DDD</a></div>'
+        f"<div class='article'><p>{para}</p><p>{para}</p></div>"
+        "</body></html>"
+    )
+    out = strip_boilerplate(html)
+    assert out["status"] == "ok"
+    assert "AAA" not in out["content_text"]
+    assert para in out["content_text"]

@@ -76,3 +76,35 @@ def test_null_label_is_a_group_in_both_variants(spark):
         assert set(rows) == {1, None}, partial
         assert rows[1]["centroid"] == [2.0, 2.0], partial
         assert rows[None]["centroid"] == [3.0, 4.0], partial
+
+
+def test_corrupt_embedding_rows_are_excluded_not_fatal(spark):
+    """One NULL or ragged-length embedding must degrade itself, not
+    abort the stage: np.stack raises on ragged input and a NULL arrives
+    as a row-killing None, so both are filtered before the Python
+    stage (round-5 review finding)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, None), (2, [9.0]), (2, [3.0, 4.0])],
+        "label int, embedding array<double>",
+    )
+    for partial in (False, True):
+        rows = {
+            r["label"]: r
+            for r in label_centroids(emb, partial=partial).collect()
+        }
+        assert set(rows) == {1, 2}, partial
+        assert rows[1]["centroid"] == [1.0, 2.0], partial
+        assert rows[2]["centroid"] == [3.0, 4.0], partial
+        assert rows[1]["n_vecs"] == 1 and rows[2]["n_vecs"] == 1
+
+
+def test_explicit_dim_skips_inference_scan(spark):
+    """dim= pins the corpus dimensionality (the 100 TB path): rows of
+    any other length are excluded, and no extra aggregate job runs."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [5.0, 6.0, 7.0])],
+        "label int, embedding array<double>",
+    )
+    rows = label_centroids(emb, dim=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["centroid"] == [5.0, 6.0, 7.0]

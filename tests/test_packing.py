@@ -88,3 +88,19 @@ def test_pack_sequences_null_text_docs(spark):
     assert len(rows) == 3
     assert rows["d0"]["n_tokens"] == 0 and rows["d0"]["pack_id"] == 0
     assert rows["d2"]["pack_id"] == 0 and rows["d2"]["offset_in_pack"] == 0
+
+
+def test_pack_sequences_validates_params(spark):
+    """seq_len<=0 must fail at call time with ValueError, not mid-job
+    as DIVIDE_BY_ZERO (ANSI on) or all-NULL packs (ANSI off)."""
+    import pytest
+
+    docs = _docs(spark, ["a b c"])
+    for kwargs in (
+        {"seq_len": 0},
+        {"seq_len": -3},
+        {"seq_len": 8, "partition_by_shard": True, "n_shards": 0},
+        {"seq_len": 8, "num_partitions": 0},
+    ):
+        with pytest.raises(ValueError):
+            pack_sequences(docs, **kwargs)
