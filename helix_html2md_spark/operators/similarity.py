@@ -468,3 +468,237 @@ def ivf_sq_topk_from_index(
         F.broadcast(cands.select("vec_id")), "vec_id"
     )
     return cosine_topk(survivors, query_vec, k)
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = 8, ksub: int = 16, sample: int = 2048
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``m`` subspaces of
+    ``dim/m`` components, ``ksub`` codewords each (the FAISS ``PQm``
+    trainer shape).
+
+    Training runs on a DETERMINISTIC driver-side sample (the ``sample``
+    lowest vec_ids): codebook quality needs only a representative
+    sample, so train cost is O(sample * ksub) regardless of corpus
+    size — at 100 TB the sample read is a LIMIT-pushed scan of a few
+    thousand rows, not a corpus pass.  Seeding (first ``ksub`` distinct
+    sub-vectors in vec_id order) + one Lloyd refinement pass mirror
+    :func:`train_centroids`'s kmeans-lite: every step is deterministic,
+    so two builds over the same corpus emit byte-identical codebooks.
+    """
+    if m <= 0 or ksub <= 0:
+        raise ValueError("m and ksub must be positive")
+    rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(sample)
+        .select("embedding")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks: no non-null embeddings")
+    dim = len(rows[0]["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    vecs = [
+        [float(v) for v in r["embedding"]]
+        for r in rows
+        if len(r["embedding"]) == dim
+    ]
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        subs = [v[i * dsub : (i + 1) * dsub] for v in vecs]
+        seeds: list[list[float]] = []
+        for s in subs:  # first ksub DISTINCT sub-vectors, vec_id order
+            if s not in seeds:
+                seeds.append(s)
+            if len(seeds) == ksub:
+                break
+        while len(seeds) < ksub:  # degenerate corpus: pad (dup codewords
+            seeds.append(list(seeds[-1]))  # are harmless — argmin ties
+        # one Lloyd pass: assign to nearest seed (first wins ties), move
+        # each codeword to its members' mean
+        sums = [[0.0] * dsub for _ in range(ksub)]
+        counts = [0] * ksub
+        for s in subs:
+            best, bd = 0, None
+            for ci, c in enumerate(seeds):
+                d = sum((a - b) * (a - b) for a, b in zip(s, c))
+                if bd is None or d < bd:
+                    best, bd = ci, d
+            counts[best] += 1
+            for j, a in enumerate(s):
+                sums[best][j] += a
+        book = [
+            [x / counts[ci] for x in sums[ci]] if counts[ci] else seeds[ci]
+            for ci in range(ksub)
+        ]
+        books.append(book)
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Adds ``codes``: per-subspace nearest-codeword index (array<int>
+    of length m, values in [0, ksub)).
+
+    Pure JVM: m*ksub squared-L2 folds per row inside codegen, zero
+    shuffle.  Each subspace slice is materialized as a column FIRST —
+    referenced directly inside the ksub distance expressions it would
+    be inlined and re-sliced per codeword (the O(d^2) inlining
+    pitfall).  Distances round to 6dp before the argmin (first minimal
+    index wins) so near-ties can't flip on last-bit float differences
+    — the same cross-engine contract as :func:`ivf_assign`.
+    """
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must be non-empty")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = emb.withColumn(
+        "_x", F.transform("embedding", lambda v: v.cast("double"))
+    )
+    for i in range(m):
+        out = out.withColumn(
+            f"_s{i}", F.slice("_x", i * dsub + 1, dsub)
+        )
+    codes = []
+    for i, book in enumerate(codebooks):
+        sub = F.col(f"_s{i}")
+        dists = F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    6,
+                )
+                for c in book
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out.withColumn("codes", F.array(*codes)).drop(
+        "_x", *[f"_s{i}" for i in range(m)]
+    )
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Persist an IVF index with product-quantized storage (the FAISS
+    ``IVF,PQm`` layout): m uint8 codes per vector — for d=64/m=8 that is
+    8 bytes/vector vs SQ8's 64+16, another ~8x less probe I/O, the
+    layout that keeps a 10^12-vector index memory-mappable.
+
+    Same on-disk shape as the Flat/SQ builders: ``partitionBy("cell")``
+    makes the probe's ``cell IN (...)`` a FILE-level partition filter;
+    repartition-on-cell first keeps one file per cell.  The codebooks
+    persist beside the centroids — serving reads BOTH tiny tables, so
+    an index is self-contained (no out-of-band codebook handoff that
+    could drift from the codes)."""
+    spark = emb.sparkSession
+    rows = pq_encode(ivf_assign(emb, centroids), codebooks).select(
+        "vec_id", "label", "cell", "codes"
+    )
+    rows.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (i, ci, [float(v) for v in c])
+            for i, book in enumerate(codebooks)
+            for ci, c in enumerate(book)
+        ],
+        "sub int, code int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    path: str,
+    exact_emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rescore: int | None = None,
+) -> DataFrame:
+    """ANN top-k served from a persisted IVF-PQ index via asymmetric
+    distance computation (ADC): the query is NOT quantized — per
+    subspace, dot(query_sub, codeword) and ||codeword||^2 are
+    precomputed driver-side into m*ksub lookup tables, so scoring a
+    vector is m table lookups + adds (no per-row vector math at all).
+
+    approx cosine = sum_i LUT_dot[i][code_i]
+                    / (sqrt(sum_i LUT_n2[i][code_i]) * ||q||)
+    — the codeword-reconstruction cosine, exactly what scoring the
+    reconstructed vector would give, at 1/dsub the flops.  The LUTs
+    ride into the plan as literal arrays indexed by ``i*ksub + code``
+    (zip_with over (codes, 0..m-1) + element_at): pure JVM, zero
+    shuffle, probe-pruned scan.  Top ``rescore`` candidates (default
+    4k, 6dp-rounded cutoff like the SQ server) broadcast into the
+    full-precision base table for the exact final top-k."""
+    rescore = rescore or 4 * k
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    centroids = [list(r["centroid"]) for r in cents]
+    probe = _probe_cells(query_vec, centroids, nprobe)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["sub"] for r in cb_rows) + 1
+    ksub = max(r["code"] for r in cb_rows) + 1
+    books: list[list[list[float]]] = [
+        [None] * ksub for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        books[r["sub"]][r["code"]] = list(r["codeword"])
+    dsub = len(books[0][0])
+    lut_dot, lut_n2 = [], []
+    for i in range(m):
+        qs = query_vec[i * dsub : (i + 1) * dsub]
+        for c in books[i]:
+            lut_dot.append(sum(float(a) * float(b) for a, b in zip(qs, c)))
+            lut_n2.append(sum(float(v) * float(v) for v in c))
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5 or 1.0
+    dot_flat = F.array(*[F.lit(v) for v in lut_dot])
+    n2_flat = F.array(*[F.lit(v) for v in lut_n2])
+    idx = F.zip_with(
+        "codes",
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, i: i * F.lit(ksub) + c + 1,
+    )
+    adot = F.aggregate(
+        idx, F.lit(0.0), lambda acc, j: acc + F.element_at(dot_flat, j)
+    )
+    an2 = F.aggregate(
+        idx, F.lit(0.0), lambda acc, j: acc + F.element_at(n2_flat, j)
+    )
+    approx = F.when(an2 == 0, F.lit(None)).otherwise(
+        adot / (F.sqrt(an2) * F.lit(qn))
+    )
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe)
+    )
+    cands = (
+        vecs.select("vec_id", F.round(approx, 6).alias("approx"))
+        .orderBy(F.desc("approx"), "vec_id")
+        .limit(rescore)
+    )
+    survivors = exact_emb.join(
+        F.broadcast(cands.select("vec_id")), "vec_id"
+    )
+    return cosine_topk(survivors, query_vec, k)

@@ -466,3 +466,78 @@ def test_asof_join_null_keys_and_timestamps(spark):
         ).collect()
     }
     assert out == {(1, 10, None, None), (None, 10, None, None)}
+
+
+def test_pq_encode_pure_jvm_and_deterministic(spark):
+    from helix_html2md_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, ksub=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    # deterministic: same corpus -> identical codebooks
+    assert books == train_pq_codebooks(emb, m=8, ksub=16)
+    out = pq_encode(emb, books)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    rows = out.select("vec_id", "codes").orderBy("vec_id").collect()
+    assert rows == out.select("vec_id", "codes").orderBy("vec_id").collect()
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        pq_encode(emb, [])
+
+
+def test_ivf_pq_index_pruning_and_rescore(spark, tmp_path):
+    """IVF-PQ serving: probe filter is a PARTITION filter on the code
+    scan; ADC scoring is pure JVM over the m-code arrays; candidates
+    broadcast into the base table; exact rescore at rescore=64 agrees
+    with the full-precision Flat path on this corpus."""
+    from helix_html2md_spark.operators.similarity import (
+        build_ivf_index, build_ivf_pq_index, ivf_pq_topk_from_index,
+        ivf_topk_from_index, train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [
+        list(r["embedding"])
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    base = emb.filter("vec_id != 0")
+    books = train_pq_codebooks(base, m=8, ksub=16)
+    pq_path = str(tmp_path / "pq")
+    build_ivf_pq_index(base, pq_path, seeds, books)
+    out = ivf_pq_topk_from_index(
+        spark, pq_path, base, seeds[0], k=5, nprobe=2, rescore=64
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = plan.split("PartitionFilters")[1:]
+    assert any("cell" in s[:120] for s in scans), plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    rows = out.collect()
+    assert len(rows) == 5
+    flat_path = str(tmp_path / "flat")
+    build_ivf_index(base, flat_path, seeds)
+    flat = ivf_topk_from_index(
+        spark, flat_path, seeds[0], k=5, nprobe=2
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in rows] == [
+        (r["vec_id"], r["cosine"]) for r in flat
+    ]
+    # the index stores m uint8-range codes per vector, NOT raw arrays
+    stored = spark.read.parquet(f"{pq_path}/vectors")
+    kinds = dict(stored.dtypes)
+    assert kinds["codes"] == "array<int>" and "embedding" not in kinds
+    assert stored.select(F.max(F.size("codes"))).collect()[0][0] == 8
+    # self-contained: codebooks persisted beside the centroids
+    cb = spark.read.parquet(f"{pq_path}/codebooks")
+    assert cb.count() == 8 * 16
