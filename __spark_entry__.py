@@ -1172,7 +1172,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             f AS (
               SELECT *, CASE WHEN prev_ts IS NULL
-                              OR epoch(ts) - epoch(prev_ts) > 1800
+                              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                          THEN 1 ELSE 0 END AS new_session
               FROM g),
             s AS (

@@ -80,14 +80,17 @@ def region_rollup(
     )
 
 
-def region_nation_cube(
+def region_nation_rollup(
     customer: DataFrame, nation: DataFrame, region: DataFrame
 ) -> DataFrame:
     """Hierarchical subtotals via ROLLUP grouping sets (region -> nation
     -> grand total): two broadcast joins feed one grouping-sets
     aggregate — Spark expands the rollup into one shuffle with a
     grouping-id column, no Union of per-level scans.  Null grouping
-    columns mark subtotal rows, exactly as in ANSI SQL ROLLUP."""
+    columns mark subtotal rows, exactly as in ANSI SQL ROLLUP.
+    (Named for what it computes: ``.rollup`` emits region/nation,
+    region, and grand-total sets — NOT the nation-only sets a CUBE
+    would add.)"""
     return (
         customer.join(
             F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
@@ -108,18 +111,20 @@ def user_event_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization via windows: lag -> new-session flag ->
     running session id; per-session aggregates."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(gap_minutes * 60)
+    # MICROSECOND-exact gap arithmetic: unix_timestamp() truncates to
+    # whole seconds, so a 1800.5s gap would compare 1800 > 1800 = false
+    # and silently merge two sessions the fractional-epoch oracle (and
+    # the stateful sessionizer's float .timestamp() compare) would
+    # split.  ts is timestamp_ntz; the cast runs under the UTC session
+    # timezone build_session pins, matching DuckDB epoch_us exactly.
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.col("prev_ts").cast("timestamp"))
     with_gap = events.withColumn(
         "prev_ts", F.lag("ts").over(w)
     ).withColumn(
         "new_session",
-        (
-            F.col("prev_ts").isNull()
-            | (
-                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                > gap
-            )
-        ).cast("int"),
+        (F.col("prev_ts").isNull() | (t_us - prev_us > gap)).cast("int"),
     )
     with_sid = with_gap.withColumn(
         "session_seq", F.sum("new_session").over(w)
@@ -298,16 +303,51 @@ def interval_join(
         raise ValueError("high must be greater than low")
     if bucket is not None and bucket <= 0:
         raise ValueError("bucket width must be positive")
-    w = bucket or (high - low)
-    lb = F.floor((F.col(on) + F.lit(low)) / F.lit(w)).cast("long")
-    ub = F.floor((F.col(on) + F.lit(high)) / F.lit(w)).cast("long")
-    l_tag = left.withColumn("_b", F.explode(F.sequence(lb, ub)))
+    w = int(bucket or (high - low))
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    integral = (
+        dict(left.dtypes).get(on) in _integral
+        and dict(right.dtypes).get(on) in _integral
+    )
+
+    def _fdiv(x: str):
+        # Exact floor division for integral `on`: subtract the
+        # nonnegative pmod remainder so the numerator is an exact
+        # multiple of w, then bigint `div` (truncation == floor on
+        # exact multiples).  The naive F.floor(x / w) divides in
+        # FLOAT64 and silently mis-buckets beyond 2^53 — nanosecond
+        # epochs (~1.7e18) would land boundary rows in bucket k±1 and
+        # DROP matches the residual filter never sees.
+        return F.expr(f"({x} - pmod({x}, {w})) div {w}")
+
+    if integral:
+        l_tag = (
+            left.withColumn("_xlo", F.col(on).cast("long") + F.lit(low))
+            .withColumn("_xhi", F.col(on).cast("long") + F.lit(high))
+            .withColumn(
+                "_b", F.explode(F.sequence(_fdiv("_xlo"), _fdiv("_xhi")))
+            )
+            .drop("_xlo", "_xhi")
+        )
+    else:
+        # fractional `on` keeps the double path: its values already
+        # quantize at the magnitudes where float division is inexact
+        lb = F.floor((F.col(on) + F.lit(low)) / F.lit(w)).cast("long")
+        ub = F.floor((F.col(on) + F.lit(high)) / F.lit(w)).cast("long")
+        l_tag = left.withColumn("_b", F.explode(F.sequence(lb, ub)))
     # dedupe: value_cols containing `on` must not emit two match_<on>
     # columns (duplicate names are ambiguous downstream)
     picked = list(dict.fromkeys([on] + value_cols))
-    r_tag = right.select(
+    r_bucket = (
+        _fdiv("_xon")
+        if integral
+        else F.floor(F.col("_xon") / F.lit(w)).cast("long")
+    )
+    r_tag = right.withColumn(
+        "_xon", F.col(on).cast("long" if integral else "double")
+    ).select(
         F.col(by).alias("_rby"),
-        F.floor(F.col(on) / F.lit(w)).cast("long").alias("_b"),
+        r_bucket.alias("_b"),
         *[F.col(c).alias(f"match_{c}") for c in picked],
     )
     # equi-keys are (by, bucket): both sides shuffle on the pair, so a

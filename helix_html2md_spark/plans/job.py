@@ -8,8 +8,9 @@ real deployment the same plan runs against Iceberg
 (``spark.read.format("iceberg")`` / ``writeTo(...).append()``) — the
 anti-join resume and lineage logic is storage-agnostic.
 
-Per-partition lineage rows + ``observe()`` run metrics (docs/sec, parse
-failures, span counts) land next to the output
+Per-partition lineage rows + run metrics (docs/sec, parse failures,
+span counts — summed driver-side from the bounded per-partition lineage
+aggregate) land next to the output
 (FIXTURES.md §3: checkpoint_lineage / run_metrics).
 """
 
@@ -17,7 +18,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.extract import extract_documents
 
@@ -80,24 +81,16 @@ def run_extract_job(
     docs = spark.read.parquet(input_path)
     todo = remaining_documents(docs, output_path)
 
-    obs = Observation("extract")
     extracted = extract_documents(
         todo, config, num_partitions=num_partitions, defaults=defaults
-    ).observe(
-        obs,
-        F.count(F.lit(1)).alias("docs"),
-        F.sum(
-            F.when(F.col("status") != "ok", 1).otherwise(0)
-        ).alias("failures"),
-        F.sum(F.size("spans")).alias("span_count"),
     )
     # attempt_id is generated PER CALL: the documented resume flow is
     # "rerun the identical command", so run_id repeats across a crashed
-    # run and its resume — filtering the lineage read-back on run_id
-    # alone would fold the prior attempt's committed rows into this
-    # attempt's lineage (double-counted doc_ids_done, colliding
-    # partition_ids).  run_id stays the user-facing key; attempt_id
-    # scopes the read-back to the rows THIS call wrote.
+    # run and its resume — keying lineage/output rows on run_id alone
+    # would make two attempts' rows indistinguishable (colliding
+    # partition_ids, double-counted doc_ids_done in any forensic
+    # read-back).  run_id stays the user-facing key; attempt_id
+    # uniquely stamps the rows THIS call wrote.
     import uuid
 
     attempt_id = uuid.uuid4().hex
@@ -107,24 +100,60 @@ def run_extract_job(
         .withColumn("attempt_id", F.lit(attempt_id))
     )
 
-    t0 = time.perf_counter()
-    extracted.write.mode("append").parquet(output_path)
-    wall = time.perf_counter() - t0
-    stats = obs.get
+    # persist so the lineage aggregate AND the write share one
+    # extraction pass.  The alternative — re-reading output_path and
+    # filtering on attempt_id — pays a file listing + footer pass over
+    # the ENTIRE ever-growing output history on every run (O(total
+    # files), linear in run count); the persisted attempt is O(this
+    # attempt's rows) with disk spill, independent of history size.
+    #
+    # ORDER MATTERS: the lineage aggregate runs BEFORE the append and
+    # its (one row per partition, bounded) result is collected to the
+    # driver.  The cached plan READS output_path (the anti-join
+    # resume), and the append invalidates every cache entry that
+    # depends on the written path (recacheByPath) — a post-write
+    # lineage aggregate would silently recompute against the new
+    # files, where the anti-join matches everything and lineage
+    # comes back EMPTY.  Lineage itself is only committed after the
+    # append succeeds, preserving write-then-lineage ordering.
+    extracted = extracted.persist()
+    try:
+        lineage = _attempt_lineage(extracted, run_id, attempt_id)
+        t0 = time.perf_counter()
+        lineage_rows = lineage.collect()  # materializes the cache
+        extracted.write.mode("append").parquet(output_path)
+        wall = time.perf_counter() - t0
+        spark.createDataFrame(lineage_rows, lineage.schema).write.mode(
+            "append"
+        ).parquet(f"{output_path}_lineage")
+    finally:
+        extracted.unpersist()
 
-    # per-partition lineage over THIS ATTEMPT'S rows only.  The read
-    # uses an EXPLICIT schema, not mergeSchema: schema merging reads
-    # every file footer in the output history on every run (O(total
-    # files) and growing), while a fixed schema is O(1) — files written
-    # by older versions (or seeded outside this job) lack run_id /
-    # attempt_id, read those columns as null, and are correctly
-    # excluded by the filter.
-    out = (
-        spark.read.schema(extracted.schema)
-        .parquet(output_path)
-        .filter(F.col("attempt_id") == attempt_id)
+    # run metrics FROM the lineage rows (already aggregated per
+    # partition on the executors; summing a bounded row list here is
+    # O(partitions)).  An .observe() would be zero-cost but its
+    # Observation contract is one-action-only — the cached plan now
+    # executes twice (lineage materialization + the append).
+    docs_n = sum(r["doc_ids_done"] for r in lineage_rows)
+    metrics = {
+        "run_id": run_id,
+        "docs": docs_n,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(docs_n / wall, 2) if wall > 0 else 0.0,
+        "parse_failures": sum(r["docs_failed"] for r in lineage_rows),
+        "span_count": sum(r["span_count"] for r in lineage_rows),
+    }
+    spark.createDataFrame([metrics]).write.mode("append").parquet(
+        f"{output_path}_metrics"
     )
-    lineage = (
+    return metrics
+
+
+def _attempt_lineage(
+    out: DataFrame, run_id: str, attempt_id: str
+) -> DataFrame:
+    """Per-partition lineage over THIS ATTEMPT'S rows only."""
+    return (
         out.groupBy("partition_id")
         .agg(
             F.count("*").alias("doc_ids_done"),
@@ -132,22 +161,8 @@ def run_extract_job(
                 F.when(F.col("status") != "ok", 1).otherwise(0)
             ).alias("docs_failed"),
             F.sum("n_chars").alias("chars_out"),
+            F.sum(F.size("spans")).alias("span_count"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("attempt_id", F.lit(attempt_id))
     )
-    lineage.write.mode("append").parquet(f"{output_path}_lineage")
-
-    docs_n = int(stats.get("docs") or 0)
-    metrics = {
-        "run_id": run_id,
-        "docs": docs_n,
-        "wall_sec": round(wall, 3),
-        "docs_per_sec": round(docs_n / wall, 2) if wall > 0 else 0.0,
-        "parse_failures": int(stats.get("failures") or 0),
-        "span_count": int(stats.get("span_count") or 0),
-    }
-    spark.createDataFrame([metrics]).write.mode("append").parquet(
-        f"{output_path}_metrics"
-    )
-    return metrics

@@ -541,3 +541,88 @@ def test_ivf_pq_index_pruning_and_rescore(spark, tmp_path):
     # self-contained: codebooks persisted beside the centroids
     cb = spark.read.parquet(f"{pq_path}/codebooks")
     assert cb.count() == 8 * 16
+
+
+def test_interval_join_exact_buckets_beyond_double_precision(spark):
+    """Bucket ids must come from INTEGER floor division: nanosecond
+    epochs (~1.7e18) are beyond float64's 2^53 integer range, so the
+    old F.floor(x / w) double path mis-bucketed boundary rows and
+    silently dropped matches."""
+    from helix_html2md_spark.operators.relational import interval_join
+
+    base = 1_700_000_000_000_000_000  # ns epoch, >> 2^53
+    w = 1_000_000_000  # 1s buckets
+    left = spark.createDataFrame(
+        [(1, base + i * w) for i in range(8)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, base + i * w // 2) for i in range(16)], "k int, t long"
+    )
+    got = interval_join(
+        left, right, by="k", on="t", low=-w, high=w,
+        value_cols=[], bucket=w,
+    ).count()
+    # exact expectation from a driver-side nested loop (ints are exact)
+    lv = [base + i * w for i in range(8)]
+    rv = [base + i * w // 2 for i in range(16)]
+    want = sum(1 for a in lv for b in rv if a - w <= b <= a + w)
+    assert got == want > 0
+
+
+def test_sessions_fractional_second_gap_splits(spark):
+    """A 1800.5s gap must start a new session: whole-second
+    unix_timestamp truncation would compare 1800 > 1800 and merge."""
+    import datetime as dt
+
+    from helix_html2md_spark.operators.relational import (
+        user_event_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0, 1.0),
+            (2, 1, t0 + dt.timedelta(seconds=1800, microseconds=500_000), 1.0),
+            (3, 1, t0 + dt.timedelta(seconds=3600, microseconds=400_000), 1.0),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    out = user_event_sessions(ev).collect()
+    # gap 1->2 is 1800.5s (> 1800: split); gap 2->3 is 1799.9s (merge)
+    assert [(r["session_seq"], r["n_events"]) for r in out] == [
+        (1, 1), (2, 2)
+    ]
+
+
+def test_region_nation_rollup_vs_duckdb(spark):
+    """ROLLUP grouping sets differential: same subtotal rows as DuckDB
+    GROUP BY ROLLUP over the same parquet tables."""
+    import duckdb
+
+    from helix_html2md_spark.operators.relational import (
+        load, region_nation_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["r_name"], r["n_name"], r["n_customers"], r["sum_acctbal"])
+        for r in region_nation_rollup(
+            load(spark, sf, "customer"),
+            load(spark, sf, "nation"),
+            load(spark, sf, "region"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               cast(sum(cast(c_acctbal AS decimal(18,2))) AS double)
+        FROM read_parquet('{sf}/customer.parquet') c
+        JOIN read_parquet('{sf}/nation.parquet') n ON c_nationkey = n_nationkey
+        JOIN read_parquet('{sf}/region.parquet') r ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert any(r[0] is None for r in got)  # grand total present
