@@ -35,7 +35,7 @@ def _extract_fixture_docs(spark: SparkSession) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction over the interleaved text+media documents table
-    (26 reference fixture docs); returns one row per document."""
+    (27 reference fixture docs); returns one row per document."""
     out = _extract_fixture_docs(spark)
     return out.select(
         "doc_id", "status", "error", "n_images", "n_blocks", "n_chars", "md"
@@ -307,11 +307,16 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer stats: segment count, non-whitespace token
     count, and an md5 over the joined token stream (pins the exact
     segmentation, not just the counts)."""
-    from helix_html2md_spark.functions.text import bpe_tokens
+    from helix_html2md_spark.functions.text import WS_CLASS, bpe_tokens
 
     docs = _docs(spark, sf_dir)
     segs = docs.select("doc_id", bpe_tokens(F.col("text")).alias("_segs"))
-    nonws = F.filter(F.col("_segs"), lambda t: ~t.rlike(r"^\s+$"))
+    # whitespace filter built FROM WS_CLASS (same constant as the
+    # DuckDB oracle and bpe_token_count) — a hand-coded \s here would
+    # silently drift if the shared class ever changes
+    nonws = F.filter(
+        F.col("_segs"), lambda t: ~t.rlike("^" + WS_CLASS + "+$")
+    )
     return segs.select(
         "doc_id",
         F.size("_segs").alias("n_segments"),
@@ -466,6 +471,17 @@ def _cached_index(
     path = f"/tmp/graft_{kind}_{version}_{safe}_{fp}"
     marker = f"{path}/_INDEX_DONE"
     if not _os.path.exists(marker):
+        # wipe superseded trees for this (kind, version, corpus) before
+        # building: each corpus regeneration changes fp, and without
+        # this the old full index trees strand in /tmp forever (the
+        # same leak class _stream_base fixes) — growth stays bounded
+        # at one live tree per kind
+        import glob as _glob
+        import shutil as _shutil
+
+        for stale in _glob.glob(f"/tmp/graft_{kind}_{version}_{safe}_*"):
+            if stale != path:
+                _shutil.rmtree(stale, ignore_errors=True)
         build(path)
         with open(marker, "w") as fh:
             fh.write("ok")
@@ -724,6 +740,12 @@ def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="ts",
         value_cols=["event_id"],
         strict=True,
+        # pin right-side (user_id, ts) ties to the greatest event_id:
+        # without this, arrival order decides — nondeterministic across
+        # Spark runs (DuckDB's ASOF picks arbitrarily too; fixtures have
+        # no such ties today, but a regenerated corpus must not turn
+        # this row flaky)
+        tiebreak="event_id",
     )
     return out.select(
         "event_id",
@@ -1203,19 +1225,14 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(sh, x -> md5('3:' || x))) AS smh3
             FROM s ORDER BY doc_id
         """,
-        "cosine_topk": """
+        # shares _COS_VS_Q with every other cosine oracle: the fragment
+        # carries the zero-norm NULL guard (an unguarded 0/0 is NaN in
+        # DuckDB and sorts ABOVE every real cosine, while Spark's NULL
+        # sorts below — a regenerated fixture with one zero vector
+        # would silently flip the top-10)
+        "cosine_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, label,
-                   round(
-                     list_sum(list_transform(
-                         list_zip(embedding, (SELECT qv FROM q)),
-                         p -> cast(p[1] AS double) * cast(p[2] AS double)))
-                     / (sqrt(list_sum(list_transform(
-                            embedding, x -> cast(x AS double) * cast(x AS double))))
-                        * (SELECT sqrt(list_sum(list_transform(
-                               qv, x -> cast(x AS double) * cast(x AS double))))
-                           FROM q)),
-                   6) AS cosine
+            SELECT vec_id, label, {_COS_VS_Q} AS cosine
             FROM embeddings WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,

@@ -8,10 +8,12 @@ Headline = HTML->Markdown span extraction over the deterministic synthetic
 interleaved corpus (docs scaled by sf: sf * 100_000) + the relational /
 dedup / similarity battery over the driver tables.
 
-``--scaling`` additionally runs the extraction job at two parallelism
-levels (local[8] vs local[32]) on identical input and reports throughput
-scaling efficiency (the sandbox stand-in for N vs 4N executors,
-BASELINE.json north_rule).
+North-rule scaling evidence (BASELINE.json, the sandbox stand-in for
+N vs 4N executors): the DEFAULT run embeds an adjacent local[2]-vs-
+local[8] pair on identical 4x input and reports ``efficiency_N_to_4N``;
+``--scaling`` runs the full protocol at THREE levels (local[2] /
+local[8] / local[32], two interleaved rounds, fresh JVM per visit) and
+reports ``efficiency_2_to_8`` and ``efficiency_8_to_32``.
 """
 
 from __future__ import annotations
@@ -199,19 +201,23 @@ def main() -> None:
         "parallelism": CPUS,
     }
 
+    # both modes measure scaling on the 4x corpus so compute dominates
+    # fixed per-run overheads — on the small corpus those overheads
+    # fake a scaling loss a long-running cluster job would never see —
+    # and in a fresh JVM per level (session churn skews in-process
+    # timings).  ONE shared setup: a corpus/path change edited into a
+    # per-branch copy would silently give the two modes different
+    # inputs.
+    import subprocess
+
+    n_scal = 4 * n_docs
+    scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
+    spark.stop()
+
     if not scaling_mode:
         # default run still carries the north_rule N->4N evidence:
-        # local[2] vs local[8] on IDENTICAL input, fresh JVM per level
-        # (session churn skews in-process timings), one warmup +
-        # best-of-two salted runs inside each level.  Uses the 4x corpus
-        # so compute dominates fixed per-run overheads — on the small
-        # corpus those overheads fake a scaling loss that a long-running
-        # cluster job would never see.
-        import subprocess
-
-        n_scal = 4 * n_docs
-        scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
-        spark.stop()
+        # local[2] vs local[8] on IDENTICAL input, one warmup +
+        # best-of-two salted runs inside each level.
         # warmup runs on the SMALL corpus
         # (warmth is input-size-independent) and each visit measures ONE
         # salted run, keeping the whole default bench inside a ~5 min
@@ -263,15 +269,8 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    if scaling_mode:
-        # N vs 4N parallelism on IDENTICAL input (north_rule evidence);
-        # 4x the headline corpus so compute dominates fixed overheads,
-        # as a 1000-executor run would be
-        import subprocess
-
-        n_scal = 4 * n_docs
-        scal_path = ensure_corpus(spark, f"{sf}_scal", n_scal)
-        spark.stop()
+    else:
+        # --scaling: the full three-level protocol (north_rule evidence)
         walls: dict[int, float] = {}
         # two interleaved rounds per level, fresh process each (host is a
         # multi-tenant VM: episodic load would otherwise poison whichever

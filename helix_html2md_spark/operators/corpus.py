@@ -328,3 +328,122 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
         (reason == "").alias("keep"),
         reason.alias("reason"),
     )
+
+
+def token_vocab(docs: DataFrame, k: int = 4096) -> DataFrame:
+    """Top-``k`` corpus vocabulary: (token, n, rank), rank 1..k by
+    (count desc, token asc) — fully deterministic (count ties break on
+    the token string, so two builds and two engines agree rank-for-rank).
+
+    Scale shape: explode -> ONE map-side-combinable token count (Zipf
+    head tokens are hot keys, but partial aggregation collapses them
+    executor-side before the shuffle), then a global top-k that
+    compiles to TakeOrderedAndProject (per-partition heaps + a k-row
+    merge, never a full sort shuffle).  The rank window runs over the
+    k surviving rows only — a single bounded task, NOT a corpus-sized
+    single-partition window.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(k)
+    w = Window.orderBy(F.desc("n"), "token")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def unigram_rank_stats(
+    docs: DataFrame, vocab_size: int = 4096, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Per-document unigram familiarity score — the rank-based stand-in
+    for CCNet-style LM-perplexity quality filtering (Wenzek et al. 2020
+    score documents by a KenLM over the target corpus; the published
+    lexical-frequency literature uses Zipf word ranks the same way).
+    A document made of high-frequency (low-rank) vocabulary scores low
+    = "ordinary language"; gibberish, boilerplate codes, and
+    wrong-language text land many out-of-vocabulary tokens and a high
+    mean rank.
+
+    Everything is INTEGER arithmetic — ranks instead of log
+    probabilities, because float ``ln()`` is not bit-portable across
+    engines (the same reasoning as ``tfidf_top_terms``'s quantized
+    idf) — so the output is exactly DuckDB-oracle-able:
+
+    * ``n_tokens``, ``n_oov`` — token/OOV counts (OOV = not in the
+      top-``vocab_size`` corpus vocabulary; OOV tokens carry rank
+      ``vocab_size + 1``);
+    * ``oov_ppm``   = (1_000_000 * n_oov) div n_tokens;
+    * ``mean_rank_milli`` = (1000 * sum-of-ranks) div n_tokens.
+
+    Integer ``div`` on bigints, never float floor: ``floor(a / b)`` in
+    float64 can land one off across the floor boundary for a/b within
+    half an ulp of an integer (denominators up to ~1e6 make that
+    reachable), and a hash contract cannot carry that risk.
+
+    One row per input document (empty/whitespace/null-text docs report
+    zeros), the ``dedup_segments`` contract.  Scale shape: token table
+    persisted once and shared by the vocab build and the scoring pass
+    (diamond broken, registered for battery release); the vocab joins
+    as a BROADCAST (<= vocab_size rows); the only shuffles are the
+    vocab count and the per-doc re-aggregation, both map-side
+    combinable on uniform keys.  Pass ``vocab`` to score against a
+    pre-built (possibly persisted) vocabulary table — the serving
+    pattern when one reference corpus scores many candidate shards.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    if vocab is None:
+        tok = tok.persist()
+        _PERSISTED.append(tok)
+        counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+        vocab = (
+            counts.orderBy(F.desc("n"), "token")
+            .limit(vocab_size)
+            .withColumn(
+                "rank", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+            )
+        )
+    oov_rank = vocab_size + 1
+    per = (
+        tok.join(F.broadcast(vocab.select("token", "rank")), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("rank").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.sum(
+                F.coalesce(F.col("rank").cast("long"), F.lit(oov_rank))
+            ).alias("_sum_rank"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce("_sum_rank", F.lit(0)).alias("_sum_rank"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0"
+                " ELSE (1000000 * n_oov) div n_tokens END"
+            ),
+        )
+        .withColumn(
+            "mean_rank_milli",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0"
+                " ELSE (1000 * _sum_rank) div n_tokens END"
+            ),
+        )
+        .drop("_sum_rank")
+        .orderBy("doc_id")
+    )
