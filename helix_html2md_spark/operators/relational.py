@@ -364,3 +364,67 @@ def interval_join(
         & (F.col(f"match_{on}") <= F.col(on) + F.lit(high))
     )
     return joined.drop("_b", "_rby")
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    *,
+    group: str,
+    col: str,
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact per-group nearest-rank percentiles WITHOUT a per-group
+    sort funnel — the grouped order statistic every corpus profile
+    needs (length distributions per source, token counts per language).
+
+    Definition (classic nearest-rank): the p-th percentile of a group
+    of n values is the value at sorted position ceil(p * n / 100)
+    (1-based) — always an ACTUAL group element, so for integral ``col``
+    the output is integer-exact and bit-portable across engines (the
+    interpolating variant both engines also offer is float and
+    engine-divergent in the last ulp; approx_percentile's t-digest is
+    the right 100 TB answer when exactness isn't required but can
+    never hash-match an oracle).
+
+    Scale shape — the naive plan sorts every group through one task
+    (a window over ROWS, the pack_sequences single-partition class);
+    this one never touches row order:
+
+    1. histogram: groupBy (group, col) count — map-side combinable,
+       output rows = groups x distinct values, NOT document count;
+    2. cumulative counts: a window over the HISTOGRAM ordered by value
+       — per-group window rows are bounded by the group's distinct
+       values (a length column has thousands, not billions);
+    3. targets: per-group totals broadcast back, one row per (group,
+       percent) via a literal explode, integer target rank
+       (p * n + 99) div 100;
+    4. answer: min(value) where cumulative >= target.
+
+    Returns (group, percent, n, value) in long form, ordered.
+    """
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    for p in percents:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(f"percent {p!r} must be an int in 1..100")
+    hist = df.groupBy(group, col).agg(F.count("*").alias("_cnt"))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w))
+    totals = hist.groupBy(group).agg(F.sum("_cnt").alias("n"))
+    cand = (
+        cum.join(F.broadcast(totals), group)
+        .withColumn(
+            "percent", F.explode(F.array(*[F.lit(int(p)) for p in percents]))
+        )
+        .withColumn("_target", F.expr("(percent * n + 99) div 100"))
+        .filter(F.col("_cum") >= F.col("_target"))
+    )
+    return (
+        cand.groupBy(group, "percent", "n")
+        .agg(F.min(col).alias("value"))
+        .orderBy(group, "percent")
+    )

@@ -626,3 +626,84 @@ def test_region_nation_rollup_vs_duckdb(spark):
     ).fetchall()
     assert got == [tuple(r) for r in want]
     assert any(r[0] is None for r in got)  # grand total present
+
+
+def test_grouped_percentiles_hand_computed(spark):
+    from helix_html2md_spark.operators.relational import (
+        grouped_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [10, 20, 30, 40]] + [("b", 5)],
+        "g string, x long",
+    )
+    out = {
+        (r["g"], r["percent"]): (r["n"], r["value"])
+        for r in grouped_percentiles(
+            df, group="g", col="x", percents=(25, 50, 75, 100)
+        ).collect()
+    }
+    # nearest-rank: ceil(p*n/100) -> a: 25%->pos1=10, 50%->pos2=20,
+    # 75%->pos3=30, 100%->pos4=40; b(n=1): every p -> 5
+    assert out == {
+        ("a", 25): (4, 10), ("a", 50): (4, 20),
+        ("a", 75): (4, 30), ("a", 100): (4, 40),
+        ("b", 25): (1, 5), ("b", 50): (1, 5),
+        ("b", 75): (1, 5), ("b", 100): (1, 5),
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, group="g", col="x", percents=())
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, group="g", col="x", percents=(0,))
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, group="g", col="x", percents=(50.5,))
+
+
+def test_grouped_percentiles_vs_duckdb_and_plan(spark):
+    """Row-for-row DuckDB differential over the real documents table
+    (per-source n_chars profile) + the scale-shape assertion: the only
+    window runs over the HISTOGRAM (grouped by source), never a
+    single-partition pass over raw rows."""
+    import duckdb
+
+    from helix_html2md_spark.operators.relational import (
+        grouped_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = grouped_percentiles(
+        docs, group="source", col="n_chars", percents=(50, 90, 99)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Python" not in plan
+    got = [
+        (r["source"], r["percent"], r["n"], r["value"])
+        for r in out.collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH h AS (SELECT source, n_chars, count(*) cnt
+                   FROM read_parquet('{sf}/documents.parquet')
+                   GROUP BY 1, 2),
+        c AS (SELECT source, n_chars,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                     sum(cnt) OVER (PARTITION BY source) AS n
+              FROM h),
+        x AS (SELECT source, unnest([50, 90, 99]) AS percent, n_chars,
+                     cum, n FROM c)
+        SELECT source, percent, cast(n AS bigint) AS n,
+               min(n_chars) AS value
+        FROM x
+        WHERE cum >= (percent * n + 99) // 100
+        GROUP BY source, percent, n
+        ORDER BY source, percent
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
