@@ -792,3 +792,116 @@ def drop_dup_window_docs(
     stats = dup_window_stats(docs, window=window)
     keep = stats.filter(F.col("dup_ppm") <= max_dup_ppm).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")
+
+
+def contamination_stats(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination statistics: which training documents
+    share any exact ``n``-token run with a held-out/benchmark table —
+    the published decontamination primitive (Brown et al. 2020 remove
+    train docs with a 13-gram collision against every eval set; Lee et
+    al. 2022 §6 measure the same overlap).
+
+    Both sides tokenize with the shared ``tokens()`` and hash windows
+    with the shared ``_window_hashes`` kernel, so a train window and a
+    bench window collide iff their token sequences are identical —
+    byte-for-byte the ``dup_window_stats`` machinery pointed across
+    two tables instead of within one.
+
+    Output, one row per input TRAIN document (short/empty docs zeros):
+    ``doc_id, n_tokens, contam_windows, contam_tokens, contam_ppm``
+    with ``contam_tokens`` the exact interval UNION of hit windows
+    (overlaps not double-counted) and integer ppm — bit-portable.
+
+    Scale shape: the corpus-sized window table is never persisted
+    (window x corpus to materialize); the BENCH side is the small one
+    by construction — eval suites are MBs against a 100 TB corpus —
+    so its distinct gram-hash table ships as a BROADCAST semi-join
+    (``broadcast_bench=False`` falls back to a shuffled semi-join +
+    AQE for an unusually large bench side).  No corpus-wide groupBy at
+    all: unlike dup-window dedup there is no count >= 2 pass, the only
+    aggregations key on doc_id.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = base.persist()
+    _PERSISTED.append(base)
+
+    wins = base.select(
+        "doc_id",
+        F.posexplode(_window_hashes(F.col("toks"), n)).alias(
+            "pos", "whash"
+        ),
+    )
+    bench_hashes = (
+        bench.select(
+            F.explode(
+                _window_hashes(tokens(F.col("text")), n)
+            ).alias("whash")
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_hashes = F.broadcast(bench_hashes)
+    hits = wins.join(bench_hashes, "whash", "left_semi")
+
+    prev_end = F.max(F.col("pos") + n).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + F.lit(n)
+        - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+    )
+    per_doc = (
+        hits.select("doc_id", "pos", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("contam_windows"),
+            F.sum("contrib").alias("contam_tokens"),
+        )
+    )
+    out = base.select("doc_id", F.size("toks").alias("n_tokens")).join(
+        per_doc, "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("contam_windows", F.lit(0)).alias("contam_windows"),
+        F.coalesce("contam_tokens", F.lit(0))
+        .cast("long")
+        .alias("contam_tokens"),
+        F.expr(
+            "(1000000 * coalesce(contam_tokens, 0))"
+            " div greatest(n_tokens, 1)"
+        ).alias("contam_ppm"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    max_contam_windows: int = 0,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Drop training documents contaminated by the benchmark table:
+    the GPT-3 policy is max_contam_windows=0 — ANY shared 13-gram
+    removes the document.  Join back on doc_id so the full input row
+    survives; documents shorter than ``n`` tokens cannot collide and
+    are kept."""
+    stats = contamination_stats(
+        docs, bench, n=n, broadcast_bench=broadcast_bench
+    )
+    keep = stats.filter(
+        F.col("contam_windows") <= max_contam_windows
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
