@@ -477,10 +477,17 @@ def _cached_index(
         # same leak class _stream_base fixes) — growth stays bounded
         # at one live tree per kind
         import glob as _glob
+        import re as _re
         import shutil as _shutil
 
-        for stale in _glob.glob(f"/tmp/graft_{kind}_{version}_{safe}_*"):
-            if stale != path:
+        prefix = f"/tmp/graft_{kind}_{version}_{safe}_"
+        for stale in _glob.glob(prefix + "*"):
+            # only trees whose suffix is exactly a fingerprint: corpus
+            # dir names join with '_' too, so the bare glob would also
+            # match ..._{safe}_extra_<fp> — a DIFFERENT corpus's live
+            # index — and wipe it mid-read / force rebuild ping-pong
+            suffix = stale[len(prefix):]
+            if stale != path and _re.fullmatch(r"[0-9a-f]{10}", suffix):
                 _shutil.rmtree(stale, ignore_errors=True)
         build(path)
         with open(marker, "w") as fh:

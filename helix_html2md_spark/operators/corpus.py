@@ -330,6 +330,20 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+def _rank_top_tokens(counts: DataFrame, k: int) -> DataFrame:
+    """Rank a (token, n) counts table: keep the top-``k`` by
+    (count desc, token asc) and attach rank 1..k with the SAME
+    ordering.  The single home of the deterministic-rank contract —
+    ``token_vocab`` and ``unigram_rank_stats``'s internal build both
+    call it, so a vocab built by one is always rank-compatible with
+    the other.  The limit compiles to TakeOrderedAndProject
+    (per-partition heaps + a k-row merge); the window runs over the k
+    survivors only."""
+    top = counts.orderBy(F.desc("n"), "token").limit(k)
+    w = Window.orderBy(F.desc("n"), "token")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def token_vocab(docs: DataFrame, k: int = 4096) -> DataFrame:
     """Top-``k`` corpus vocabulary: (token, n, rank), rank 1..k by
     (count desc, token asc) — fully deterministic (count ties break on
@@ -350,9 +364,7 @@ def token_vocab(docs: DataFrame, k: int = 4096) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    top = counts.orderBy(F.desc("n"), "token").limit(k)
-    w = Window.orderBy(F.desc("n"), "token")
-    return top.withColumn("rank", F.row_number().over(w))
+    return _rank_top_tokens(counts, k)
 
 
 def unigram_rank_stats(
@@ -374,7 +386,9 @@ def unigram_rank_stats(
 
     * ``n_tokens``, ``n_oov`` — token/OOV counts (OOV = not in the
       top-``vocab_size`` corpus vocabulary; OOV tokens carry rank
-      ``vocab_size + 1``);
+      ``vocab_size + 1``, or ``max(vocab.rank) + 1`` when a pre-built
+      ``vocab`` is supplied — ``vocab_size`` is ignored then, so the
+      OOV rank can never drift from the table actually joined);
     * ``oov_ppm``   = (1_000_000 * n_oov) div n_tokens;
     * ``mean_rank_milli`` = (1000 * sum-of-ranks) div n_tokens.
 
@@ -400,14 +414,19 @@ def unigram_rank_stats(
         tok = tok.persist()
         _PERSISTED.append(tok)
         counts = tok.groupBy("token").agg(F.count("*").alias("n"))
-        vocab = (
-            counts.orderBy(F.desc("n"), "token")
-            .limit(vocab_size)
-            .withColumn(
-                "rank", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
-            )
-        )
-    oov_rank = vocab_size + 1
+        vocab = _rank_top_tokens(counts, vocab_size)
+        oov_rank = vocab_size + 1
+    else:
+        # The OOV rank must come from the SUPPLIED vocab, not the
+        # vocab_size parameter: a pre-built vocab of k=1000 rows with
+        # the default vocab_size=4096 would otherwise score OOV tokens
+        # rank 4097 (4x-inflating mean_rank_milli), and a k > 4096
+        # vocab would make a real in-vocab rank collide with the OOV
+        # rank.  max(rank) is a bounded collect over a k-row table.
+        max_rank = vocab.agg(F.max("rank").alias("m")).collect()[0]["m"]
+        if max_rank is None:
+            raise ValueError("supplied vocab table is empty")
+        oov_rank = int(max_rank) + 1
     per = (
         tok.join(F.broadcast(vocab.select("token", "rank")), "token", "left")
         .groupBy("doc_id")

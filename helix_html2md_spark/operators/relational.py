@@ -10,6 +10,8 @@ the driver's type-sensitive value hash.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -303,12 +305,18 @@ def interval_join(
         raise ValueError("high must be greater than low")
     if bucket is not None and bucket <= 0:
         raise ValueError("bucket width must be positive")
-    w = int(bucket or (high - low))
     _integral = {"tinyint", "smallint", "int", "bigint"}
     integral = (
         dict(left.dtypes).get(on) in _integral
         and dict(right.dtypes).get(on) in _integral
     )
+    # Bucket width: the residual filter is exact, so ANY positive width
+    # is correct — width only tunes co-location/fan-out.  The integral
+    # `div` path needs an integer >= 1 (int(0.5) == 0 would divide by
+    # zero); the fractional path keeps the float width so sub-unit
+    # windows (e.g. 0.5-second spans on double timestamps) bin tightly.
+    span = float(bucket) if bucket is not None else float(high - low)
+    w: float | int = max(1, math.ceil(span)) if integral else span
 
     def _fdiv(x: str):
         # Exact floor division for integral `on`: subtract the

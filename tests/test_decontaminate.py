@@ -24,8 +24,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 def test_contamination_hand_computed(spark):
     docs = spark.createDataFrame(
         [
-            # hits bench gram "a b c" at pos 0 and pos 2 (overlap):
-            # union of [0,3) and [2,5) = 5 tokens
+            # exactly ONE hit: bench gram "a b c" at pos 2 -> 3
+            # contaminated tokens of 7 (pos0 'a b a' and pos1 'b a b'
+            # do NOT collide)
             (1, "a b a b c x y"),
             (2, "clean text with no overlap at all"),
             (3, "a b"),   # shorter than n: no window, kept clean
