@@ -97,10 +97,23 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return emb.withColumn("cell", cell.cast("int"))
 
 
-def train_centroids(emb: DataFrame, k: int = 16) -> list[list[float]]:
-    """Deterministic coarse centroids: per-cell mean after seeding with the
-    k lowest vec_ids (one refinement pass — kmeans-lite, deterministic).
-    Null embeddings are excluded from both seeding and the refinement."""
+def train_centroids(
+    emb: DataFrame, k: int = 16, iters: int = 1
+) -> list[list[float]]:
+    """Deterministic coarse centroids: Lloyd refinement after seeding
+    with the k lowest vec_ids — spherical k-means (cosine assignment
+    via ``ivf_assign``'s 6dp-rounded scores, per-cell MEAN update), so
+    two builds on the same table produce byte-identical centroids.
+    ``iters`` Lloyd passes (default 1 — the historical kmeans-lite);
+    a cell that loses all members keeps its previous centroid.  Null
+    embeddings are excluded from both seeding and the refinement.
+
+    Scale shape per pass: assignment is K dot products per row inside
+    codegen (no shuffle), the update is ONE map-side-combinable
+    groupBy over k cells, and only k×dim floats cross to the driver —
+    the classic Spark k-means loop, bounded collects only."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     emb = emb.filter(F.col("embedding").isNotNull())
     seeds = [
         list(r["embedding"])
@@ -108,27 +121,30 @@ def train_centroids(emb: DataFrame, k: int = 16) -> list[list[float]]:
     ]
     if not seeds:
         raise ValueError("train_centroids: no non-null embeddings")
-    assigned = ivf_assign(emb, seeds)
     dim = len(seeds[0])
-    means = (
-        assigned.groupBy("cell")
-        .agg(
-            *[
-                F.avg(F.col("embedding").getItem(i)).alias(f"d{i}")
-                for i in range(dim)
-            ]
+    cents = list(seeds)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col("embedding").getItem(i)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
         )
-        .collect()
-    )
-    out = list(seeds)
-    for r in means:
-        if r["cell"] is None:
-            continue  # degenerate rows (defensive; nulls filtered above)
-        vals = [r[f"d{i}"] for i in range(dim)]
-        if any(v is None for v in vals):
-            continue
-        out[r["cell"]] = [float(v) for v in vals]
-    return out
+        out = list(cents)
+        for r in means:
+            if r["cell"] is None:
+                continue  # degenerate rows (defensive; nulls filtered above)
+            vals = [r[f"d{i}"] for i in range(dim)]
+            if any(v is None for v in vals):
+                continue
+            out[r["cell"]] = [float(v) for v in vals]
+        cents = out
+    return cents
 
 
 def _probe_cells(
@@ -197,8 +213,6 @@ def cosine_neardup_pairs(
     multiple plane TABLES or band rotations to recover recall, exactly
     like MinHash banding).
     """
-    from .dedup import _capped_bucket_pairs
-
     if planes:
         src = hyperplane_buckets(emb, planes)
         cap = max_bucket_size
@@ -208,6 +222,21 @@ def cosine_neardup_pairs(
         # drop most genuine pairs — O(n^2) is the contract here
         src = emb.withColumn("bucket", F.lit(0))
         cap = 1 << 62
+    return _bucketed_cosine_pairs(src, cap).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def _bucketed_cosine_pairs(src: DataFrame, cap: int) -> DataFrame:
+    """Exact-cosine pairs within buckets — the shared kernel under
+    ``cosine_neardup_pairs`` (hyperplane buckets) and
+    ``semantic_dedup`` (k-means cells).  ``src`` carries
+    (vec_id, bucket, embedding); pairs form ONLY within a bucket via
+    the skew-capped self-join, and the cosine is 6dp-rounded (NULL
+    when either norm is zero).  Returns (vec_a, vec_b, cosine)
+    UNFILTERED — callers apply their threshold."""
+    from .dedup import _capped_bucket_pairs
+
     e = F.col("embedding").cast("array<double>")
     # norm computed ONCE per vector and carried through the pairing:
     # recomputing it per candidate pair costs ~bucket_size x more
@@ -224,14 +253,60 @@ def cosine_neardup_pairs(
     cos = F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(
         _dot(F.col("vec_a.v"), F.col("vec_b.v")) / (na * nb)
     )
-    return (
-        pairs.select(
-            F.col("doc_a").alias("vec_a"),
-            F.col("doc_b").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    return pairs.select(
+        F.col("doc_a").alias("vec_a"),
+        F.col("doc_b").alias("vec_b"),
+        F.round(cos, 6).alias("cosine"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    iters: int = 2,
+    max_cell_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embedding-level semantic
+    near-duplicates by clustering first and comparing pairwise ONLY
+    within a cluster — the paper's exact trick for making pairwise
+    cosine feasible at corpus scale (k-means shards the O(n²) into k
+    independent O((n/k)²) cells; cross-cell near-dups are the accepted
+    recall loss).  Returns the SURVIVING rows of ``emb`` with all
+    input columns.
+
+    Keep policy, deterministic: within any pair at ``cosine >=
+    threshold`` the LARGER vec_id drops, so the minimum id of a
+    near-dup clique always survives (chains a~b~c drop both b and c —
+    greedy errs toward more dedup, like the paper's
+    one-representative-per-epsilon-ball).  Vectors with NULL
+    embeddings can't be compared and are kept.
+
+    Scale shape: assignment is K dots/row in codegen (no shuffle);
+    pairs form via ONE shuffle on the cell key through the shared
+    skew-capped kernel (a cell larger than ``max_cell_size``
+    star-pairs against its min id — bounded output, reduced in-cell
+    recall, same discipline as the MinHash LSH); embeddings+norms ride
+    as payload so verification never re-joins upstream; the drop set
+    applies as a broadcast-friendly left_anti on vec_id."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+    if centroids is None:
+        centroids = train_centroids(emb, k=k, iters=iters)
+    assigned = ivf_assign(
+        emb.filter(F.col("embedding").isNotNull()), centroids
+    )
+    src = assigned.select(
+        "vec_id", F.col("cell").alias("bucket"), "embedding"
+    )
+    pairs = _bucketed_cosine_pairs(src, max_cell_size).filter(
+        F.col("cosine") >= threshold
+    )
+    drops = pairs.select(
+        F.greatest("vec_a", "vec_b").alias("vec_id")
+    ).distinct()
+    return emb.join(drops, "vec_id", "left_anti")
 
 
 def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
