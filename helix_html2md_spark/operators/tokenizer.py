@@ -1,0 +1,212 @@
+"""BPE tokenizer training and encoding over a document corpus.
+
+The byte-pair-encoding recipe of Sennrich et al. 2016 ("Neural Machine
+Translation of Rare Words with Subword Units") in its GPT-2 practical
+form: pre-tokenize with ``functions.text.bpe_tokens`` (space-glued
+letter/digit/punctuation runs — merges never cross a pre-token
+boundary, so no end-of-word marker is needed), learn merges greedily by
+pair frequency, and encode by replaying the merges in rank order.
+
+Scale shape — the part that matters at 100 TB:
+
+* **Training** reduces the corpus to a WORD-COUNT table first: one
+  map-side-combinable ``groupBy(word)`` (Zipf head words collapse
+  executor-side), capped to the top ``max_words`` distinct words by
+  (count desc, word asc) via TakeOrderedAndProject.  Only that bounded
+  table crosses to the driver; the merge loop itself runs driver-side
+  over word COUNTS, never documents — exactly how production BPE
+  trainers work (the corpus contributes nothing beyond its word
+  histogram).
+* **Encoding** applies the merge table to the DISTINCT pre-token table
+  (the only Python crossing — cost is per distinct word, not per
+  occurrence; a trillion-token corpus has a few hundred million
+  distinct pre-tokens, orders of magnitude fewer than occurrences),
+  then joins the pieces back onto the pre-token stream and reassembles
+  per document JVM-side.  The corpus-sized side never enters Python.
+
+Determinism: pair-count ties break on the lexicographically smallest
+pair; the word cap ties break on the word string; the merge loop is
+pure integer arithmetic over exact counts — two builds on the same
+table produce byte-identical merge lists.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import WS_CLASS, bpe_tokens
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) histogram of non-whitespace BPE pre-tokens.  One
+    explode + one map-side-combinable groupBy; whitespace runs are
+    dropped JVM-side (they segment, but a tokenizer never merges
+    them)."""
+    return (
+        docs.select(
+            F.explode(bpe_tokens(F.col(text_col))).alias("word")
+        )
+        .filter(~F.col("word").rlike("^" + WS_CLASS + "+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 256,
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+    min_pair_count: int = 2,
+    max_word_len: int = 1024,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus.
+
+    Spark does one bounded job (word histogram, top-``max_words`` by
+    (count desc, word asc)); the greedy loop runs driver-side on the
+    histogram.  Stops early when no pair reaches ``min_pair_count``
+    (merging a pair seen once memorizes noise).  Pre-tokens longer
+    than ``max_word_len`` are excluded from learning — a 100k-char
+    letter/punctuation run is corpus pathology, and its O(len) pair
+    scan per merge round would dominate the loop (the encoder passes
+    such runs through whole for the same reason).  Returns the ordered
+    merge list — rank = position, the encoder contract."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    if max_words < 1:
+        raise ValueError("max_words must be >= 1")
+    rows = (
+        word_counts(docs, text_col)
+        .filter(F.length("word") <= max_word_len)
+        .orderBy(F.desc("n"), "word")
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        vocab[tuple(r["word"])] = vocab.get(tuple(r["word"]), 0) + r["n"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # max count, ties to the lexicographically smallest pair —
+        # deterministic across dict orders, runs, and engines
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        pair = best[0]
+        merges.append(pair)
+        vocab = {
+            _merge_word(sym, pair): n for sym, n in vocab.items()
+        }
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge replay (the GPT-2 encoder loop):
+    repeatedly merge the present pair with the smallest training rank
+    until none of the word's pairs were learned."""
+    sym = list(word)
+    while len(sym) > 1:
+        pairs = [(ranks.get((a, b)), i)
+                 for i, (a, b) in enumerate(zip(sym, sym[1:]))]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        sym[i:i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    max_word_len: int = 1024,
+) -> DataFrame:
+    """Encode each document with a trained merge list.
+
+    Output: ``(doc_id, n_pieces, pieces array<string>)`` — pieces in
+    document order, whitespace pre-token runs excluded (same units as
+    ``word_counts``); empty/null-text docs report ``n_pieces = 0``.
+
+    The ONLY Python crossing is over the DISTINCT word table (encode
+    once per distinct word — Zipf means the join fans each encoded word
+    back out to its many occurrences); the pre-token stream, the
+    join-back, and the per-document reassembly (sort-by-position
+    array aggregation + flatten) are all JVM-side.  Words longer than
+    ``max_word_len`` pass through as a single piece (still lossless) —
+    the greedy merge replay is O(len²) worst case and must not hang an
+    executor on a pathological megabyte run."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    pretok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                bpe_tokens(F.col(text_col)),
+                lambda t: ~t.rlike("^" + WS_CLASS + "+$"),
+            )
+        ).alias("pos", "word"),
+    )
+
+    def encode_batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": [
+                        [w] if len(w) > max_word_len
+                        else _encode_word(w, ranks)
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    pieces = pretok.select("word").distinct().mapInPandas(
+        encode_batches, "word string, pieces array<string>"
+    )
+    joined = pretok.join(pieces, "word")
+    per_doc = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "pieces"))
+                ).getField("pieces")
+            ).alias("pieces")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
+            F.coalesce(
+                "pieces", F.array().cast("array<string>")
+            ).alias("pieces"),
+        )
+    )

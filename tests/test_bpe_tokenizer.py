@@ -1,0 +1,132 @@
+"""BPE training/encoding (operators/tokenizer.py).
+
+BPE is not SQL-expressible, so the oracle layers here are hand-derived
+merge sequences (small corpora where the greedy pair arithmetic is
+checkable on paper), the lossless-segmentation invariant proved over
+every sf0.001 document JVM-side, determinism across builds, and the
+one-Python-crossing plan shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_html2md_spark.functions.text import WS_CLASS, bpe_tokens
+from helix_html2md_spark.operators.tokenizer import (
+    bpe_encode, train_bpe, word_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_train_bpe_hand(spark):
+    # pre-tokens: "xy", " xy", " xy", " zx" (space-glued).
+    # pairs: (x,y)=3, (' ',x)=2, (' ',z)=1, (z,x)=1 -> merge (x,y);
+    # then (' ',xy)=2 -> merge; remaining pairs count 1 < 2 -> stop.
+    docs = spark.createDataFrame(
+        [(1, "xy xy xy zx")], "doc_id long, text string"
+    )
+    assert train_bpe(docs, num_merges=10) == [("x", "y"), (" ", "xy")]
+    # num_merges caps the list even when more pairs qualify
+    assert train_bpe(docs, num_merges=1) == [("x", "y")]
+    with pytest.raises(ValueError):
+        train_bpe(docs, num_merges=0)
+
+
+def test_train_bpe_tie_break(spark):
+    # pairs (a,b)=2, (' ',c)=2, (c,d)=2 all tie -> lexicographically
+    # smallest pair wins each round: (' ',c), then (' c',d), then (a,b)
+    docs = spark.createDataFrame(
+        [(1, "ab cd ab cd")], "doc_id long, text string"
+    )
+    assert train_bpe(docs, num_merges=10) == [
+        (" ", "c"), (" c", "d"), ("a", "b"),
+    ]
+
+
+def test_bpe_encode_hand(spark):
+    train = spark.createDataFrame(
+        [(1, "xy xy xy zx")], "doc_id long, text string"
+    )
+    merges = train_bpe(train, num_merges=10)
+    docs = spark.createDataFrame(
+        [(7, "xy zx xy"), (8, ""), (9, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    # "xy" -> [xy]; " zx" unlearned -> [' ','z','x']; " xy" -> [' xy']
+    assert list(out[7]["pieces"]) == ["xy", " ", "z", "x", " xy"]
+    assert out[7]["n_pieces"] == 5
+    assert out[8]["n_pieces"] == 0 and list(out[8]["pieces"]) == []
+    assert out[9]["n_pieces"] == 0 and list(out[9]["pieces"]) == []
+    assert set(out) == {7, 8, 9}
+    # empty merge table degenerates to characters
+    chars = bpe_encode(docs, []).filter(F.col("doc_id") == 7).collect()[0]
+    assert list(chars["pieces"]) == list("xy") + list(" zx") + list(" xy")
+    # pathological-run guard: over-length words pass through whole
+    # (still lossless) and are excluded from learning
+    long_docs = spark.createDataFrame(
+        [(1, "abcdef ab ab ab")], "doc_id long, text string"
+    )
+    guarded = bpe_encode(long_docs, merges, max_word_len=3).collect()[0]
+    assert "abcdef" in list(guarded["pieces"])
+    m = train_bpe(long_docs, num_merges=10, max_word_len=3)
+    assert all(len(a + b) <= 3 for a, b in m)
+
+
+def test_bpe_determinism_and_lossless(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    m1 = train_bpe(docs, num_merges=64)
+    m2 = train_bpe(docs, num_merges=64)
+    assert m1 == m2 and len(m1) == 64
+    # lossless segmentation: concat(pieces) == concat(non-ws pre-tokens)
+    # for EVERY document (checked JVM-side, zero rows may diverge)
+    enc = bpe_encode(docs, m1)
+    ref = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                bpe_tokens(F.col("text")),
+                lambda t: ~t.rlike("^" + WS_CLASS + "+$"),
+            ),
+            "",
+        ).alias("ref_text"),
+    )
+    bad = (
+        enc.join(ref, "doc_id")
+        .filter(F.array_join("pieces", "") != F.col("ref_text"))
+        .count()
+    )
+    assert bad == 0
+    # merging strictly reduces (or keeps) the piece count vs characters
+    n_pieces = enc.agg(F.sum("n_pieces")).collect()[0][0]
+    n_chars = ref.agg(
+        F.sum(F.length("ref_text"))
+    ).collect()[0][0]
+    assert 0 < n_pieces < n_chars
+
+
+def test_bpe_encode_plan(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    merges = [("t", "h"), ("th", "e")]
+    plan = (
+        bpe_encode(docs, merges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly ONE Python crossing — the distinct-word table
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_word_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "to be or"), (2, "to be")], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: r["n"] for r in word_counts(docs).collect()
+    }
+    # space-glued: "to", " be"(x2), " or", "to" -> {"to":2," be":2," or":1}
+    assert got == {"to": 2, " be": 2, " or": 1}
