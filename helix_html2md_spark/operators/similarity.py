@@ -114,37 +114,44 @@ def train_centroids(
     the classic Spark k-means loop, bounded collects only."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    emb = emb.filter(F.col("embedding").isNotNull())
-    seeds = [
-        list(r["embedding"])
-        for r in emb.orderBy("vec_id").limit(k).collect()
-    ]
-    if not seeds:
-        raise ValueError("train_centroids: no non-null embeddings")
-    dim = len(seeds[0])
-    cents = list(seeds)
-    for _ in range(iters):
-        assigned = ivf_assign(emb, cents)
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col("embedding").getItem(i)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
+    # the filter creates a fresh (never-cached) DataFrame, so the
+    # persist/unpersist below can't release a cache the CALLER owns;
+    # without it the emb lineage re-executes once per Lloyd pass plus
+    # once for the seeds collect
+    emb = emb.filter(F.col("embedding").isNotNull()).persist()
+    try:
+        seeds = [
+            list(r["embedding"])
+            for r in emb.orderBy("vec_id").limit(k).collect()
+        ]
+        if not seeds:
+            raise ValueError("train_centroids: no non-null embeddings")
+        dim = len(seeds[0])
+        cents = list(seeds)
+        for _ in range(iters):
+            assigned = ivf_assign(emb, cents)
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    *[
+                        F.avg(F.col("embedding").getItem(i)).alias(f"d{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
             )
-            .collect()
-        )
-        out = list(cents)
-        for r in means:
-            if r["cell"] is None:
-                continue  # degenerate rows (defensive; nulls filtered above)
-            vals = [r[f"d{i}"] for i in range(dim)]
-            if any(v is None for v in vals):
-                continue
-            out[r["cell"]] = [float(v) for v in vals]
-        cents = out
-    return cents
+            out = list(cents)
+            for r in means:
+                if r["cell"] is None:
+                    continue  # degenerate (defensive; nulls filtered above)
+                vals = [r[f"d{i}"] for i in range(dim)]
+                if any(v is None for v in vals):
+                    continue
+                out[r["cell"]] = [float(v) for v in vals]
+            cents = out
+        return cents
+    finally:
+        emb.unpersist()
 
 
 def _probe_cells(

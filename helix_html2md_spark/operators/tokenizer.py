@@ -98,27 +98,48 @@ def train_bpe(
         .limit(max_words)
         .collect()
     )
-    vocab: dict[tuple[str, ...], int] = {}
+    # Incremental trainer: pair counts and a pair -> word-ids index are
+    # built once; each merge touches ONLY the words that contain the
+    # merged pair (per-round cost proportional to affected words, not
+    # the whole vocab — the naive full-rescan loop is
+    # O(num_merges x max_words x word_len) driver-side and takes tens
+    # of minutes at the advertised defaults).
+    words: list[list] = []  # [symbols tuple, count]
     for r in rows:
-        vocab[tuple(r["word"])] = vocab.get(tuple(r["word"]), 0) + r["n"]
+        words.append([tuple(r["word"]), r["n"]])
+    pair_counts: Counter[tuple[str, str]] = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (sym, n) in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] += n
+            where.setdefault(p, set()).add(i)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: Counter[tuple[str, str]] = Counter()
-        for sym, n in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] += n
-        if not pairs:
+        if not pair_counts:
             break
         # max count, ties to the lexicographically smallest pair —
         # deterministic across dict orders, runs, and engines
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
         if best[1] < min_pair_count:
             break
         pair = best[0]
         merges.append(pair)
-        vocab = {
-            _merge_word(sym, pair): n for sym, n in vocab.items()
-        }
+        for i in sorted(where.get(pair, ())):
+            sym, n = words[i]
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                w = where.get(p)
+                if w is not None:
+                    w.discard(i)
+                    if not w:
+                        del where[p]
+            new = _merge_word(sym, pair)
+            words[i][0] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += n
+                where.setdefault(p, set()).add(i)
     return merges
 
 
