@@ -98,15 +98,33 @@ def train_bpe(
         .limit(max_words)
         .collect()
     )
-    # Incremental trainer: pair counts and a pair -> word-ids index are
-    # built once; each merge touches ONLY the words that contain the
-    # merged pair (per-round cost proportional to affected words, not
-    # the whole vocab — the naive full-rescan loop is
-    # O(num_merges x max_words x word_len) driver-side and takes tens
-    # of minutes at the advertised defaults).
+    merges, _ = _train_from_counts(
+        [(r["word"], r["n"]) for r in rows], num_merges, min_pair_count
+    )
+    return merges
+
+
+def _train_from_counts(
+    counts: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_count: int,
+) -> tuple[list[tuple[str, str]], dict[str, tuple[str, ...]]]:
+    """The driver-side merge loop over a (word, count) histogram.
+    Returns (merges, final segmentation of every training word) — the
+    second element exists so tests can pin the trainer/encoder
+    consistency invariant: replaying the merge list through
+    ``_encode_word`` reproduces the trainer's own final segmentation
+    for every training word.
+
+    Incremental: pair counts and a pair -> word-ids index are built
+    once; each merge touches ONLY the words that contain the merged
+    pair (per-round cost proportional to affected words, not the whole
+    vocab — a naive full-rescan loop is
+    O(num_merges x max_words x word_len) driver-side and takes tens
+    of minutes at the advertised defaults)."""
     words: list[list] = []  # [symbols tuple, count]
-    for r in rows:
-        words.append([tuple(r["word"]), r["n"]])
+    for word, n in counts:
+        words.append([tuple(word), n])
     pair_counts: Counter[tuple[str, str]] = Counter()
     where: dict[tuple[str, str], set[int]] = {}
     for i, (sym, n) in enumerate(words):
@@ -140,7 +158,8 @@ def train_bpe(
             for p in zip(new, new[1:]):
                 pair_counts[p] += n
                 where.setdefault(p, set()).add(i)
-    return merges
+    final = {"".join(sym): tuple(sym) for sym, _n in words}
+    return merges, final
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -11,11 +11,12 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from helix_html2md_spark.functions.text import WS_CLASS, bpe_tokens
 from helix_html2md_spark.operators.tokenizer import (
-    bpe_encode, train_bpe, word_counts,
+    _encode_word, _train_from_counts, bpe_encode, train_bpe, word_counts,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -119,6 +120,34 @@ def test_bpe_encode_plan(spark):
     assert plan.count("MapInPandas") == 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab c", min_size=1, max_size=10),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_trainer_encoder_consistency(corpus):
+    """The classic BPE invariant: greedy lowest-rank replay through
+    _encode_word reproduces the trainer's OWN final segmentation for
+    every training word (a merge can never create a new adjacency of
+    an earlier-rank pair — merging only concatenates, and both halves
+    of a rank-r pair already exist at rank r).  Pure-Python twin of
+    train_bpe's loop, no Spark session needed."""
+    merges, final = _train_from_counts(
+        corpus, num_merges=64, min_pair_count=1
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    for word, _n in corpus:
+        enc = _encode_word(word, ranks)
+        assert enc == list(final[word])
+        assert "".join(enc) == word  # lossless
 
 
 def test_word_counts(spark):
