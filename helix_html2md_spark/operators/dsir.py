@@ -137,6 +137,11 @@ def dsir_scores(
     IVF-PQ LUT idiom), and the row count/order never changes."""
     if not log_ratios:
         raise ValueError("log_ratios must be non-empty")
+    if n < 1:
+        # n=0 would yield size+1 EMPTY grams per doc (zero-length
+        # slices), all hashing to one bucket — deterministic nonsense
+        # returned without error; fail at the driver like training does
+        raise ValueError("n must be >= 1")
     buckets = len(log_ratios)
     lut = F.array(*[F.lit(int(v)) for v in log_ratios])
     base = _bucket_arrays(docs, n, buckets, text_col)
@@ -183,6 +188,17 @@ def dsir_select(
     return docs.join(keep, "doc_id", "left_semi")
 
 
+def _ceil_frac(frac: float, total: int) -> int:
+    """ceil(frac * total) in EXACT integer arithmetic: the float
+    product overshoots when it rounds up in binary (0.07 * 100 =
+    7.000000000000001 -> float ceil 8, one extra rank) — the same
+    reason grouped_percentiles ranks via ``(p*n+99) div 100``.  The
+    fraction is snapped to the nearest 1e-9 first (floats carry no
+    more user intent than that)."""
+    num = round(frac * 1_000_000_000)
+    return (num * total + 999_999_999) // 1_000_000_000
+
+
 def dsir_select_frac(
     docs: DataFrame,
     log_ratios: list[int],
@@ -222,7 +238,7 @@ def dsir_select_frac(
     total = sum(c for _v, c in hist)
     if total == 0:
         return docs.filter(F.lit(False))
-    k = -(-keep_frac * total // 1)  # ceil
+    k = _ceil_frac(keep_frac, total)
     cum = 0
     threshold = hist[-1][0]
     for v, c in hist:

@@ -108,13 +108,14 @@ def _train_from_counts(
     counts: list[tuple[str, int]],
     num_merges: int,
     min_pair_count: int,
-) -> tuple[list[tuple[str, str]], dict[str, tuple[str, ...]]]:
+) -> tuple[list[tuple[str, str]], list[list]]:
     """The driver-side merge loop over a (word, count) histogram.
-    Returns (merges, final segmentation of every training word) — the
-    second element exists so tests can pin the trainer/encoder
-    consistency invariant: replaying the merge list through
-    ``_encode_word`` reproduces the trainer's own final segmentation
-    for every training word.
+    Returns (merges, the trainer's working [symbols, count] word list
+    in its FINAL state) — the second element is the list the loop
+    already owns (no extra materialization on the production path) and
+    exists so tests can pin the trainer/encoder consistency invariant:
+    replaying the merge list through ``_encode_word`` reproduces the
+    trainer's own final segmentation for every training word.
 
     Incremental: pair counts and a pair -> word-ids index are built
     once; each merge touches ONLY the words that contain the merged
@@ -158,8 +159,7 @@ def _train_from_counts(
             for p in zip(new, new[1:]):
                 pair_counts[p] += n
                 where.setdefault(p, set()).add(i)
-    final = {"".join(sym): tuple(sym) for sym, _n in words}
-    return merges, final
+    return merges, words
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -140,9 +140,10 @@ def test_trainer_encoder_consistency(corpus):
     an earlier-rank pair — merging only concatenates, and both halves
     of a rank-r pair already exist at rank r).  Pure-Python twin of
     train_bpe's loop, no Spark session needed."""
-    merges, final = _train_from_counts(
+    merges, words = _train_from_counts(
         corpus, num_merges=64, min_pair_count=1
     )
+    final = {"".join(sym): tuple(sym) for sym, _n in words}
     ranks = {p: i for i, p in enumerate(merges)}
     for word, _n in corpus:
         enc = _encode_word(word, ranks)

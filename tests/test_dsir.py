@@ -145,6 +145,25 @@ def test_dsir_select_frac(spark):
         dsir_select_frac(raw, ratios, 0.0)
 
 
+def test_ceil_frac_exact():
+    from helix_html2md_spark.operators.dsir import _ceil_frac
+
+    # 0.07 * 100 = 7.000000000000001 in doubles — float ceil gives 8;
+    # the exact integer rank must be 7
+    assert _ceil_frac(0.07, 100) == 7
+    assert _ceil_frac(0.2, 5) == 1
+    assert _ceil_frac(0.6, 5) == 3
+    assert _ceil_frac(1.0, 1234) == 1234
+    assert _ceil_frac(0.001, 1) == 1
+    assert _ceil_frac(1 / 3, 3) == 1
+
+
+def test_dsir_scores_validates_n(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_scores(raw, [1] * B, n=0)
+
+
 def test_dsir_vs_duckdb(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     tgt = docs.filter("doc_id < 20")
