@@ -1339,10 +1339,10 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               GROUP BY doc_id, term),
             d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            n AS (SELECT cast(count(*) AS double) AS n FROM documents),
+            n AS (SELECT count(*) AS n FROM documents),
             s AS (
               SELECT tf.doc_id, tf.term, tf.tf, d.df,
-                     cast(tf.tf * floor(1000.0 * n.n / d.df)
+                     cast(tf.tf * ((1000 * n.n) // d.df)
                           AS bigint) AS score
               FROM tf JOIN d USING (term) CROSS JOIN n),
             r AS (
@@ -1388,10 +1388,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, term, count(*) AS tf
               FROM t GROUP BY doc_id, term),
             d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            n AS (SELECT cast(count(*) AS double) AS n FROM documents),
+            n AS (SELECT count(*) AS n FROM documents),
             s AS (
               SELECT tf.doc_id,
-                     cast(tf.tf * floor(1000.0 * n.n / d.df)
+                     cast(tf.tf * ((1000 * n.n) // d.df)
                           AS bigint) AS s
               FROM tf JOIN d USING (term) CROSS JOIN n)
             SELECT doc_id, cast(sum(s) AS bigint) AS score,
@@ -1493,7 +1493,7 @@ def oracle_sql() -> dict[str, str]:
             v AS (
               SELECT *,
                 CASE
-                  WHEN n_tokens < 40 THEN 'too_few_tokens'
+                  WHEN n_tokens < 50 THEN 'too_few_tokens'
                   WHEN n_tokens > 100000 THEN 'too_many_tokens'
                   WHEN mean_len_milli < 3000 OR mean_len_milli > 10000
                     THEN 'mean_len_out_of_range'

@@ -56,7 +56,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     tf = tf.persist()
     _PERSISTED.append(tf)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf_q = F.floor(F.lit(1000.0) * F.lit(float(n_docs)) / F.col("df"))
+    # integer div, not float floor: floor(a/b) in float64 can land one
+    # off within half an ulp of an integer (the unigram_rank_stats
+    # rule) — (1000*n) div df is exactly equivalent and always exact
+    idf_q = F.expr(f"(1000 * {n_docs}) div df")
     scored = tf.join(df_t, "term").select(
         "doc_id",
         "term",
@@ -153,7 +156,7 @@ def mix_corpus(
 # per million so the keep decision is bit-portable across engines
 GOPHER_TOP2_MAX_PPM = 200_000   # top 2-gram may cover <= 20% of chars
 GOPHER_DUP5_MAX_PPM = 150_000   # duplicated 5-grams <= 15% of chars
-GOPHER_MIN_TOKENS = 40
+GOPHER_MIN_TOKENS = 50
 GOPHER_MAX_TOKENS = 100_000
 GOPHER_MEAN_LEN_MILLI = (3_000, 10_000)  # mean token length in [3, 10]
 GOPHER_MIN_STOP_DISTINCT = 2    # >= 2 distinct stop words present
@@ -171,10 +174,16 @@ def _token_base(docs: DataFrame) -> DataFrame:
     re-running the regexp split (and so repeated references to ``toks``
     in one select read a stored array rather than inlining the
     tokenizer per reference)."""
+    # NULL text (a failed extraction) coalesces to '' HERE, once, so
+    # every downstream rule sees 0 tokens / 0 chars instead of NULL
+    # conditions that F.when() silently falls through (a null-text doc
+    # must be judged, not waved past the quality gate) — the zeros
+    # contract every sibling operator documents
+    txt = F.coalesce(F.col("text"), F.lit(""))
     base = docs.select(
         "doc_id",
-        tokens(F.col("text")).alias("toks"),
-        char_count(F.col("text")).alias("n_chars"),
+        tokens(txt).alias("toks"),
+        char_count(txt).alias("n_chars"),
     )
     base = base.persist()
     _PERSISTED.append(base)
@@ -283,9 +292,7 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.aggregate(
-            F.transform(toks, lambda w: F.length(w)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
         ).alias("sum_tok_chars"),
         F.size(
             F.array_distinct(
@@ -417,6 +424,12 @@ def unigram_rank_stats(
         vocab = _rank_top_tokens(counts, vocab_size)
         oov_rank = vocab_size + 1
     else:
+        # Persist: the supplied vocab feeds the max-rank collect AND
+        # the broadcast join — unpersisted, a vocab built from a
+        # reference corpus would re-run that corpus's scan + count
+        # twice per call (the file's diamond discipline)
+        vocab = vocab.persist()
+        _PERSISTED.append(vocab)
         # The OOV rank must come from the SUPPLIED vocab, not the
         # vocab_size parameter: a pre-built vocab of k=1000 rows with
         # the default vocab_size=4096 would otherwise score OOV tokens
@@ -464,5 +477,4 @@ def unigram_rank_stats(
             ),
         )
         .drop("_sum_rank")
-        .orderBy("doc_id")
     )

@@ -114,7 +114,9 @@ def search_text_index(
         .filter(F.col("term").isin(terms))
         .select("term", "df")
     )
-    idf_q = F.floor(F.lit(1000.0) * F.lit(float(n_docs)) / F.col("df"))
+    # integer div, in lockstep with corpus.py tfidf_top_terms (the
+    # cross-referenced "same integer-exact idf")
+    idf_q = F.expr(f"(1000 * {n_docs}) div df")
     scored = postings.join(F.broadcast(df_t), "term").select(
         "doc_id",
         (F.col("tf") * idf_q).cast("long").alias("_s"),

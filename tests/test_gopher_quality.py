@@ -201,6 +201,32 @@ def test_gopher_filter_rule_priority(spark):
     assert not got["repeat"]["keep"]
 
 
+def test_gopher_null_text_is_judged(spark):
+    """NULL text (a failed extraction) must be DROPPED as
+    too_few_tokens with zero metrics, not waved through: every rule
+    condition on NULL metrics is NULL, F.when() falls through, and the
+    pre-fix filter returned keep=true/reason='' for exactly the
+    garbage doc it exists to drop.  repetition_stats shares the zeros
+    contract."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["keep"], r["reason"], r["n_tokens"])
+            for r in gopher_filter(docs).collect()
+        }
+        rep = {
+            r["doc_id"]: r["n_tokens"]
+            for r in repetition_stats(docs).collect()
+        }
+    finally:
+        release_persisted()
+    assert got[1] == (False, "too_few_tokens", 0)
+    assert got[2] == (False, "too_few_tokens", 0)
+    assert rep == {1: 0, 2: 0}
+
+
 def test_repetition_plan_is_pure_jvm(spark):
     """No Python evaluation in the plan: the metrics are built-in
     expressions only (ArrowEval/BatchEval nodes would mean a UDF
