@@ -117,6 +117,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quantized_idf(n_docs: int, df_col: str = "df"):
+    """Integer-quantized idf ``(1000 * n_docs) div df`` — the ONE home
+    of the cross-engine tfidf quantization (corpus.tfidf_top_terms and
+    search.py's ranked serving both call it, so the "same
+    integer-exact idf" contract can't drift).  n_docs is cast to
+    BIGINT inside the expression: Spark parses a bare 3_000_000
+    literal as INT and ``1000 * INT`` overflows int32 at ~2.1M docs
+    (ANSI throws, legacy wraps negative) — the 100 TB corpus this
+    engine targets is six orders of magnitude past that."""
+    if n_docs < 0:
+        raise ValueError("n_docs must be >= 0")
+    return F.expr(f"(1000 * cast({int(n_docs)} as bigint)) div {df_col}")
+
+
 # BPE-style pre-tokenizer (GPT-2-ish): contraction suffixes, space-glued
 # letter runs, digit runs, punctuation runs, whitespace runs.  Pure
 # alternation, no lookaround, explicit whitespace class (see WS_CLASS) —

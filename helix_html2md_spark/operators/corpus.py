@@ -32,7 +32,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import STOPWORDS, char_count, token_ngrams, tokens
+from ..functions.text import (
+    STOPWORDS, char_count, quantized_idf, token_ngrams, tokens,
+)
 from .dedup import _PERSISTED
 
 
@@ -58,8 +60,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     # integer div, not float floor: floor(a/b) in float64 can land one
     # off within half an ulp of an integer (the unigram_rank_stats
-    # rule) — (1000*n) div df is exactly equivalent and always exact
-    idf_q = F.expr(f"(1000 * {n_docs}) div df")
+    # rule); shared helper = the one home of the quantization
+    idf_q = quantized_idf(n_docs)
     scored = tf.join(df_t, "term").select(
         "doc_id",
         "term",

@@ -30,7 +30,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import WS_CLASS, tokens
+from ..functions.text import WS_CLASS, quantized_idf, tokens
 
 # the SAME whitespace class the index-side tokenizer uses: Python's
 # re \s is Unicode-aware (NBSP etc.) while the JVM tokenizer's explicit
@@ -93,7 +93,7 @@ def search_text_index(
     """Top-k documents for a whitespace query against a built index."""
     import hashlib
 
-    terms = sorted({t for t in _WS.split(query.strip()) if t})
+    terms = sorted({t for t in _WS.split(query) if t})
     if not terms:
         raise ValueError("empty query")
     buckets = sorted(
@@ -114,9 +114,8 @@ def search_text_index(
         .filter(F.col("term").isin(terms))
         .select("term", "df")
     )
-    # integer div, in lockstep with corpus.py tfidf_top_terms (the
-    # cross-referenced "same integer-exact idf")
-    idf_q = F.expr(f"(1000 * {n_docs}) div df")
+    # the shared helper IS the lockstep with corpus.tfidf_top_terms
+    idf_q = quantized_idf(n_docs)
     scored = postings.join(F.broadcast(df_t), "term").select(
         "doc_id",
         (F.col("tf") * idf_q).cast("long").alias("_s"),
