@@ -14,6 +14,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from helix_html2md_spark.functions.text import SQL_TOKENS
 from helix_html2md_spark.operators.dsir import (
@@ -212,3 +213,40 @@ def test_dsir_plan_zero_shuffle(spark):
     )
     assert "Exchange" not in plan       # scoring is a pure per-row fold
     assert "PythonEval" not in plan and "MapInPandas" not in plan
+
+
+def test_dsir_scores_streaming(spark, tmp_path):
+    """The scoring fold is stateless per-row, so the same expression
+    runs unchanged under Structured Streaming (availableNow file
+    source -> score -> filter -> parquet sink) and produces row-for-row
+    the batch result — the 'score an arriving shard' serving shape."""
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+    ratios = dsir_log_ratios(raw, tgt, n=2, buckets=B)
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["score_milli"], r["avg_milli"])
+        for r in dsir_scores(raw, ratios, n=2).collect()
+    }
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    raw.write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(inp)
+    q = (
+        dsir_scores(stream, ratios, n=2)
+        .filter(F.col("avg_milli") >= -500)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score_milli"], r["avg_milli"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {k: v for k, v in batch.items() if v[2] >= -500}
+    assert got == want and sorted(got) == [1, 3, 4, 5]
