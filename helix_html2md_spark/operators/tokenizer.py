@@ -178,27 +178,68 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+def corpus_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """Sorted distinct characters of the corpus's non-whitespace
+    pre-tokens — the base vocabulary under the merges.  Output is
+    charset-bounded (one distinct over exploded chars), deterministic
+    by the sort."""
+    rows = (
+        word_counts(docs, text_col)
+        .select(F.explode(F.split("word", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def bpe_vocab(
+    alphabet: list[str], merges: list[tuple[str, str]]
+) -> dict[str, int]:
+    """piece -> id table in the standard BPE layout: base alphabet
+    first (sorted order = id order), then one id per merge in rank
+    order (merge i's concatenated piece gets id ``len(alphabet)+i``).
+    Two merges can build the same string via different splits (e.g.
+    (a,bc) and (ab,c) both yield 'abc'); the FIRST rank keeps the id —
+    a piece string is one vocabulary entry regardless of derivation."""
+    vocab: dict[str, int] = {}
+    for i, ch in enumerate(sorted(set(alphabet))):
+        vocab[ch] = i
+    base = len(vocab)
+    for i, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, base + i)
+    return vocab
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     max_word_len: int = 1024,
+    vocab: dict[str, int] | None = None,
 ) -> DataFrame:
     """Encode each document with a trained merge list.
 
     Output: ``(doc_id, n_pieces, pieces array<string>)`` — pieces in
     document order, whitespace pre-token runs excluded (same units as
     ``word_counts``); empty/null-text docs report ``n_pieces = 0``.
+    With a ``vocab`` (see :func:`bpe_vocab`) the output additionally
+    carries ``ids array<int>`` (aligned with pieces; unknown pieces —
+    a char outside the training alphabet, or an over-length
+    passthrough run — get id -1) and ``n_unk`` — the trainer-ready
+    token-id stream.
 
     The ONLY Python crossing is over the DISTINCT word table (encode
     once per distinct word — Zipf means the join fans each encoded word
-    back out to its many occurrences); the pre-token stream, the
+    back out to its many occurrences; ids are assigned inside the same
+    crossing, also per distinct word); the pre-token stream, the
     join-back, and the per-document reassembly (sort-by-position
     array aggregation + flatten) are all JVM-side.  Words longer than
     ``max_word_len`` pass through as a single piece (still lossless) —
     the greedy merge replay is O(len²) worst case and must not hang an
     executor on a pathological megabyte run."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    with_ids = vocab is not None
 
     pretok = docs.select(
         "doc_id",
@@ -214,39 +255,50 @@ def bpe_encode(
         import pandas as pd
 
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "pieces": [
-                        [w] if len(w) > max_word_len
-                        else _encode_word(w, ranks)
-                        for w in pdf["word"]
-                    ],
-                }
-            )
+            pieces = [
+                [w] if len(w) > max_word_len else _encode_word(w, ranks)
+                for w in pdf["word"]
+            ]
+            cols = {"word": pdf["word"], "pieces": pieces}
+            if with_ids:
+                cols["ids"] = [
+                    [vocab.get(p, -1) for p in ps] for ps in pieces
+                ]
+            yield pd.DataFrame(cols)
 
+    schema = "word string, pieces array<string>"
+    agg_fields = ["pos", "pieces"]
+    if with_ids:
+        schema += ", ids array<int>"
+        agg_fields.append("ids")
     pieces = pretok.select("word").distinct().mapInPandas(
-        encode_batches, "word string, pieces array<string>"
+        encode_batches, schema
     )
     joined = pretok.join(pieces, "word")
-    per_doc = (
-        joined.groupBy("doc_id")
-        .agg(
-            F.flatten(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "pieces"))
-                ).getField("pieces")
-            ).alias("pieces")
-        )
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct(*agg_fields))
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
-            F.coalesce(
-                "pieces", F.array().cast("array<string>")
-            ).alias("pieces"),
-        )
+    aggs = [F.flatten(sorted_structs.getField("pieces")).alias("pieces")]
+    if with_ids:
+        aggs.append(F.flatten(sorted_structs.getField("ids")).alias("ids"))
+    per_doc = joined.groupBy("doc_id").agg(*aggs)
+    out_cols = [
+        "doc_id",
+        F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
+        F.coalesce(
+            "pieces", F.array().cast("array<string>")
+        ).alias("pieces"),
+    ]
+    if with_ids:
+        out_cols += [
+            F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+            F.size(
+                F.filter(
+                    F.coalesce("ids", F.array().cast("array<int>")),
+                    lambda x: x < 0,
+                )
+            ).alias("n_unk"),
+        ]
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        *out_cols
     )

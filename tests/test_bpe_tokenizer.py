@@ -160,3 +160,41 @@ def test_word_counts(spark):
     }
     # space-glued: "to", " be"(x2), " or", "to" -> {"to":2," be":2," or":1}
     assert got == {"to": 2, " be": 2, " or": 1}
+
+
+def test_bpe_vocab_and_ids(spark):
+    from helix_html2md_spark.operators.tokenizer import (
+        bpe_vocab, corpus_alphabet,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "xy xy xy zx")], "doc_id long, text string"
+    )
+    merges = train_bpe(train, num_merges=10)   # [(x,y), (' ',xy)]
+    alphabet = corpus_alphabet(train)
+    assert alphabet == [" ", "x", "y", "z"]
+    vocab = bpe_vocab(alphabet, merges)
+    # base ids 0..3 in sorted char order, then merge pieces by rank
+    assert vocab == {" ": 0, "x": 1, "y": 2, "z": 3, "xy": 4, " xy": 5}
+    # duplicate piece strings keep the FIRST rank's id
+    assert bpe_vocab(["a", "b", "c"], [("a", "bc"), ("ab", "c")]) in (
+        {"a": 0, "b": 1, "c": 2, "abc": 3},
+    )
+    docs = spark.createDataFrame(
+        [(7, "xy zx xy"), (8, ""), (9, "q")],   # 'q' outside alphabet
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in bpe_encode(docs, merges, vocab=vocab).collect()
+    }
+    # pieces doc7: ['xy',' ','z','x',' xy'] -> ids [4,0,3,1,5]
+    assert list(out[7]["ids"]) == [4, 0, 3, 1, 5]
+    assert out[7]["n_unk"] == 0
+    assert list(out[8]["ids"]) == [] and out[8]["n_unk"] == 0
+    assert list(out[9]["ids"]) == [-1] and out[9]["n_unk"] == 1
+    # ids align with pieces one-for-one
+    assert len(out[7]["ids"]) == len(out[7]["pieces"]) == out[7]["n_pieces"]
+    # without a vocab the schema is unchanged (no ids/n_unk columns)
+    assert bpe_encode(docs, merges).columns == [
+        "doc_id", "n_pieces", "pieces",
+    ]
