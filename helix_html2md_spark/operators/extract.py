@@ -236,6 +236,37 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def _validate_defaults(defaults: dict) -> dict:
+    """Row-INVARIANT misconfiguration must fail loudly at the driver.
+    extract_row's per-row try exists for hostile DATA; without this
+    check a bad job default (max_images='abc', external_prefixes as a
+    list) would stamp EVERY row parse_error and the job would 'succeed'
+    with a fully degraded corpus.  A list of prefixes is normalized to
+    the comma-joined string the per-row contract expects."""
+    out = dict(defaults)
+    ep = out.get("external_prefixes")
+    if isinstance(ep, (list, tuple)):
+        if not all(isinstance(p, str) for p in ep):
+            raise TypeError("external_prefixes entries must be strings")
+        out["external_prefixes"] = ",".join(ep)
+    elif ep is not None and not isinstance(ep, str):
+        raise TypeError(
+            "external_prefixes must be a comma-joined string or a list"
+        )
+    for key in ("max_images", "max_image_size", "max_html_size",
+                "heavy_bytes"):
+        v = out.get(key)
+        if v is None:
+            continue
+        try:
+            int(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"defaults[{key!r}] must be an integer, got {v!r}"
+            ) from None
+    return out
+
+
 def prepare_for_extract(df: DataFrame, defaults: dict) -> DataFrame:
     """Attach config columns and assemble spans JVM-side.
 
@@ -245,6 +276,7 @@ def prepare_for_extract(df: DataFrame, defaults: dict) -> DataFrame:
     Arrow->pandas crossing cheap (strings stay columnar; nested structs
     materialize per-row python objects).
     """
+    defaults = _validate_defaults(defaults)
     for c in _CONFIG_COLS:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(defaults.get(c)))
@@ -282,13 +314,25 @@ def gate_oversized(df: DataFrame, defaults: dict) -> DataFrame:
     (bround = half-even, no thousands grouping).
     """
     max_html_default = int(defaults.get("max_html_size") or 1024 * 1024)
-    # 0 means "unset" on the Python tier (`or`-chains); coalesce alone
-    # would keep a literal 0 and reject EVERY non-empty document with a
-    # '...larger than 0MB' error — mirror the tier semantics exactly
-    limit = F.when(
-        F.col("max_html_size").isNull() | (F.col("max_html_size") == 0),
-        F.lit(max_html_default),
-    ).otherwise(F.col("max_html_size"))
+    # <= 0 means "unset" on the Python tier (`or`-chains; a negative
+    # would otherwise reject everything with a '-0MB' message there);
+    # coalesce alone would keep a literal 0 and reject EVERY non-empty
+    # document with a '...larger than 0MB' error.  The RESOLVED limit
+    # is written back into max_html_size so the Python re-check reads
+    # the SAME value the gate enforced — without the write-back, a
+    # row-level 0 with a job default other than 1MB resolves to the
+    # job default here but to the library's 1MB in extract_row,
+    # and the two tiers disagree about admission.
+    df = df.withColumn(
+        "max_html_size",
+        F.when(
+            F.col("max_html_size").isNull() | (F.col("max_html_size") <= 0),
+            F.lit(max_html_default),
+        )
+        .otherwise(F.col("max_html_size"))
+        .cast("long"),
+    )
+    limit = F.col("max_html_size")
     mb_str = (
         F.bround(limit / F.lit(1024 * 1024), 0)
         .cast("decimal(20,0)")
@@ -357,12 +401,12 @@ def extract_documents(
     #              1.1s @32 tasks vs 7.3s @128 tasks on local[32]).
     n = num_partitions or spark.sparkContext.defaultParallelism
     heavy_bytes = int(defaults.get("heavy_bytes") or 64 * 1024)
-    mode = defaults.get("repartition", "hash")
+    mode = defaults.get("repartition") or "hash"
     if mode == "none":
         balanced = ok
     elif mode == "hash":
         balanced = ok.repartition(n, "doc_id")
-    else:
+    elif mode == "weighted":
         from pyspark.sql import Window
 
         nbuckets = max(64, n // 4)
@@ -383,12 +427,22 @@ def extract_documents(
         # route the n computed place values through murmur3 (birthday
         # collisions — ~1/e of partitions get no heavy doc while others
         # get several), while range partitioning over place in [0, n)
-        # with n partitions assigns ~one place value per partition,
-        # preserving the round-robin the window computed
+        # with n partitions APPROXIMATES one place value per partition,
+        # preserving the round-robin the window computed.  Two costs to
+        # be honest about: the range exchange runs a hidden SAMPLING
+        # job that re-executes the post-window projection to sketch
+        # boundaries, and reservoir sampling can merge two sparse
+        # adjacent place values (the 1.25 max/mean figure is empirical
+        # on the Zipf corpus, not structural).
         balanced = (
             ok2.withColumn("_place", place)
             .repartitionByRange(n, "_place")
             .drop("_wc", "_b", "_place")
+        )
+    else:
+        raise ValueError(
+            f"unknown repartition mode {mode!r}"
+            " (expected 'none', 'hash', or 'weighted')"
         )
 
     return balanced.drop("_html_len").mapInPandas(

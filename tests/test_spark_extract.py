@@ -179,3 +179,83 @@ def test_decompose_md_adversarial_nested_ref():
     spans = decompose_md(md)
     assert "".join(s["text"] for s in spans) == md
     assert [s["order"] for s in spans] == list(range(len(spans)))
+
+
+def _one_doc(spark, doc_id="d", html="<main><p>hello world</p></main>"):
+    return spark.createDataFrame(
+        [
+            {
+                "doc_id": doc_id,
+                "spans": [
+                    {"kind": "html", "text": html,
+                     "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema="doc_id string, spans array<struct<kind:string,"
+               "text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_gate_resolved_limit_reaches_python_tier(spark):
+    """A per-row max_html_size of 0 with a NON-1MB job default must
+    resolve to the job default in BOTH tiers: pre-fix, the JVM gate
+    admitted under the job default while the Python re-check fell back
+    to the library's 1MB and spuriously constraint-errored."""
+    big = _one_doc(spark, "big", "<main><p>" + "x" * 2_000_000
+                   + "</p></main>")
+    cfg = spark.createDataFrame(
+        [("big", 0)], "doc_id string, max_html_size long"
+    )
+    out = extract_documents(
+        big, cfg, num_partitions=1,
+        defaults={"max_html_size": 4 * 1024 * 1024},
+    ).collect()
+    assert out[0]["status"] == "ok", out[0]["error"]
+    # and the reverse: a small job default still gates JVM-side
+    out2 = extract_documents(
+        big, cfg, num_partitions=1,
+        defaults={"max_html_size": 512 * 1024},
+    ).collect()
+    assert out2[0]["status"] == "constraint_error"
+    # resolved limit 512KB: bround(524288/1048576) = bround(0.5) is
+    # half-even -> "0MB" in the gate's message
+    assert "larger than 0MB" in out2[0]["error"]
+
+
+def test_gate_negative_limit_is_unset(spark):
+    """Negative max_html_size means unset, same as 0 — pre-fix the gate
+    rejected everything with 'larger than 0MB' while the Python tier
+    said '-0MB'."""
+    cfg = spark.createDataFrame(
+        [("d", -1)], "doc_id string, max_html_size long"
+    )
+    out = extract_documents(
+        _one_doc(spark), cfg, num_partitions=1
+    ).collect()
+    assert out[0]["status"] == "ok"
+
+
+def test_invalid_defaults_fail_at_driver(spark):
+    """Row-invariant misconfiguration raises before any task runs,
+    instead of stamping every row parse_error."""
+    docs = _one_doc(spark)
+    with pytest.raises(ValueError):
+        extract_documents(docs, None, defaults={"max_images": "abc"})
+    with pytest.raises(TypeError):
+        extract_documents(docs, None, defaults={"external_prefixes": 7})
+    with pytest.raises(ValueError):
+        extract_documents(
+            docs, None, defaults={"repartition": "weigted"}
+        ).collect()
+    # a LIST of prefixes is normalized to the comma-joined contract
+    out = extract_documents(
+        docs, None, num_partitions=1,
+        defaults={"external_prefixes": ["https://cdn."]},
+    ).collect()
+    assert out[0]["status"] == "ok"
+    # an explicit None mode means "the default", not weighted
+    out2 = extract_documents(
+        docs, None, num_partitions=1, defaults={"repartition": None}
+    ).collect()
+    assert out2[0]["status"] == "ok"
