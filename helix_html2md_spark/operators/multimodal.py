@@ -2,11 +2,15 @@
 columns with typed metadata.
 
 The Spark side — schema, partition-preserving mapInPandas, Arrow batch
-shape, deterministic feature extraction — is real and tested; the actual
-codec decode is STUBBED (no image/audio libraries in this container):
-``decode_image`` raises NotImplementedError unless a decoder callable is
-injected, and ``fake_decode`` provides the deterministic stand-in used by
-tests and the bench.
+shape, deterministic feature extraction — is real and tested, and the
+decode slot now has REAL pure-stdlib codecs for PNG, BMP, and WAV
+(``core/codecs.py::decode_media`` — clean-room from the published
+specs; tests/test_codecs.py drives the operators end-to-end over
+actual encoded payloads).  JPEG/MP3/H.264 still require an injected
+decoder (their entropy coders need native libraries absent from this
+container): ``decode_image`` dispatches PNG/BMP/WAV natively and
+raises for the rest, and ``fake_decode`` remains the deterministic
+stand-in the golden-parquet driver oracles are pinned to.
 """
 
 from __future__ import annotations
@@ -29,12 +33,14 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - container lacks codecs
-    """Real decoder slot (PIL/libvips on a production cluster)."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "inject a decoder via extract_features(decoder=...)"
-    )
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decoder: PNG/BMP/WAV natively via the pure-stdlib codecs;
+    other formats raise ValueError (inject PIL/libvips via
+    ``extract_features(decoder=...)`` on a production cluster — both
+    for JPEG/video coverage and for native-codec throughput)."""
+    from ..core.codecs import decode_media
+
+    return decode_media(payload)
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -70,7 +76,12 @@ def extract_features(
                 # corrupt payload among billions must degrade its row,
                 # never the task (same contract as operators/pdf.py)
                 try:
-                    arr = decoder(b)
+                    # ravel: a REAL image decoder returns (h, w) pixels
+                    # — without flattening, len() counts ROWS and a
+                    # whole image silently pools to the zero vector.
+                    # Identity for 1-D decoders (fake_decode, audio),
+                    # so existing feature_md5 goldens are unchanged.
+                    arr = np.asarray(decoder(b), dtype=np.float32).ravel()
                     # mean-pool to a fixed dim (the stand-in "embedding")
                     pooled = arr[: dim * (len(arr) // dim)].reshape(
                         -1, dim

@@ -285,13 +285,16 @@ def test_audio_chunks(spark):
             assert b["start_ms"] == a["end_ms"] == a["start_ms"] + 3000
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_slots():
     from helix_html2md_spark.operators.multimodal import (
         decode_frame, decode_image,
     )
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    # decode_image is REAL for PNG/BMP/WAV now (core/codecs.py); a
+    # truncated PNG raises ValueError (row-resilience contract), and
+    # the video frame slot stays an injectable stub
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG")  # signature fragment, not a PNG
     with pytest.raises(NotImplementedError):
         decode_frame(b"\x00\x00\x00\x18ftyp", 0)
 
