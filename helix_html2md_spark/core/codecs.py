@@ -30,6 +30,11 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
+# Decode admission cap: a 1 MB crafted IDAT can deflate-expand ~1000x,
+# and the unfilter pass is O(pixels) — without a cap one hostile
+# payload OOMs or stalls an executor task instead of degrading its row
+MAX_PIXELS = 16_777_216  # 16 MP
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -60,6 +65,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if len(body) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)
@@ -77,33 +84,52 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("interlaced PNG not supported")
     if w == 0 or h == 0:
         raise ValueError("empty PNG")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"PNG exceeds {MAX_PIXELS} pixel cap ({w}x{h})")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded decompress: a tiny crafted IDAT can expand ~1000x, and a
+    # plain zlib.decompress would allocate it ALL before the length
+    # check — cap at expected+1 so oversized streams fail cheaply
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from None
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG pixel data length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = bytearray(stride)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        base = y * (stride + 1) + 1
         if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            line = np.frombuffer(raw, np.uint8, stride, base).copy()
+        elif f == 1:  # Sub: per-channel prefix sum (exact mod 256)
+            line = np.frombuffer(raw, np.uint8, stride, base).copy()
+            for c in range(ch):
+                line[c::ch] = np.cumsum(
+                    line[c::ch], dtype=np.uint32
+                ).astype(np.uint8)
+        elif f == 2:  # Up: one vectorized add
+            line = (
+                np.frombuffer(raw, np.uint8, stride, base) + prev
+            ).astype(np.uint8)
+        elif f in (3, 4):  # Average/Paeth: inherently sequential
+            bline = bytearray(raw[base:base + stride])
+            if f == 3:
+                for i in range(stride):
+                    a = bline[i - ch] if i >= ch else 0
+                    bline[i] = (bline[i] + ((a + prev[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = bline[i - ch] if i >= ch else 0
+                    c2 = prev[i - ch] if i >= ch else 0
+                    bline[i] = (
+                        bline[i] + _paeth(a, int(prev[i]), c2)
+                    ) & 0xFF
+            line = np.frombuffer(bytes(bline), np.uint8, stride)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = line
@@ -129,6 +155,8 @@ def encode_png(arr: np.ndarray) -> bytes:
     else:
         raise ValueError("encode_png expects (h,w) or (h,w,3) uint8")
     h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
     raw = b"".join(
         b"\x00" + a[y].tobytes() for y in range(h)
     )
@@ -167,17 +195,21 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if w <= 0 or h_signed == 0:
         raise ValueError("bad BMP dimensions")
     h = abs(h_signed)
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"BMP exceeds {MAX_PIXELS} pixel cap ({w}x{h})")
     stride = (w * 3 + 3) & ~3
     if len(data) < offset + stride * h:
         raise ValueError("truncated BMP pixel data")
-    rows = []
-    for y in range(h):
-        src = y if h_signed < 0 else h - 1 - y  # bottom-up by default
-        line = np.frombuffer(
-            data, dtype=np.uint8, count=w * 3, offset=offset + src * stride
-        ).reshape(w, 3)
-        rows.append(line.astype(np.float32).mean(axis=1))
-    return np.stack(rows) / 255.0
+    px = (
+        np.frombuffer(data, np.uint8, stride * h, offset)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+        .astype(np.float32)
+        .mean(axis=2)
+    )
+    if h_signed > 0:  # positive height = bottom-up storage
+        px = px[::-1]
+    return px / 255.0
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -186,6 +218,8 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_bmp expects (h,w,3) uint8")
     h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
     stride = (w * 3 + 3) & ~3
     pad = b"\x00" * (stride - w * 3)
     body = b"".join(
@@ -210,7 +244,7 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             nch = wf.getnchannels()
             width = wf.getsampwidth()
             frames = wf.readframes(wf.getnframes())
-    except wave.Error as e:
+    except (wave.Error, EOFError, struct.error) as e:
         raise ValueError(f"bad WAV: {e}") from None
     if width == 1:  # unsigned 8-bit
         samples = (

@@ -218,3 +218,58 @@ def test_operators_run_real_codecs(spark):
     )
     br = extract_features(bad, decoder=decode_media).collect()[0]
     assert br["error"] is not None and br["feature"] is None
+
+
+def test_codec_hostile_payload_guards():
+    """Decompression bombs, wrong exception types, and zero-dim
+    encodes — every hostile path must raise ValueError cheaply."""
+    import zlib as _z
+
+    from helix_html2md_spark.core.codecs import MAX_PIXELS, encode_wav
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 20000x20000 declared dims: rejected by the pixel cap BEFORE any
+    # decompression (a ~1MB zero IDAT would expand to ~1.2GB)
+    bomb = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 20000, 20000, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 1000))
+        + chunk(b"IEND", b"")
+    )
+    assert 20000 * 20000 > MAX_PIXELS
+    with pytest.raises(ValueError):
+        decode_png(bomb)
+    # garbage IDAT raises ValueError, not zlib.error
+    garb = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(garb)
+    # short IHDR raises ValueError, not struct.error
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIG + chunk(b"IHDR", b"\x00\x01") + chunk(b"IEND", b""))
+    # truncated WAV fmt raises ValueError, not EOFError
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01")
+    # zero-dim encodes rejected (round-trip symmetry with the decoders)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((0, 5), np.uint8))
+    with pytest.raises(ValueError):
+        encode_bmp(np.zeros((3, 0, 3), np.uint8))
+    # IDAT longer than the declared dims: bounded decompress rejects
+    extra = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00ab" + b"trailing-junk"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(extra)
