@@ -29,8 +29,18 @@ def tokens(col) -> Column:
     )
 
 
+def _nsize(arr) -> Column:
+    """Null-safe size.  Under ANSI-off configs (every Spark 3.x default,
+    a common user override on 4.x) ``size(NULL)`` returns -1 instead of
+    NULL — silently corrupting counts and ratios for null-text rows
+    (-1 tokens shifts pack offsets; ratios become -1.0 where the
+    oracles say NULL).  nullif maps the sentinel back: a real array can
+    never size to -1, so this is the identity under ANSI."""
+    return F.nullif(F.size(arr), F.lit(-1))
+
+
 def token_count(col) -> Column:
-    return F.size(tokens(col))
+    return _nsize(tokens(col))
 
 
 def char_count(col) -> Column:
@@ -46,6 +56,8 @@ def token_ngrams(toks_col, n: int) -> Column:
     steps -1 toward a smaller stop), fabricating negative slice
     indices — a short document must yield an empty gram array
     instead."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
     return F.when(
         F.size(toks_col) >= n,
         F.transform(
@@ -63,10 +75,13 @@ def fingerprint(col) -> Column:
     )
 
 
-def stopword_count(col) -> Column:
-    toks = tokens(col)
+def _stopword_count_t(toks) -> Column:
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    return F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    return _nsize(F.filter(toks, lambda w: F.array_contains(stop, w)))
+
+
+def stopword_count(col) -> Column:
+    return _stopword_count_t(tokens(col))
 
 
 # the three ratio formulas below are transcribed into SQL in the DuckDB
@@ -75,9 +90,7 @@ def stopword_count(col) -> Column:
 # each, so the copies can never diverge
 
 
-def mean_token_len(col) -> Column:
-    """Mean token length over whitespace tokens, rounded to 6dp."""
-    toks = tokens(col)
+def _mean_token_len_t(toks) -> Column:
     return F.round(
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -87,33 +100,57 @@ def mean_token_len(col) -> Column:
     )
 
 
+def mean_token_len(col) -> Column:
+    """Mean token length over whitespace tokens, rounded to 6dp."""
+    return _mean_token_len_t(tokens(col))
+
+
+def _stopword_ratio_t(toks) -> Column:
+    return F.round(
+        _stopword_count_t(toks) / F.greatest(F.size(toks), F.lit(1)), 6
+    )
+
+
 def stopword_ratio(col) -> Column:
     """Stopword-token share, rounded to 6dp."""
+    return _stopword_ratio_t(tokens(col))
+
+
+def _unique_ratio_t(toks) -> Column:
     return F.round(
-        stopword_count(col) / F.greatest(F.size(tokens(col)), F.lit(1)), 6
+        _nsize(F.array_distinct(toks))
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
     )
 
 
 def unique_ratio(col) -> Column:
     """Distinct-token share (vocabulary diversity), rounded to 6dp."""
-    toks = tokens(col)
-    return F.round(
-        F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
-        6,
-    )
+    return _unique_ratio_t(tokens(col))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality features: token count, mean token length,
-    stopword ratio, unique-token ratio."""
+    stopword ratio, unique-token ratio.
+
+    Tokenizes ONCE: the features all read a materialized ``_toks``
+    column through the array-based ``_t`` internals.  The per-helper
+    text-col form inlines a separate regexp split per feature — seven
+    full tokenizations per row on the hot path (CollapseProject leaves
+    a multiply-referenced non-cheap projection alone, so the shared
+    column genuinely computes once)."""
     c = F.col(text_col)
-    return df.select(
-        "doc_id",
-        F.size(tokens(c)).alias("n_tokens"),
-        F.length(c).alias("n_chars"),
-        mean_token_len(c).alias("mean_token_len"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        unique_ratio(c).alias("unique_ratio"),
+    t = F.col("_toks")
+    return (
+        df.withColumn("_toks", tokens(c))
+        .select(
+            "doc_id",
+            _nsize(t).alias("n_tokens"),
+            char_count(c).alias("n_chars"),
+            _mean_token_len_t(t).alias("mean_token_len"),
+            _stopword_ratio_t(t).alias("stopword_ratio"),
+            _unique_ratio_t(t).alias("unique_ratio"),
+        )
     )
 
 

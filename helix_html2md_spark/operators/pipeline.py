@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import (
-    mean_token_len, stopword_ratio, tokens, unique_ratio,
+    _mean_token_len_t, _nsize, _stopword_ratio_t, _unique_ratio_t, tokens,
 )
 
 
@@ -42,14 +42,20 @@ def clean_corpus(
     oracles there.
     """
     c = F.col("text")
-    featured = docs.select(
-        "doc_id",
-        "text",
-        F.size(tokens(c)).alias("n_tokens"),
-        mean_token_len(c).alias("mean_token_len"),
-        unique_ratio(c).alias("unique_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        F.md5("text").alias("content_hash"),
+    t = F.col("_toks")
+    # tokenize ONCE: the per-helper text-col form would inline a
+    # separate regexp split per feature (see quality_features)
+    featured = (
+        docs.withColumn("_toks", tokens(c))
+        .select(
+            "doc_id",
+            "text",
+            _nsize(t).alias("n_tokens"),
+            _mean_token_len_t(t).alias("mean_token_len"),
+            _unique_ratio_t(t).alias("unique_ratio"),
+            _stopword_ratio_t(t).alias("stopword_ratio"),
+            F.md5("text").alias("content_hash"),
+        )
     )
     gated = featured.filter(
         (F.col("n_tokens") >= min_tokens)

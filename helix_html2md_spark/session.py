@@ -36,6 +36,11 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # pinned: the engine's null/overflow contracts are written and
+        # oracled under ANSI semantics (size(NULL) = NULL, overflow
+        # raises); a cluster-level ansi.enabled=false override would
+        # silently turn null-text token counts into -1
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -637,3 +637,35 @@ def test_dedup_segments_whitespace_only_doc_survives(spark):
         assert out[did]["n_segments"] == 0
         assert out[did]["kept_md5"] == empty_md5
     assert out["b"]["n_kept"] == 1
+
+
+def test_quality_features_single_tokenization(spark):
+    """quality_features computes all features from ONE materialized
+    token column: exactly one split() in the physical plan (the
+    per-helper form inlined seven).  Null-text rows report NULL
+    features (and token_count is nullif-guarded so ANSI-off clusters
+    can't turn that into -1 — session.py also pins ansi.enabled)."""
+    import re
+
+    from helix_html2md_spark.functions.text import (
+        quality_features, token_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b the")], "doc_id long, text string"
+    )
+    plan = (
+        quality_features(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"split\(", plan)) == 1
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["stopword_ratio"])
+        for r in quality_features(docs).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2][0] == 3
+    with pytest.raises(ValueError):
+        token_ngrams(None, 0)
+    with pytest.raises(ValueError):
+        token_ngrams(None, -3)
