@@ -1284,11 +1284,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": f"""
             WITH a AS (
               SELECT media_id, doc_id, duration_ms,
-                     unnest(range(greatest(
+                     unnest(range(least(greatest(
                        cast(ceil(duration_ms / 5000.0) AS int), 1
-                     ))) AS ci
+                     ), 4096))) AS ci
               FROM read_parquet('{_MEDIA}')
-              WHERE kind = 'audio')
+              WHERE kind = 'audio' AND duration_ms >= 0)
             SELECT media_id, doc_id,
                    cast(ci AS int) AS chunk_idx,
                    cast(ci * 5000 AS int) AS start_ms,
@@ -1584,9 +1584,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, toks, len(toks) AS n
               FROM t WHERE len(toks) > 0),
             s AS (
+              -- last start: largest stride multiple < n - overlap (a
+              -- tail shorter than the overlap is fully contained in the
+              -- previous chunk and must not emit)
               SELECT doc_id, toks, n,
                      unnest(range(0,
-                       ((n - 1) // 448) * 448 + 1, 448)) AS st
+                       greatest((n - 65) // 448, 0) * 448 + 1, 448)) AS st
               FROM n)
             SELECT doc_id,
                    cast(st // 448 AS int) AS chunk_idx,

@@ -30,20 +30,38 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-CENTROID_SCHEMA = "label int, n_vecs bigint, centroid array<double>"
+# label's type is taken from the INPUT at plan time (see
+# label_centroids): pinning `label int` here would abort the whole
+# aggregation stage at the Arrow boundary for any bigint label source
+# (hash- or doc_id-derived labels overflow int32), violating the
+# one-corrupt-row-degrades-itself invariant below
+CENTROID_SCHEMA = "label {label_type}, n_vecs bigint, centroid array<double>"
+
+
+def _clean_label(lab):
+    """Undo pandas' NULL-driven widening without assuming a label type:
+    int-with-nulls arrives as float64 (int() restores the integer the
+    Arrow writer expects); genuine NaN is a null GROUP — SQL GROUP BY
+    semantics — not a crash; strings and native ints pass through."""
+    import numpy as np
+
+    if lab is None or (
+        isinstance(lab, (float, np.floating)) and pd.isna(lab)
+    ):
+        return None
+    if isinstance(lab, (float, np.floating)):
+        return int(lab)
+    return lab
 
 
 def _centroid_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
-    # a NULL label arrives as NaN (pandas widens int-with-nulls to
-    # float64); keep it as a null GROUP — SQL GROUP BY semantics — rather
-    # than crashing the stage on int(NaN)
     lab = pdf["label"].iloc[0]
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     return pd.DataFrame(
         {
-            "label": [None if pd.isna(lab) else int(lab)],
+            "label": [_clean_label(lab)],
             "n_vecs": [len(pdf)],
             "centroid": [np.round(mat.mean(axis=0), 6).tolist()],
         }
@@ -70,7 +88,7 @@ def _partial_batches(
             mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
             out["pid"].append(pid)
             out["bi"].append(bi)
-            out["label"].append(None if pd.isna(label) else int(label))
+            out["label"].append(_clean_label(label))
             out["n_vecs"].append(len(g))
             out["vec_sum"].append(mat.sum(axis=0).tolist())
         yield pd.DataFrame(out)
@@ -103,13 +121,15 @@ def label_centroids(
         )
         dim = int(row["_d"]) if row is not None else 0
     vecs = vecs.filter(F.size("embedding") == dim)
+    label_type = emb.schema["label"].dataType.simpleString()
     if not partial:
         return vecs.groupBy("label").applyInPandas(
-            _centroid_fn, CENTROID_SCHEMA
+            _centroid_fn, CENTROID_SCHEMA.format(label_type=label_type)
         )
     partials = vecs.mapInPandas(
         _partial_batches,
-        "pid int, bi int, label int, n_vecs bigint, vec_sum array<double>",
+        f"pid int, bi int, label {label_type}, n_vecs bigint, "
+        "vec_sum array<double>",
     )
     # array_sort over (pid, bi, ...) structs pins the fold order: the
     # merged sum is bit-identical across runs for a deterministic input

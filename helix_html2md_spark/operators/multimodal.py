@@ -152,9 +152,11 @@ RESIZED_SCHEMA = (
 
 
 def resize_pixels(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Nearest-neighbor resample of a (h, w) float array — pure numpy,
-    deterministic; the real path swaps in PIL/libvips via the decoder."""
-    h, w = arr.shape
+    """Nearest-neighbor resample of a (h, w) or (h, w, c) float array —
+    pure numpy, deterministic; the real path swaps in PIL/libvips via
+    the decoder.  ``np.ix_`` indexes the two leading axes, so channels
+    (the trailing axis) ride along untouched."""
+    h, w = arr.shape[:2]
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return arr[np.ix_(ys, xs)]
@@ -171,9 +173,14 @@ def resize_images(
     in numpy, re-encode as raw bytes.  Arrow-batched, image rows only,
     partition-preserving — no shuffle, no per-row Python crossing.
 
-    Decoder contract: may return a 2-D (h, w) pixel array (a real
-    PIL/libvips decoder) OR a 1-D feature vector (the deterministic
-    stand-in), which is squared up for the resample."""
+    Decoder contract: may return a 2-D (h, w) grayscale array (the
+    built-in codecs), a 3-D (h, w, c) channel array (a real PIL/libvips
+    decoder — channels are preserved through the resample, and the
+    emitted blob is h*w*c interleaved bytes), OR a 1-D feature vector
+    (the deterministic stand-in), which is squared up for the resample.
+    Pixel values: floats are treated as [0, 1] (clipped), integer
+    dtypes as [0, 255] — a uint8 PIL image is normalized rather than
+    wrapped modulo 256 by the uint8 re-encode."""
     # non-image payloads never cross Arrow: the kind filter is JVM-side
     media = media.filter(F.col("kind") == "image")
 
@@ -188,13 +195,22 @@ def resize_images(
                 payload = bytes(row.payload) if row.payload is not None else b""
                 try:
                     arr = np.asarray(decoder(payload))
-                    if arr.ndim >= 2:
-                        img = arr.reshape(arr.shape[0], -1)
+                    if np.issubdtype(arr.dtype, np.integer):
+                        # real decoders hand back uint8 [0, 255]; the
+                        # *255 re-encode below would wrap modulo 256
+                        arr = arr.astype(np.float64) / 255.0
+                    if arr.ndim in (2, 3):
+                        img = arr  # (h, w[, c]) — channels preserved
                     else:
-                        side = max(int(len(arr) ** 0.5), 1)
-                        img = arr[: side * side].reshape(side, side)
+                        flat = arr.ravel()
+                        side = max(int(len(flat) ** 0.5), 1)
+                        img = flat[: side * side].reshape(side, side)
                     resized = resize_pixels(img, out_w, out_h)
-                    blob = (resized * 255).astype(np.uint8).tobytes()
+                    blob = (
+                        (np.clip(resized, 0.0, 1.0) * 255)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
                     sha, err = hashlib.sha1(blob).hexdigest(), None
                 except Exception as e:  # noqa: BLE001 - row resilience
                     blob, sha, err = None, None, f"{type(e).__name__}: {e}"
@@ -291,15 +307,30 @@ def sample_frames(
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def audio_chunks(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+def audio_chunks(
+    media: DataFrame, chunk_ms: int = 5000, max_chunks: int = 4096
+) -> DataFrame:
     """Audio chunk manifest: JVM-side explode of chunk boundaries per
     audio row (no decode — pure metadata; byte-range decode happens at
     the consumer with the codec slot).  One sequence/explode, no Python.
+
+    Fan-out is bounded by ``max_chunks`` (same contract as
+    ``sample_frames``'s max_frames: one corrupt duration_ms of 2^31
+    must not explode a single task's output by ~429k rows — the
+    default still admits ~5.7 hours of audio at 5 s chunks).  Negative
+    durations are dropped with the NULLs: both mean "unmeasured", and
+    a fabricated chunk with end_ms < start_ms poisons consumers.
     """
     if chunk_ms <= 0:
         raise ValueError("chunk_ms must be positive")
-    n_chunks = F.greatest(
-        F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
+    if max_chunks <= 0:
+        raise ValueError("max_chunks must be positive")
+    n_chunks = F.least(
+        F.greatest(
+            F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("int"),
+            F.lit(1),
+        ),
+        F.lit(max_chunks),
     )
     return (
         # NULL duration means "unmeasured": greatest/least skip NULLs,
@@ -307,7 +338,7 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
         # audio nobody measured — drop those rows instead
         media.filter(
             (F.col("kind") == "audio")
-            & F.col("duration_ms").isNotNull()
+            & (F.col("duration_ms") >= 0)
         )
         .select(
             "media_id",

@@ -89,10 +89,23 @@ def pack_sequences(
             ),
         )
 
+    # every cumsum window below pins a ROWS frame: the default RANGE
+    # frame treats all rows sharing a doc_id as PEERS and hands each the
+    # full peer sum — two duplicate doc_ids would both start at the
+    # same offset (overlapping slots) while their first slot goes
+    # unfilled.  With ROWS, duplicates get disjoint slots (in an
+    # arbitrary but non-overlapping order); unique doc_ids — the normal
+    # contract — are identical under either frame.
+    rows_cum = (Window.unboundedPreceding, Window.currentRow)
+
     if partition_by_shard:
         shard = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
         sharded = base.withColumn("shard", shard)
-        w = Window.partitionBy("shard").orderBy("doc_id")
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(*rows_cum)
+        )
         return emit(sharded, F.sum("n_tokens").over(w) - F.col("n_tokens"))
 
     # ---- two-phase exact global prefix sum (no single-partition window)
@@ -133,7 +146,7 @@ def pack_sequences(
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("shard", F.lit(0))
     )
-    w = Window.partitionBy("_pid").orderBy("doc_id")
+    w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(*rows_cum)
     wp = Window.partitionBy("_pid")  # whole-partition frame, same stage
     local = local.withColumn(
         "_cum", F.sum("n_tokens").over(w).cast("long")
@@ -207,16 +220,27 @@ def chunk_documents(
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    if overlap < 0:
+        # a negative overlap silently widens the stride past the chunk
+        # width and leaves unsampled token holes between chunks
+        raise ValueError("overlap must be >= 0")
     stride = chunk_tokens - overlap
     toks = tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("_toks")).withColumn(
         "_n", F.size("_toks")
     )
-    # chunk start offsets: 0, stride, 2*stride, ... < n (empty docs -> no rows)
+    # chunk start offsets: 0, stride, 2*stride, ... while the chunk
+    # still contributes NEW tokens.  A chunk at start s>0 is fully
+    # contained in its predecessor (which ends at min(s+overlap, n))
+    # exactly when n <= s + overlap, so the last start is the largest
+    # stride multiple < n - overlap — a tail shorter than the overlap
+    # must NOT emit (it would duplicate training text the dedup stages
+    # exist to remove).  Empty docs -> no rows.
     starts = F.sequence(
         F.lit(0),
         F.greatest(
-            ((F.col("_n") - 1) / stride).cast("int") * stride, F.lit(0)
+            ((F.col("_n") - overlap - 1) / stride).cast("int") * stride,
+            F.lit(0),
         ),
         F.lit(stride),
     )

@@ -23,8 +23,14 @@ def build_session(
     explicit = master is not None
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus and not explicit and master.startswith("local"):
-        # env parallelism applies only when the caller didn't pin a master
+    if cpus and not explicit and (
+        master == "local" or master.startswith("local[")
+    ):
+        # env parallelism applies only when the caller didn't pin a
+        # master, and only to single-JVM local[N] masters: a bare
+        # startswith("local") also matches 'local-cluster[2,2,1024]'
+        # and would silently rewrite a distributed-test master into one
+        # JVM (no cross-executor serialization, no real shuffles)
         master = f"local[{cpus}]"
     b = (
         SparkSession.builder.appName(app_name)

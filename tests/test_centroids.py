@@ -108,3 +108,29 @@ def test_explicit_dim_skips_inference_scan(spark):
     rows = label_centroids(emb, dim=3).collect()
     assert len(rows) == 1
     assert rows[0]["centroid"] == [5.0, 6.0, 7.0]
+
+
+def test_bigint_labels_survive_both_variants(spark):
+    """xxhash64/doc_id-derived labels exceed int32: the output schema
+    tracks the INPUT label type instead of pinning `label int`, which
+    aborted the whole stage at the Arrow boundary (one corrupt row must
+    degrade itself, not the aggregation)."""
+    big = 2**31 + 7
+    df = spark.createDataFrame(
+        [
+            (big, [1.0, 3.0]),
+            (big, [3.0, 5.0]),
+            (5, [2.0, 2.0]),
+            (None, [8.0, 8.0]),
+        ],
+        "label bigint, embedding array<float>",
+    )
+    for kwargs in ({}, {"partial": True}):
+        out = {
+            r["label"]: r for r in label_centroids(df, **kwargs).collect()
+        }
+        assert out[big]["n_vecs"] == 2
+        assert list(out[big]["centroid"]) == [2.0, 4.0]
+        assert out[5]["n_vecs"] == 1
+        assert out[None]["centroid"] == [8.0, 8.0], kwargs
+        assert dict(label_centroids(df, **kwargs).dtypes)["label"] == "bigint"

@@ -27,6 +27,56 @@ def test_pack_sequences_greedy_cumsum(spark):
     assert out["d002"]["n_tokens"] == 8
 
 
+def test_pack_sequences_duplicate_doc_ids_get_disjoint_slots(spark):
+    """The cumsum windows pin a ROWS frame: under the default RANGE
+    frame, rows sharing a doc_id are peers and each receives the full
+    peer sum — both duplicates would start at the same offset while
+    their first slot went unfilled."""
+    from helix_html2md_spark.operators.dedup import release_persisted
+
+    docs = spark.createDataFrame(
+        [("d", "a b"), ("d", "c d"), ("e", "x")],
+        "doc_id string, text string",
+    )
+    for kwargs in ({}, {"partition_by_shard": True, "n_shards": 1}):
+        rows = pack_sequences(docs, seq_len=8, **kwargs).collect()
+        release_persisted()
+        slots = sorted(
+            (r["pack_id"], r["offset_in_pack"])
+            for r in rows
+            if r["doc_id"] == "d"
+        )
+        assert slots == [(0, 0), (0, 2)], kwargs
+
+
+def test_chunk_documents_contained_tail_not_emitted(spark):
+    """A tail shorter than the overlap is a strict subset of the
+    previous chunk and must not emit — but a tail that reaches past the
+    previous chunk's end must."""
+    # chunk 4, overlap 2, stride 2
+    out = chunk_documents(
+        _docs(spark, [" ".join(f"t{i}" for i in range(5))]),
+        chunk_tokens=4,
+        overlap=2,
+    ).collect()
+    # n=5: chunk at 2 covers [2,5) which adds token 4 -> emitted
+    assert sorted((r["start_tok"], r["end_tok"]) for r in out) == [
+        (0, 4), (2, 5),
+    ]
+    # n=4: chunk at 2 would cover [2,4) ⊂ [0,4) -> suppressed
+    out4 = chunk_documents(
+        _docs(spark, ["t0 t1 t2 t3"]), chunk_tokens=4, overlap=2
+    ).collect()
+    assert [(r["start_tok"], r["end_tok"]) for r in out4] == [(0, 4)]
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, ["a b"]), chunk_tokens=4, overlap=-1)
+
+
 def test_pack_sequences_sharded_is_deterministic(spark):
     docs = _docs(spark, ["w x y z"] * 20)
     a = pack_sequences(docs, seq_len=8, partition_by_shard=True).collect()
@@ -43,13 +93,14 @@ def test_chunk_documents_overlap(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    # stride 2: starts 0,2,4,6,8
+    # stride 2: starts 0,2,4,6 — a start at 8 would chunk [8,10), a
+    # strict subset of [6,10), so the contained tail must not emit
     assert [(r["start_tok"], r["end_tok"]) for r in out] == [
-        (0, 4), (2, 6), (4, 8), (6, 10), (8, 10),
+        (0, 4), (2, 6), (4, 8), (6, 10),
     ]
     assert out[0]["chunk_text"] == "t0 t1 t2 t3"
-    assert out[-1]["chunk_text"] == "t8 t9"
-    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert out[-1]["chunk_text"] == "t6 t7 t8 t9"
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
 
 
 def test_chunk_documents_short_and_empty(spark):

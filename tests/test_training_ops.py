@@ -262,6 +262,57 @@ def test_resize_images(spark):
     assert again == {r["media_id"]: r["resized_sha1"] for r in resized}
 
 
+def test_resize_images_rgb_decoder_keeps_channels(spark):
+    """An injected real-codec-shaped decoder — 3-D (h, w, 3) uint8 —
+    must resample channel-planes intact (the old reshape(h, -1) fed
+    interleaved R/G/B components to the sampler as if they were
+    pixels) and normalize [0, 255] instead of wrapping modulo 256."""
+    import numpy as np
+
+    from helix_html2md_spark.operators.multimodal import (
+        resize_images, synthetic_media,
+    )
+
+    def rgb_decoder(payload: bytes) -> np.ndarray:
+        img = np.zeros((20, 24, 3), dtype=np.uint8)
+        img[..., 0] = 10
+        img[..., 1] = 128
+        img[..., 2] = 250
+        return img
+
+    media = synthetic_media(spark, 12).filter("kind = 'image'")
+    rows = resize_images(media, 4, 4, decoder=rgb_decoder).collect()
+    assert rows and all(r["error"] is None for r in rows)
+    for r in rows:
+        px = np.frombuffer(r["resized"], dtype=np.uint8).reshape(4, 4, 3)
+        assert (px[..., 0] == 10).all()
+        assert (px[..., 1] == 128).all()
+        assert (px[..., 2] == 250).all()
+
+
+def test_audio_chunks_cap_and_negative_duration(spark):
+    from helix_html2md_spark.operators.multimodal import audio_chunks
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "d1", "audio", b"", None, None, 2_147_483_647),
+            ("m2", "d2", "audio", b"", None, None, -5),
+            ("m3", "d3", "audio", b"", None, None, 7000),
+        ],
+        "media_id string, doc_id string, kind string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    rows = audio_chunks(media, chunk_ms=5000, max_chunks=16).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # corrupt 2^31-1 ms duration: fan-out bounded, not ~429k rows
+    assert len(by_media["m1"]) == 16
+    # negative duration = unmeasured: dropped, never end_ms < start_ms
+    assert "m2" not in by_media
+    assert len(by_media["m3"]) == 2
+
+
 def test_audio_chunks(spark):
     from helix_html2md_spark.operators.multimodal import (
         audio_chunks, synthetic_media,
