@@ -17,6 +17,7 @@ from pyspark.sql.types import (
 )
 
 from ..core.boilerplate import strip_boilerplate
+from .gate import apply_gate, gate_errors
 
 BOILER_SCHEMA = StructType(
     [
@@ -36,18 +37,14 @@ BOILER_SCHEMA = StructType(
 def _strip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in BOILER_SCHEMA.fields}
-        gate_errs = (
-            pdf["_gate_error"].tolist()
-            if "_gate_error" in pdf.columns
-            else [None] * len(pdf)
-        )
+        gate_errs = gate_errors(pdf)
         for rownum, (doc_id, html) in enumerate(
             zip(pdf["doc_id"], pdf["html"])
         ):
             gate_err = gate_errs[rownum]
-            if gate_err is not None and not pd.isna(gate_err):
+            if gate_err is not None:
                 row = {
-                    "status": "constraint_error", "error": str(gate_err),
+                    "status": "constraint_error", "error": gate_err,
                     "content_tag": None, "content_text": "",
                     "text_len": 0, "link_density": 0.0, "n_paras": 0,
                     "score": 0,
@@ -88,17 +85,17 @@ def strip_boilerplate_documents(
     # so it is a byte limit (F.length counts characters — a multibyte
     # CJK page would cross at up to 4x the stated budget)
     too_big = F.octet_length("html") > F.lit(max_html_size)
-    gated = docs.select(
-        "doc_id",
-        F.when(
+    gated = apply_gate(
+        docs.select("doc_id", "html"),  # prune before the Arrow crossing
+        [(
             too_big,
             F.concat(
                 F.lit("html larger than "),
                 F.lit(max_html_size).cast("string"),
                 F.lit(" bytes"),
             ),
-        ).alias("_gate_error"),
-        F.when(too_big, F.lit("")).otherwise(F.col("html")).alias("html"),
+        )],
+        {"html": F.lit("")},
     )
     if num_partitions:
         gated = gated.repartition(num_partitions, "doc_id")

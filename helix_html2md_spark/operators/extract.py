@@ -31,6 +31,7 @@ from ..core.html2md import (
     resolve_url,
 )
 from ..core.transform import ConstraintsError
+from .gate import apply_gate, gate_errors
 
 SPAN_TYPE = StructType(
     [
@@ -187,16 +188,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "doc_id": [], "spans": [], "md": [], "status": [], "error": [],
             "n_images": [], "n_blocks": [], "n_chars": [],
         }
-        # itertuples mangles leading-underscore names; read the gate
-        # column positionally
-        gate_errs = (
-            pdf["_gate_error"].tolist()
-            if "_gate_error" in pdf.columns
-            else [None] * len(pdf)
-        )
+        gate_errs = gate_errors(pdf)
         for rownum, row in enumerate(pdf.itertuples(index=False)):
             d = row._asdict()
-            gate_err = _scalar(gate_errs[rownum])
+            gate_err = gate_errs[rownum]
             if gate_err is not None:
                 # JVM admission gate already rejected this row (html was
                 # blanked before the Arrow crossing); emit its error row
@@ -341,21 +336,13 @@ def gate_oversized(df: DataFrame, defaults: dict) -> DataFrame:
     err = F.concat(
         F.lit("html source larger than "), mb_str, F.lit("MB")
     )
-    rejected = F.col("_gate_error").isNotNull()
-    return (
-        df.withColumn(
-            "_gate_error", F.when(F.col("_html_len") > limit, err)
-        )
-        .withColumn(
-            "html_src",
-            F.when(rejected, F.lit("")).otherwise(F.col("html_src")),
-        )
-        .withColumn(
-            "media_spans",
-            F.when(
-                rejected, F.filter("media_spans", lambda s: F.lit(False))
-            ).otherwise(F.col("media_spans")),
-        )
+    return apply_gate(
+        df,
+        [(F.col("_html_len") > limit, err)],
+        {
+            "html_src": F.lit(""),
+            "media_spans": F.filter("media_spans", lambda s: F.lit(False)),
+        },
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..core.pdfparse import PdfError, parse_pdf
+from .gate import apply_gate, gate_errors
 
 PDF_SPAN_TYPE = StructType(
     [
@@ -58,18 +59,14 @@ _MAGIC = "255044462D"  # b"%PDF-"
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in PDF_SCHEMA.fields}
-        gate_errs = (
-            pdf["_gate_error"].tolist()
-            if "_gate_error" in pdf.columns
-            else [None] * len(pdf)
-        )
+        gate_errs = gate_errors(pdf)
         for rownum, (doc_id, payload) in enumerate(
             zip(pdf["doc_id"], pdf["payload"])
         ):
             gate_err = gate_errs[rownum]
             spans: list[dict] = []
-            if gate_err is not None and not pd.isna(gate_err):
-                status, error = "constraint_error", str(gate_err)
+            if gate_err is not None:
+                status, error = "constraint_error", gate_err
             else:
                 try:
                     spans = parse_pdf(bytes(payload))
@@ -112,26 +109,26 @@ def parse_pdf_documents(
     """
     magic_ok = F.expr(f"substring(payload, 1, 5) = X'{_MAGIC}'")
     too_big = F.length("payload") > F.lit(max_pdf_size)
-    # a NULL payload must be gated EXPLICITLY: both predicates above
-    # evaluate to NULL for it, so without this branch it slipped through
-    # un-blanked and surfaced as a misleading Python-side parse_error
+    # a NULL payload must be gated EXPLICITLY and FIRST: the other
+    # predicates evaluate to NULL for it (skipped branches), so without
+    # this condition it slipped through un-blanked and surfaced as a
+    # misleading Python-side parse_error
     is_null = F.col("payload").isNull()
-    gated = pdfs.select(
-        "doc_id",
-        F.when(is_null, F.lit("payload missing"))
-        .when(
-            too_big,
-            F.concat(
-                F.lit("pdf larger than "),
-                F.lit(max_pdf_size).cast("string"),
-                F.lit(" bytes"),
+    gated = apply_gate(
+        pdfs.select("doc_id", "payload"),  # prune before Arrow
+        [
+            (is_null, "payload missing"),
+            (
+                too_big,
+                F.concat(
+                    F.lit("pdf larger than "),
+                    F.lit(max_pdf_size).cast("string"),
+                    F.lit(" bytes"),
+                ),
             ),
-        )
-        .when(~magic_ok, F.lit("not a PDF (missing %PDF- magic)"))
-        .alias("_gate_error"),
-        F.when(
-            is_null | too_big | ~magic_ok, F.lit(b"")
-        ).otherwise(F.col("payload")).alias("payload"),
+            (~magic_ok, "not a PDF (missing %PDF- magic)"),
+        ],
+        {"payload": F.lit(b"")},
     )
     if num_partitions:
         gated = gated.repartition(num_partitions, "doc_id")

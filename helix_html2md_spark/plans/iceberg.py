@@ -80,9 +80,19 @@ def create_extracted_table(
     )
 
 
-def append_extracted(df: DataFrame, table: str) -> None:
-    """Append one run's output as a single Iceberg snapshot (atomic)."""
-    df.writeTo(table).append()
+def append_extracted(
+    df: DataFrame, table: str, attempt_id: str | None = None
+) -> None:
+    """Append one run's output as a single Iceberg snapshot (atomic).
+
+    ``attempt_id`` is stamped into the commit's snapshot summary
+    (Iceberg's ``snapshot-property.`` write-option prefix), so the
+    snapshot this exact append created can be looked up by value —
+    see :func:`snapshot_id_for_attempt`."""
+    w = df.writeTo(table)
+    if attempt_id is not None:
+        w = w.option("snapshot-property.attempt_id", attempt_id)
+    w.append()
 
 
 def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
@@ -96,6 +106,26 @@ def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
         .collect()
     )
     return int(row[0][0]) if row else None
+
+
+def snapshot_id_for_attempt(
+    spark: SparkSession, table: str, attempt_id: str
+) -> int | None:
+    """The snapshot a specific append committed, matched by the
+    attempt_id stamped into its summary.
+
+    'Read the current snapshot after my append' misattributes lineage
+    under concurrency: another writer committing between our append and
+    the read makes THEIR snapshot the current one, and our lineage rows
+    would permanently record it (the exact provenance the module
+    promises).  The summary match is immune — one attempt_id, one
+    commit."""
+    rows = spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        f"WHERE summary['attempt_id'] = '{attempt_id}' "
+        "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+    ).collect()
+    return int(rows[0][0]) if rows else None
 
 
 def remaining_documents_iceberg(
@@ -169,26 +199,44 @@ def run_extract_job_iceberg(
         .withColumn("attempt_id", F.lit(attempt_id))
     )
 
-    t0 = time.perf_counter()
-    append_extracted(extracted, table)
-    wall = time.perf_counter() - t0
-    snap = current_snapshot_id(spark, table)
-
-    lineage = (
-        spark.read.format("iceberg")
-        .load(table)
-        .filter(F.col("attempt_id") == attempt_id)
-        .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("doc_ids_done"),
-            F.sum(
-                F.when(F.col("status") != "ok", 1).otherwise(0)
-            ).alias("docs_failed"),
+    # persist so the lineage aggregate and the append share ONE
+    # extraction pass (same shape as plans/job.run_extract_job).  The
+    # alternative — re-reading the table filtered on attempt_id — pays
+    # a manifest + data scan over the ENTIRE ever-growing table on
+    # every run: the table is partitioned by bucket(doc_id), so an
+    # attempt_id filter prunes nothing and each resume re-reads all
+    # committed history just to aggregate the rows it wrote seconds
+    # ago.  The persisted attempt is O(this attempt's rows).  Lineage
+    # is collected BEFORE the append (the plan reads the table via the
+    # resume anti-join, and the commit would invalidate that cache) but
+    # only committed after the append succeeds.
+    extracted = extracted.persist()
+    try:
+        lineage = (
+            extracted.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("doc_ids_done"),
+                F.sum(
+                    F.when(F.col("status") != "ok", 1).otherwise(0)
+                ).alias("docs_failed"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("attempt_id", F.lit(attempt_id))
         )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("attempt_id", F.lit(attempt_id))
-        .withColumn("snapshot_id", F.lit(snap).cast("long"))
-    )
+        lineage_rows = lineage.collect()  # materializes the cache
+        t0 = time.perf_counter()
+        append_extracted(extracted, table, attempt_id)
+        wall = time.perf_counter() - t0
+    finally:
+        extracted.unpersist()
+    # snapshot provenance: match OUR commit by its stamped attempt_id
+    # (the post-append "current" snapshot may already be a concurrent
+    # writer's); fall back to current for catalogs that drop custom
+    # summary properties
+    snap = snapshot_id_for_attempt(spark, table, attempt_id)
+    if snap is None:
+        snap = current_snapshot_id(spark, table)
+
     # append per run (createOrReplace would drop prior runs' lineage)
     spark.sql(
         f"""
@@ -202,5 +250,7 @@ def run_extract_job_iceberg(
         ) USING iceberg
         """
     )
-    lineage.writeTo(f"{table}_lineage").append()
+    spark.createDataFrame(lineage_rows, lineage.schema).withColumn(
+        "snapshot_id", F.lit(snap).cast("long")
+    ).writeTo(f"{table}_lineage").append()
     return {"run_id": run_id, "snapshot_id": snap, "wall_sec": round(wall, 3)}

@@ -246,7 +246,11 @@ def stateful_sessionize(
     for bounded ``availableNow`` replays — with a timeout configured, the
     query keeps scheduling "cleaning up state" batches until every
     group's wall-clock timeout fires (gap_minutes later), so an
-    available-now run would not terminate for half an hour.
+    available-now run would not terminate for half an hour.  In that
+    mode each user's FINAL session necessarily stays open in state (no
+    later event, no timeout): after the query terminates, flush them
+    with :func:`open_sessions_from_checkpoint` and union the
+    ``closed_by='eof'`` rows for the complete session set.
 
     TIMEZONE CONTRACT: gap arithmetic runs on ``.timestamp()`` of the
     tz-NAIVE local timestamps Arrow hands the UDF, which is only
@@ -320,6 +324,36 @@ def stateful_sessionize(
             if use_timeout
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def open_sessions_from_checkpoint(spark, checkpoint_dir: str):
+    """Flush the sessions still OPEN in a sessionizer checkpoint.
+
+    A bounded ``availableNow`` replay with ``use_timeout=False`` (the
+    documented terminating mode) can never close each user's FINAL
+    session: no later event opens a gap and no timeout fires after the
+    input is exhausted, so the tail session per user stays in state
+    forever and the output systematically lacks it (a user with exactly
+    one session produces zero rows).  This helper completes the replay:
+    it reads the remaining GroupState through Spark's state-store data
+    source and emits one row per open session with
+    ``closed_by='eof'``, schema-aligned with the stream output — union
+    it with the streamed rows for the full session set.
+
+    Batch-side: runs AFTER the query terminates, against the same
+    ``checkpointLocation`` the query ran with.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 - local alias
+
+    state = spark.read.format("statestore").load(checkpoint_dir)
+    # applyInPandasWithState wraps the user state one level down:
+    # value.groupState.<stateStructType fields>
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.n").alias("n_events"),
+        F.col("value.groupState.total").alias("sum_value"),
+        F.lit("eof").alias("closed_by"),
     )
 
 
