@@ -132,6 +132,83 @@ def _link_text_len(el: Element) -> int:
     return total
 
 
+# (normalized length, raw-starts-with-ws, raw-ends-with-ws) summaries:
+# enough to compute len(_norm(concat(pieces))) WITHOUT building strings —
+# the per-candidate re-walk they replace made scoring O(depth^2) on
+# nested-chain pages (measured: 25s of CPU for a 310KB page of 4000
+# nested divs, far under the operators' byte gates), a crafted document
+# stalling an executor core with nothing raising
+_VACUOUS = (0, False, False)
+_WS_MARKER = (0, True, True)
+
+
+def _text_summary(value: str) -> tuple[int, bool, bool]:
+    if not value:
+        return _VACUOUS
+    # edge test uses the SAME \s definition _norm collapses with
+    # (str.isspace() diverges from re \s on some codepoints)
+    return (
+        len(_norm(value)),
+        bool(_WS.match(value[0])),
+        bool(_WS.match(value[-1])),
+    )
+
+
+def _comb(a: tuple, b: tuple) -> tuple:
+    """Summary of concat(raw_a, raw_b): a whitespace junction between
+    two non-empty normalized sides collapses to exactly one space."""
+    al, alead, atrail = a
+    bl, blead, btrail = b
+    if al == 0 and not alead and not atrail:
+        return b
+    if bl == 0 and not blead and not btrail:
+        return a
+    sep = 1 if (al > 0 and bl > 0 and (atrail or blead)) else 0
+    lead = alead if (al > 0 or alead or atrail) else blead
+    trail = btrail if (bl > 0 or blead or btrail) else atrail
+    return (al + bl + sep, lead, trail)
+
+
+def _subtree_stats(
+    seq: list[Element],
+) -> tuple[dict[int, int], dict[int, int], dict[int, int]]:
+    """ONE post-order pass over a pre-order element sequence, yielding
+    per element: ``tlen`` — len(_text(el)) (block-boundary-aware
+    normalized subtree text length), ``tsum`` — sum of per-text-node
+    normalized lengths (the unit _link_text_len counts in), and
+    ``link`` — link-text length (tsum of every <a> descendant subtree).
+    Reversed pre-order visits children before parents, so each element
+    folds its children's summaries in O(len(children))."""
+    summ: dict[int, tuple] = {}
+    tsum: dict[int, int] = {}
+    link: dict[int, int] = {}
+    for el in reversed(seq):
+        acc = _VACUOUS
+        s = 0
+        lk = 0
+        for c in el.children:
+            if isinstance(c, Text):
+                acc = _comb(acc, _text_summary(c.value))
+                s += len(_norm(c.value))
+            else:
+                cid = id(c)
+                s += tsum.get(cid, 0)
+                lk += tsum.get(cid, 0) if c.tag == "a" else link.get(cid, 0)
+                if c.tag in _INLINE_TAGS:
+                    # _text FLATTENS inline children (no boundary), and
+                    # the child summary already carries its own internal
+                    # boundaries — identical by construction
+                    acc = _comb(acc, summ.get(cid, _VACUOUS))
+                else:
+                    acc = _comb(acc, _WS_MARKER)
+                    acc = _comb(acc, summ.get(cid, _VACUOUS))
+                    acc = _comb(acc, _WS_MARKER)
+        summ[id(el)] = acc
+        tsum[id(el)] = s
+        link[id(el)] = s if el.tag == "a" else lk
+    return {k: v[0] for k, v in summ.items()}, tsum, link
+
+
 def select_content(root: Element, min_para_len: int = 25) -> Element | None:
     """Clean + score a parsed tree, return the Arc90-winner element.
 
@@ -197,24 +274,26 @@ def _best_candidate(
     if not scores:
         return None
 
+    # all candidate text/link lengths come from ONE post-order pass
+    # (_subtree_stats); walking each candidate's subtree here was
+    # O(depth^2) on nested-chain pages — only the single winner's text
+    # STRING is assembled, once, below
+    tlen, _tsum, tlink = _subtree_stats(seq)
     by_id = {id(el): el for el in seq}
-    best_el, best_final, best_text, best_link = None, None, "", 0
+    best_el, best_final, best_link = None, None, 0
     for el_id, raw in scores.items():
         el = by_id.get(el_id)
         if el is None:
             continue
-        text = _text(el)
-        text_len = len(text)
-        link_len = _link_text_len(el)
+        text_len = tlen.get(el_id, 0)
+        link_len = tlink.get(el_id, 0)
         density = (link_len / text_len) if text_len else 1.0
         final = raw * (1.0 - density)
         key = (-final, order.get(el_id, 1 << 30))
         if best_final is None or key < best_final:
             best_final, best_el = key, el
-            best_text, best_link = text, link_len
-    # the winner's text and link length ride along: strip_boilerplate
-    # would otherwise re-walk the same subtree twice for values this
-    # loop just computed
+            best_link = link_len
+    best_text = _text(best_el) if best_el is not None else ""
     return best_el, best_final, para_counts, best_text, best_link
 
 

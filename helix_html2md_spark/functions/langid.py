@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import WS_CLASS
+from .text import SQL_TOKENS, tokens
 
 # ---------------------------------------------------------------------------
 # profiles — the single source of truth for BOTH engines
@@ -109,11 +109,11 @@ def script_counts(col) -> Column:
 
 
 def _latin_tokens(col) -> Column:
-    cleaned = F.regexp_replace(
-        F.lower(col), "[^" + _LATIN_KEEP + "]+", " "
-    )
-    return F.filter(
-        F.split(F.trim(cleaned), WS_CLASS + "+"), lambda w: w != F.lit("")
+    # the ONE shared tokenizer (functions/text.py) over the lowercased,
+    # letter-only normalization — never a local re-implementation, so a
+    # WS_CLASS change can't silently miss this copy
+    return tokens(
+        F.regexp_replace(F.lower(col), "[^" + _LATIN_KEEP + "]+", " ")
     )
 
 
@@ -216,10 +216,7 @@ def sql_lang_id(expr: str) -> str:
     cleaned = (
         f"regexp_replace(lower({expr}), '[^{_LATIN_KEEP}]+', ' ', 'g')"
     )
-    toks = (
-        f"list_filter(str_split_regex(trim({cleaned}), '{WS_CLASS}+'), "
-        "x -> x <> '')"
-    )
+    toks = SQL_TOKENS.format(c=cleaned)  # text.py's one oracle fragment
     entries = []
     for code in sorted(LATIN_STOPWORDS):
         lst = "['" + "','".join(LATIN_STOPWORDS[code]) + "']"

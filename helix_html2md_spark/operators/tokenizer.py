@@ -250,6 +250,15 @@ def bpe_encode(
             )
         ).alias("pos", "word"),
     )
+    # pretok feeds TWO consumers (the distinct-word crossing and the
+    # join-back): without a persist the corpus-wide regex pretokenize +
+    # posexplode — the dominant scan cost — executes twice.  Same
+    # diamond pattern as dsir/corpus/search; released per battery query
+    # via dedup.release_persisted().
+    from .dedup import _PERSISTED
+
+    pretok = pretok.persist()
+    _PERSISTED.append(pretok)
 
     def encode_batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -282,12 +291,15 @@ def bpe_encode(
     if with_ids:
         aggs.append(F.flatten(sorted_structs.getField("ids")).alias("ids"))
     per_doc = joined.groupBy("doc_id").agg(*aggs)
+    # size() runs on the COALESCED array: under an ANSI-off session
+    # (every 3.x default) size(NULL) is -1, not NULL, so
+    # coalesce(size(pieces), 0) leaked n_pieces = -1 for token-less
+    # docs — the n_unk column below always had it right
+    pieces_arr = F.coalesce("pieces", F.array().cast("array<string>"))
     out_cols = [
         "doc_id",
-        F.coalesce(F.size("pieces"), F.lit(0)).alias("n_pieces"),
-        F.coalesce(
-            "pieces", F.array().cast("array<string>")
-        ).alias("pieces"),
+        F.size(pieces_arr).alias("n_pieces"),
+        pieces_arr.alias("pieces"),
     ]
     if with_ids:
         out_cols += [

@@ -182,3 +182,65 @@ def test_camelcase_noise_classes_are_stripped():
     assert out["status"] == "ok"
     assert "AAA" not in out["content_text"]
     assert para in out["content_text"]
+
+
+def test_subtree_stats_match_walks_differentially():
+    """The one-pass summaries must equal the direct subtree walks for
+    EVERY element — random trees with edge/internal/exotic whitespace,
+    inline splits, links, and empty nodes."""
+    import random
+
+    from helix_html2md_spark.core.boilerplate import (
+        _link_text_len, _subtree_stats, _text,
+    )
+    from helix_html2md_spark.core.dom import parse_html
+
+    rng = random.Random(42)
+    texts = [
+        "word", " lead", "trail ", "  both  ", "a  b\tc\nd", "",
+        " ", "\t\n", "x", " nbsp ", "one, two",
+    ]
+    tags = ["div", "p", "span", "a", "b", "section", "em"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return rng.choice(texts)
+        tag = rng.choice(tags)
+        inner = "".join(gen(depth - 1) for _ in range(rng.randint(0, 4)))
+        return f"<{tag}>{inner}</{tag}>"
+
+    for trial in range(60):
+        html = "<html><body>" + gen(4) + "</body></html>"
+        root = parse_html(html)
+        body = root.find("body") or root
+        seq, stack = [], [body]
+        while stack:
+            el = stack.pop()
+            seq.append(el)
+            stack.extend(reversed(el.element_children()))
+        tlen, _tsum, tlink = _subtree_stats(seq)
+        for el in seq:
+            assert tlen[id(el)] == len(_text(el)), (trial, el.tag, html)
+            assert tlink[id(el)] == _link_text_len(el), (trial, el.tag)
+
+
+def test_nested_chain_page_is_not_quadratic():
+    """4000 nested scoring containers must strip in well under the
+    ~25s the per-candidate re-walk took (review finding: executor
+    stall below the byte gates)."""
+    import time
+
+    n = 4000
+    para = "Paragraph long enough to score points, with a comma."
+    html = (
+        "<html><body>"
+        + "".join(f"<div><p>{para}</p>" for _ in range(n))
+        + "</div>" * n
+        + "</body></html>"
+    )
+    t0 = time.perf_counter()
+    out = strip_boilerplate(html)
+    wall = time.perf_counter() - t0
+    assert out["status"] == "ok"
+    assert out["n_paras"] >= 1
+    assert wall < 5.0, wall
