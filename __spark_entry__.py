@@ -130,45 +130,22 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_event_sessions(load(spark, sf_dir, "events"))
 
 
-_LANG_WORDS = {
-    "en": ("the", "and", "of", "is", "it"),
-    "de": ("der", "die", "und", "ist", "das"),
-    "fr": ("le", "la", "et", "est", "les"),
-    "es": ("el", "la", "y", "es", "los"),
-    "zh": ("de", "shi", "he", "zai", "le"),
-}
-
-
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword language-ID heuristic: argmax of per-language
-    marker-word hits (deterministic tiebreak by language code)."""
-    from helix_html2md_spark.functions.text import tokens
+    """Language identification via the library's two-stage heuristic
+    (functions/langid.py): Unicode script-majority counts decide
+    zh/ja/ko/ru/ar/hi/el, Latin-majority text votes among seven
+    languages by marker-stopword hits with an alphabetical tie-break.
+    The oracle is GENERATED from the same profile tables
+    (sql_lang_id), so the two engines cannot drift.  (Round 5 upgraded
+    this from an inline five-language distinct-hits sketch to the real
+    operator; the ground-truth ``lang`` column rides along for
+    evaluation — the synthetic labels are random w.r.t. the soup text,
+    so agreement is not asserted, only determinism.)"""
+    from helix_html2md_spark.functions.langid import lang_stats
 
-    docs = _docs(spark, sf_dir)
-    toks = F.array_distinct(tokens(F.col("text")))
-    hits = {
-        lang: F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-        )
-        for lang, words in _LANG_WORDS.items()
-    }
-    best = None
-    for lang in sorted(_LANG_WORDS):
-        score = hits[lang]
-        if best is None:
-            best = (F.lit(lang), score)
-        else:
-            cur_lang, cur_score = best
-            best = (
-                F.when(score > cur_score, F.lit(lang)).otherwise(cur_lang),
-                F.greatest(score, cur_score),
-            )
-    return docs.select(
-        "doc_id",
-        "lang",
-        best[0].alias("predicted_lang"),
-        best[1].alias("marker_hits"),
-    ).orderBy("doc_id")
+    return lang_stats(_docs(spark, sf_dir), keep=("lang",)).orderBy(
+        "doc_id"
+    )
 
 
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2078,21 +2055,11 @@ def _clean_corpus_oracle() -> str:
 
 
 def _lang_id_oracle() -> str:
-    hit_exprs = []
-    for lang in sorted(_LANG_WORDS):
-        words = "','".join(_LANG_WORDS[lang])
-        hit_exprs.append(
-            f"length(list_intersect(list_distinct({_TOKENS}), ['{words}'])) AS h_{lang}"
-        )
-    langs = sorted(_LANG_WORDS)
-    pred = f"'{langs[0]}'"
-    score = f"h_{langs[0]}"
-    for lang in langs[1:]:
-        pred = f"CASE WHEN h_{lang} > {score} THEN '{lang}' ELSE {pred} END"
-        score = f"greatest(h_{lang}, {score})"
+    # GENERATED from the same profile tables the Spark side reads —
+    # the language lists and script ranges cannot drift between engines
+    from helix_html2md_spark.functions.langid import sql_lang_id
+
     return f"""
-        WITH h AS (SELECT doc_id, lang, {', '.join(hit_exprs)} FROM documents)
-        SELECT doc_id, lang, {pred} AS predicted_lang,
-               {score} AS marker_hits
-        FROM h ORDER BY doc_id
+        SELECT doc_id, lang, {sql_lang_id('text')} AS lang_pred
+        FROM documents ORDER BY doc_id
     """

@@ -173,8 +173,12 @@ def lang_id(col) -> Column:
     return _decide(s, vote)
 
 
-def lang_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document language prediction: (doc_id, lang_pred).
+def lang_stats(
+    df: DataFrame, text_col: str = "text", keep: tuple = ()
+) -> DataFrame:
+    """Per-document language prediction: (doc_id, *keep, lang_pred) —
+    ``keep`` passes extra input columns through (e.g. a ground-truth
+    label for evaluation) without a second scan or join.
 
     Narrow, shuffle-free, fully code-generated — at 100 TB this is a
     pure map stage that co-travels with whatever scan feeds it.  The
@@ -193,7 +197,9 @@ def lang_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     vote = F.when(
         F.col("_best")["nh"] < 0, F.col("_best")["lg"]
     ).otherwise(F.lit("und"))
-    return staged.select("doc_id", _decide(s, vote).alias("lang_pred"))
+    return staged.select(
+        "doc_id", *keep, _decide(s, vote).alias("lang_pred")
+    )
 
 
 # ---------------------------------------------------------------------------
