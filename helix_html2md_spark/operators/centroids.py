@@ -38,30 +38,33 @@ from pyspark.sql import DataFrame, functions as F
 CENTROID_SCHEMA = "label {label_type}, n_vecs bigint, centroid array<double>"
 
 
-def _clean_label(lab):
+def _clean_label(lab, integral: bool):
     """Undo pandas' NULL-driven widening without assuming a label type:
-    int-with-nulls arrives as float64 (int() restores the integer the
-    Arrow writer expects); genuine NaN is a null GROUP — SQL GROUP BY
-    semantics — not a crash; strings and native ints pass through."""
+    for an INTEGRAL input column, int-with-nulls arrives as float64 and
+    int() restores the integer the Arrow writer expects; genuine NaN is
+    a null GROUP — SQL GROUP BY semantics — not a crash.  For any other
+    label type the value passes through untouched (int()-ing a genuine
+    double label would silently merge the 1.2 and 1.5 groups, and
+    float('inf') would abort the stage on OverflowError)."""
     import numpy as np
 
     if lab is None or (
         isinstance(lab, (float, np.floating)) and pd.isna(lab)
     ):
         return None
-    if isinstance(lab, (float, np.floating)):
+    if integral and isinstance(lab, (float, np.floating)):
         return int(lab)
     return lab
 
 
-def _centroid_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+def _centroid_fn(pdf: pd.DataFrame, integral: bool) -> pd.DataFrame:
     import numpy as np
 
     lab = pdf["label"].iloc[0]
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     return pd.DataFrame(
         {
-            "label": [_clean_label(lab)],
+            "label": [_clean_label(lab, integral)],
             "n_vecs": [len(pdf)],
             "centroid": [np.round(mat.mean(axis=0), 6).tolist()],
         }
@@ -69,7 +72,7 @@ def _centroid_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _partial_batches(
-    batches: Iterator[pd.DataFrame],
+    batches: Iterator[pd.DataFrame], integral: bool
 ) -> Iterator[pd.DataFrame]:
     import numpy as np
     from pyspark import TaskContext
@@ -88,7 +91,7 @@ def _partial_batches(
             mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
             out["pid"].append(pid)
             out["bi"].append(bi)
-            out["label"].append(_clean_label(label))
+            out["label"].append(_clean_label(label, integral))
             out["n_vecs"].append(len(g))
             out["vec_sum"].append(mat.sum(axis=0).tolist())
         yield pd.DataFrame(out)
@@ -122,12 +125,24 @@ def label_centroids(
         dim = int(row["_d"]) if row is not None else 0
     vecs = vecs.filter(F.size("embedding") == dim)
     label_type = emb.schema["label"].dataType.simpleString()
+    integral = label_type in ("tinyint", "smallint", "int", "bigint")
+
+    # hinted closures, not functools.partial: PySpark infers the UDF
+    # eval type from the callable's type hints, which a partial hides
+    def _centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _centroid_fn(pdf, integral)
+
+    def _partials(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return _partial_batches(batches, integral)
+
     if not partial:
         return vecs.groupBy("label").applyInPandas(
-            _centroid_fn, CENTROID_SCHEMA.format(label_type=label_type)
+            _centroid, CENTROID_SCHEMA.format(label_type=label_type)
         )
     partials = vecs.mapInPandas(
-        _partial_batches,
+        _partials,
         f"pid int, bi int, label {label_type}, n_vecs bigint, "
         "vec_sum array<double>",
     )

@@ -86,18 +86,25 @@ def train_bigram_lm(
     so the denominator is the true token frequency."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    from .dedup import _PERSISTED
+
     pairs = _doc_bigrams(ref_docs, text_col)
     bigrams = (
         pairs.groupBy("prev", "w")
         .agg(F.count("*").alias("c_bi"))
         .filter(F.col("c_bi") >= min_count)
-    )
+    ).persist()
     toks = ref_docs.select(
         F.explode(tokens(F.col(text_col))).alias("tok")
     )
     prefixes = toks.groupBy(F.col("tok").alias("prev")).agg(
         F.count("*").alias("c_prev")
-    )
+    ).persist()
+    # both tables persist (LM-sized, not corpus-sized): every scoring
+    # call joins them, and the vocab-size count below doubles as the
+    # prefix table's materializing action — without the persist each
+    # consumer re-tokenizes the whole reference corpus from scratch
+    _PERSISTED.extend([bigrams, prefixes])
     vocab_size = prefixes.count()
     return BigramLM(bigrams, prefixes, int(vocab_size))
 

@@ -120,9 +120,10 @@ def snapshot_id_for_attempt(
     would permanently record it (the exact provenance the module
     promises).  The summary match is immune — one attempt_id, one
     commit."""
+    quoted = attempt_id.replace("'", "''")  # public API: escape literals
     rows = spark.sql(
         f"SELECT snapshot_id FROM {table}.snapshots "
-        f"WHERE summary['attempt_id'] = '{attempt_id}' "
+        f"WHERE summary['attempt_id'] = '{quoted}' "
         "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
     ).collect()
     return int(rows[0][0]) if rows else None
@@ -199,36 +200,36 @@ def run_extract_job_iceberg(
         .withColumn("attempt_id", F.lit(attempt_id))
     )
 
-    # persist so the lineage aggregate and the append share ONE
-    # extraction pass (same shape as plans/job.run_extract_job).  The
-    # alternative — re-reading the table filtered on attempt_id — pays
-    # a manifest + data scan over the ENTIRE ever-growing table on
-    # every run: the table is partitioned by bucket(doc_id), so an
-    # attempt_id filter prunes nothing and each resume re-reads all
-    # committed history just to aggregate the rows it wrote seconds
-    # ago.  The persisted attempt is O(this attempt's rows).  Lineage
-    # is collected BEFORE the append (the plan reads the table via the
-    # resume anti-join, and the commit would invalidate that cache) but
-    # only committed after the append succeeds.
-    extracted = extracted.persist()
-    try:
-        lineage = (
-            extracted.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("doc_ids_done"),
-                F.sum(
-                    F.when(F.col("status") != "ok", 1).otherwise(0)
-                ).alias("docs_failed"),
-            )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("attempt_id", F.lit(attempt_id))
+    # localCheckpoint (NOT a plain persist) so the lineage aggregate
+    # and the append share ONE truncated-lineage materialization.  Two
+    # reasons over re-reading the table filtered on attempt_id: (1)
+    # cost — the table is partitioned by bucket(doc_id), so the filter
+    # prunes nothing and each resume re-reads ALL committed history
+    # just to aggregate rows it wrote seconds ago; (2) correctness
+    # under recompute — a persist's cache can drop between the two
+    # actions, and the recompute re-plans the resume anti-join against
+    # the THEN-CURRENT snapshot (a concurrent commit in the gap would
+    # shrink the todo set, silently de-syncing lineage from the rows
+    # actually appended).  Checkpointing severs the plan: either both
+    # actions read the same stored blocks, or a lost executor fails
+    # LOUDLY instead of diverging.  (On a long-lived cluster session,
+    # prefer a reliable checkpoint dir for executor-loss tolerance.)
+    extracted = extracted.localCheckpoint(eager=True)
+    lineage = (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_ids_done"),
+            F.sum(
+                F.when(F.col("status") != "ok", 1).otherwise(0)
+            ).alias("docs_failed"),
         )
-        lineage_rows = lineage.collect()  # materializes the cache
-        t0 = time.perf_counter()
-        append_extracted(extracted, table, attempt_id)
-        wall = time.perf_counter() - t0
-    finally:
-        extracted.unpersist()
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt_id", F.lit(attempt_id))
+    )
+    lineage_rows = lineage.collect()
+    t0 = time.perf_counter()
+    append_extracted(extracted, table, attempt_id)
+    wall = time.perf_counter() - t0
     # snapshot provenance: match OUR commit by its stamped attempt_id
     # (the post-append "current" snapshot may already be a concurrent
     # writer's); fall back to current for catalogs that drop custom

@@ -134,3 +134,19 @@ def test_bigint_labels_survive_both_variants(spark):
         assert out[5]["n_vecs"] == 1
         assert out[None]["centroid"] == [8.0, 8.0], kwargs
         assert dict(label_centroids(df, **kwargs).dtypes)["label"] == "bigint"
+
+
+def test_double_labels_pass_through_unmerged(spark):
+    """Genuine double labels must NOT be int()-ed (1.2 and 1.5 would
+    silently merge into one group)."""
+    df = spark.createDataFrame(
+        [(1.5, [1.0, 1.0]), (1.2, [3.0, 3.0]), (1.5, [3.0, 5.0])],
+        "label double, embedding array<float>",
+    )
+    for kwargs in ({}, {"partial": True}):
+        out = {
+            r["label"]: r for r in label_centroids(df, **kwargs).collect()
+        }
+        assert set(out) == {1.5, 1.2}, kwargs
+        assert out[1.5]["n_vecs"] == 2
+        assert list(out[1.5]["centroid"]) == [2.0, 3.0]
