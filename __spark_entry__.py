@@ -432,7 +432,12 @@ def _cached_index(
 
     parts = []
     src = _os.path.join(sf_dir, source)
-    for root, _dirs, files in _os.walk(src):
+    # dirs.sort(): os.walk visits subdirectories in scandir order,
+    # which is filesystem-dependent — identical bytes in a partitioned
+    # source could hash to a different fingerprint across runs/hosts
+    # (spurious cache miss -> index wipe + rebuild)
+    for root, dirs, files in _os.walk(src):
+        dirs.sort()
         for f in sorted(files):
             if f.endswith(".parquet"):
                 st = _os.stat(_os.path.join(root, f))
@@ -712,8 +717,12 @@ def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/relational.py::asof_join): each purchase
     event picks up the latest strictly-prior view event of the same
     user — union-tag + one window pass, one shuffle, no per-key row
-    explosion.  Oracle: DuckDB's NATIVE ASOF LEFT JOIN, an independent
-    implementation of the same semantics."""
+    explosion.  Oracle: a tie-pinned windowed twin (rn=1 under ts DESC,
+    event_id DESC) — DuckDB's native ASOF JOIN has the same semantics
+    but picks (user_id, ts)-tied candidates arbitrarily, which would
+    flake against our deterministic tiebreak on a regenerated corpus
+    (parity with native ASOF is differential-tested in
+    tests/test_corpus_ops.py on tie-controlled data)."""
     from helix_html2md_spark.operators.relational import asof_join, load
 
     ev = load(spark, sf_dir, "events")
@@ -1330,16 +1339,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df, score, rank
             FROM r WHERE rank <= 5 ORDER BY doc_id, rank
         """,
+        # windowed twin, NOT DuckDB's native ASOF JOIN: native ASOF
+        # picks an ARBITRARY view among (user_id, ts)-tied candidates,
+        # while the Spark side pins ties to the greatest event_id — a
+        # regenerated corpus with tied view timestamps would flake the
+        # row.  rn=1 under (ts DESC, event_id DESC) IS the pinned
+        # semantics, independently implemented.
         "purchase_asof": """
             WITH p AS (
               SELECT * FROM events WHERE event_type = 'purchase'),
             v AS (
-              SELECT * FROM events WHERE event_type = 'view')
-            SELECT p.event_id, p.user_id,
-                   v.event_id AS prior_view_id,
-                   epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
-            FROM p ASOF LEFT JOIN v
-              ON p.user_id = v.user_id AND p.ts > v.ts
+              SELECT * FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT p.event_id, v.event_id AS prior_view_id,
+                     epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY v.ts DESC, v.event_id DESC) AS rn
+              FROM p JOIN v
+                ON p.user_id = v.user_id AND p.ts > v.ts)
+            SELECT p.event_id, p.user_id, c.prior_view_id, c.gap_us
+            FROM p LEFT JOIN c ON c.event_id = p.event_id AND c.rn = 1
             ORDER BY p.event_id
         """,
         # thresholds derive from the SAME weight dict + _thr encoder the
@@ -1425,9 +1445,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.event_id, click_id
         """,
         "gopher_filter": f"""
-            WITH t AS (
+            WITH d AS (
+              -- NULL text coalesces ONCE, mirroring _token_base: a
+              -- null-text doc must be judged too_few_tokens with zero
+              -- metrics, not fall through NULL CASE arms
+              SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            t AS (
               SELECT doc_id, {_TOKENS} AS toks, length(text) AS n_chars
-              FROM documents),
+              FROM d),
             g2 AS (
               SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
                 THEN list_transform(range(1, len(toks)),
@@ -1543,7 +1568,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": f"""
             WITH t AS (
-              SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents),
+              -- coalesce mirrors the operator: a NULL-text doc takes a
+              -- real 0-token pack slot, never NULL pack_id/offset
+              SELECT doc_id, coalesce(len({_TOKENS}), 0) AS n_tokens
+              FROM documents),
             c AS (
               SELECT doc_id, n_tokens,
                      sum(n_tokens) OVER (ORDER BY doc_id
@@ -1826,38 +1854,8 @@ def _ivf_sq_topk_oracle(k: int = 10) -> str:
         "(SELECT sqrt(list_sum(list_transform(qv, "
         "x -> cast(x AS double) * cast(x AS double)))) FROM q)"
     )
-    dot_sc = (
-        "list_sum(list_transform(list_zip(e.embedding, s.cv), "
-        "p -> cast(p[1] AS double) * cast(p[2] AS double)))"
-    )
-    qdot_sc = (
-        "list_sum(list_transform(list_zip(q.qv, s.cv), "
-        "p -> cast(p[1] AS double) * cast(p[2] AS double)))"
-    )
-    cnorm = (
-        "sqrt(list_sum(list_transform(s.cv, "
-        "x -> cast(x AS double) * cast(x AS double))))"
-    )
     return f"""
-        WITH seeds AS (
-          SELECT vec_id AS cid, embedding AS cv
-          FROM embeddings WHERE vec_id < {_IVF_SEEDS}),
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        scored AS (
-          SELECT e.vec_id, e.label, e.embedding, s.cid,
-                 round({dot_sc} / {cnorm}, 6) AS score
-          FROM embeddings e CROSS JOIN seeds s
-          WHERE e.vec_id != 0),
-        assigned AS (
-          SELECT vec_id, label, embedding, cid AS cell
-          FROM (SELECT *, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-                FROM scored)
-          WHERE rn = 1),
-        probe AS (
-          SELECT s.cid FROM seeds s CROSS JOIN q
-          ORDER BY {qdot_sc} / {cnorm} DESC, s.cid
-          LIMIT {_IVF_NPROBE}),
+        WITH {_ivf_prefix_sql()},
         px AS (
           SELECT a.vec_id, a.label, a.embedding,
                  list_transform(a.embedding,
@@ -1884,11 +1882,12 @@ def _ivf_sq_topk_oracle(k: int = 10) -> str:
     """
 
 
-def _ivf_topk_oracle() -> str:
-    # mirrors similarity.ivf_assign/ivf_topk: seed centroids = the
-    # vec_id < _IVF_SEEDS embeddings; cell score = round(dot/norm(c), 6)
-    # with first-index (lowest cid) tiebreak; probe = top-nprobe cells by
-    # the query's centroid score (stable ascending-cid tiebreak)
+def _ivf_prefix_sql() -> str:
+    """Shared IVF CTE prefix — seed centroids, query vector, 6dp cell
+    assignment (DESC score, ascending-cid tiebreak), probe set.  ONE
+    copy: the assignment/probe contract cannot drift between the
+    IVF-Flat and IVF-SQ oracles (they previously carried hand-kept
+    duplicates of this block)."""
     dot_sc = (
         "list_sum(list_transform(list_zip(e.embedding, s.cv), "
         "p -> cast(p[1] AS double) * cast(p[2] AS double)))"
@@ -1901,8 +1900,7 @@ def _ivf_topk_oracle() -> str:
         "sqrt(list_sum(list_transform(s.cv, "
         "x -> cast(x AS double) * cast(x AS double))))"
     )
-    return f"""
-        WITH seeds AS (
+    return f"""seeds AS (
           SELECT vec_id AS cid, embedding AS cv
           FROM embeddings WHERE vec_id < {_IVF_SEEDS}),
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1920,7 +1918,13 @@ def _ivf_topk_oracle() -> str:
         probe AS (
           SELECT s.cid FROM seeds s CROSS JOIN q
           ORDER BY {qdot_sc} / {cnorm} DESC, s.cid
-          LIMIT {_IVF_NPROBE})
+          LIMIT {_IVF_NPROBE})"""
+
+
+def _ivf_topk_oracle() -> str:
+    # mirrors similarity.ivf_assign/ivf_topk over the shared IVF prefix
+    return f"""
+        WITH {_ivf_prefix_sql()}
         SELECT vec_id, label, {_COS_VS_Q} AS cosine
         FROM assigned a JOIN probe p ON a.cell = p.cid
         ORDER BY cosine DESC, vec_id LIMIT 10
@@ -2023,8 +2027,13 @@ def _bpe_oracle() -> str:
         SELECT doc_id,
                len(segs) AS n_segments,
                len(nonws) AS n_bpe_tokens,
-               md5(coalesce(list_aggregate(nonws, 'string_agg', '|'), ''))
-                 AS stream_md5
+               -- NULL text stays NULL end-to-end (Spark md5(NULL) is
+               -- NULL); the coalesce exists only for EMPTY token lists,
+               -- where Spark's array_join([]) = '' -> md5('')
+               CASE WHEN segs IS NULL THEN NULL
+                    ELSE md5(coalesce(
+                        list_aggregate(nonws, 'string_agg', '|'), ''))
+               END AS stream_md5
         FROM f ORDER BY doc_id
     """
 

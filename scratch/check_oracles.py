@@ -60,10 +60,18 @@ def list_typed_cols(pdf):
 
 
 def main():
-    import __spark_entry__ as E
     from helix_html2md_spark.session import build_session
 
     spark = build_session("oracle-check", master="local[8]", shuffle_partitions=8)
+    try:
+        return _run(spark)
+    finally:
+        spark.stop()  # even when one query aborts the battery
+
+
+def _run(spark):
+    import __spark_entry__ as E
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -81,7 +89,14 @@ def main():
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
-        spdf = fn(spark, SF).toPandas()
+        try:
+            # guarded like the oracle side: one broken query must not
+            # abort the other 49 results and the FAILURES summary
+            spdf = fn(spark, SF).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} SPARK QUERY ERROR: {type(e).__name__}: {e}")
+            failures += 1
+            continue
         timings[name] = time.time() - t0
         srows = spdf
         scols = list(spdf.columns)
@@ -122,8 +137,9 @@ def main():
                     print("   spark:", a)
                     print("   duck :", b)
                     break
-            only_s = [r for r in s if r not in set(map(tuple, d))][:2]
-            only_d = [r for r in d if r not in set(map(tuple, s))][:2]
+            sd, ss = set(d), set(s)  # hoisted: rows are already tuples
+            only_s = [r for r in s if r not in sd][:2]
+            only_d = [r for r in d if r not in ss][:2]
             if only_s:
                 print("   only-spark:", only_s)
             if only_d:
@@ -132,7 +148,6 @@ def main():
     print(f"BATTERY WALL: {time.time() - t_battery:.1f}s (spark exec, excl. session init)")
     for n, t in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
         print(f"  slow: {n:24s} {t:6.2f}s")
-    spark.stop()
     return 1 if failures else 0
 
 
