@@ -12,6 +12,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_max_records: int = 64,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Create/get a session.
 
@@ -52,4 +53,9 @@ def build_session(
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # deployment knobs the defaults can't know (catalog confs, executor
+    # env like PYTHONPATH for multi-JVM masters, memory overrides) —
+    # applied LAST so a deployment can override any default above
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, str(v))
     return b.getOrCreate()
