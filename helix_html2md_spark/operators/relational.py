@@ -190,8 +190,10 @@ def asof_join(
     hot key (a null/default user owning 30% of events) bounds the
     stage at that key's row count.  That bound is inherent to per-key
     order semantics; mitigations are (a) pre-filter/bucket the hot
-    sentinel keys before joining, or (b) a two-phase time-slab pass
-    (per-(key, slab) local asof + a per-slab boundary carry-forward).
+    sentinel keys before joining, or (b) :func:`asof_join_slabbed`,
+    the implemented two-phase time-slab pass (per-(key, slab) local
+    asof + a per-slab boundary carry-forward) — same semantics, two
+    shuffles, hot keys fan out across their slabs.
     Pass ``hot_key_warn_rows`` to pay one extra count job that warns
     when any key exceeds the threshold (opt-in: off in pipelines that
     already know their key distribution).
@@ -273,6 +275,120 @@ def asof_join(
         F.col(f"_asof.{c}").alias(f"asof_{c}") for c in picked
     ]
     return matched.filter(F.col("_lv").isNotNull()).select(*out_cols)
+
+
+def asof_join_slabbed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    on: str,
+    value_cols: list[str],
+    slab_width,
+    strict: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Hot-key-resistant as-of join: semantics identical to
+    :func:`asof_join`, execution decomposed into TIME SLABS — the
+    mitigation (b) that asof_join's SKEW BOUND documents.
+
+    asof_join serializes each key through one window task (per-key
+    total order), so a pathological key owning 30% of events bounds
+    the stage at that key's row count.  Here the window partitions by
+    ``(key, floor(on / slab_width))``: a hot key's timeline splits
+    into independent per-slab tasks, and a second, TINY pass stitches
+    slab boundaries — per (key, slab) the latest right row is carried
+    forward with a running window over the key's slab sequence (rows =
+    slabs per key, not events per key), and left rows whose own slab
+    held no prior right row take the carry from the nearest earlier
+    slab.  Correctness needs no strict/tie care across slabs: a right
+    row in an earlier slab is strictly below the left slab's lower
+    bound, and equal ``on`` values always share a slab.
+
+    Two shuffles (the slab-local union-tag pass + the carry join)
+    versus asof_join's one — pay it only when the key distribution is
+    actually skewed.  ``on`` must be numeric (slab arithmetic; cast
+    timestamps to epoch micros first).  Output contract, NULL
+    semantics, and tiebreak behavior match asof_join exactly.
+    """
+    if not slab_width or slab_width <= 0:
+        raise ValueError("slab_width must be positive")
+    on_type = left.schema[on].dataType.simpleString()
+    if on_type in ("timestamp", "timestamp_ntz", "date", "string"):
+        raise ValueError(
+            f"asof_join_slabbed needs a numeric `on` column, got "
+            f"{on_type}: cast timestamps to epoch micros first"
+        )
+    slab = (F.col(on) / F.lit(slab_width)).cast("long")
+    # right-side null keys/timestamps never match (asof_join's own
+    # filter keys off the REAL by column; the composite struct below
+    # would otherwise smuggle null-by rows past it)
+    right = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
+    lft = left.withColumn("_slab", slab).withColumn(
+        "_bk", F.struct(F.col(by), F.col("_slab"))
+    )
+    rgt = right.withColumn("_slab", slab).withColumn(
+        "_bk", F.struct(F.col(by), F.col("_slab"))
+    )
+    # pass 1: slab-local asof via the shared union-tag kernel, windowed
+    # over the composite key — a hot key fans out across its slabs
+    local = asof_join(
+        lft,
+        rgt,
+        by="_bk",
+        on=on,
+        value_cols=value_cols,
+        strict=strict,
+        tiebreak=tiebreak,
+    )
+
+    picked = list(dict.fromkeys([on] + value_cols))
+    rv = F.struct(*[F.col(c) for c in picked])
+    tb = (
+        F.col(tiebreak)
+        if tiebreak
+        else F.lit(None).cast("int")
+    )
+    # pass 2: one carry row per (key, slab) — the slab's latest right
+    # row under the same (on, tiebreak) order the window used
+    carry = (
+        rgt.groupBy(F.col(by).alias("_cby"), F.col("_slab").alias("_cs"))
+        .agg(F.max(F.struct(F.col(on), tb.alias("_tb"), rv.alias("_rv"))).alias("_m"))
+        .select("_cby", "_cs", F.col("_m._rv").alias("_crv"))
+    )
+    # slab universe per key = slabs seen on either side, so every left
+    # slab finds its nearest-earlier carry even across empty slabs
+    slabs = (
+        lft.select(F.col(by).alias("_cby"), F.col("_slab").alias("_cs"))
+        .union(carry.select("_cby", "_cs"))
+        .distinct()
+    )
+    wprev = (
+        Window.partitionBy("_cby")
+        .orderBy("_cs")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = (
+        slabs.join(carry, ["_cby", "_cs"], "left")
+        .withColumn("_prev", F.last("_crv", ignorenulls=True).over(wprev))
+        .select("_cby", "_cs", "_prev")
+    )
+    joined = local.join(
+        prev,
+        (F.col(by) == F.col("_cby")) & (F.col("_slab") == F.col("_cs")),
+        "left",
+    )
+    # a slab-local miss (asof_<on> NULL — right's on is never null once
+    # matched) falls back to the nearest earlier slab's carry
+    miss = F.col(f"asof_{on}").isNull()
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.when(miss, F.col(f"_prev.{c}"))
+        .otherwise(F.col(f"asof_{c}"))
+        .alias(f"asof_{c}")
+        for c in picked
+    ]
+    return joined.select(*out_cols)
 
 
 def interval_join(

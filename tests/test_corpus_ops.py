@@ -707,3 +707,117 @@ def test_grouped_percentiles_vs_duckdb_and_plan(spark):
         """
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_asof_join_slabbed_matches_asof_join(spark):
+    """The time-slab decomposition must equal the single-window
+    asof_join row-for-row — seeded random data with a HOT key, ties
+    pinned by tiebreak, negative domain, strict both ways, slab widths
+    from degenerate (one slab) to width 1."""
+    import random
+
+    from helix_html2md_spark.operators.relational import (
+        asof_join, asof_join_slabbed,
+    )
+
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        # key 1 is hot: ~70% of rows
+        def key():
+            return 1 if rng.random() < 0.7 else rng.randint(2, 4)
+
+        lrows = [
+            (key(), rng.randint(-40, 60), f"l{i}")
+            for i in range(rng.randint(5, 40))
+        ]
+        rrows = [
+            (key(), rng.randint(-40, 60), f"r{i}", i)
+            for i in range(rng.randint(5, 40))
+        ]
+        left = spark.createDataFrame(lrows, "k long, t long, v string")
+        right = spark.createDataFrame(
+            rrows, "k long, t long, v string, eid long"
+        )
+        for strict in (True, False):
+            want = sorted(
+                map(
+                    tuple,
+                    asof_join(
+                        left, right, by="k", on="t",
+                        value_cols=["v"], strict=strict, tiebreak="eid",
+                    ).collect(),
+                )
+            )
+            for width in (1, 7, 1000):
+                got = sorted(
+                    map(
+                        tuple,
+                        asof_join_slabbed(
+                            left, right, by="k", on="t",
+                            value_cols=["v"], slab_width=width,
+                            strict=strict, tiebreak="eid",
+                        ).collect(),
+                    )
+                )
+                assert got == want, (seed, strict, width)
+
+
+def test_asof_join_slabbed_nulls_empty_and_validation(spark):
+    import pytest
+
+    from helix_html2md_spark.operators.relational import asof_join_slabbed
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (None, 5, "b"), (1, None, "c")],
+        "k long, t long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, "r1"), (None, 1, "rX"), (1, None, "rY")],
+        "k long, t long, v string",
+    )
+    out = {
+        r["v"]: r["asof_v"]
+        for r in asof_join_slabbed(
+            left, right, by="k", on="t", value_cols=["v"], slab_width=4
+        ).collect()
+    }
+    # null-by/null-on left rows keep NULL matches; null right rows
+    # never match anyone
+    assert out == {"a": "r1", "b": None, "c": None}
+    # empty right: all-left NULLs
+    empty = right.filter("1 = 0")
+    out2 = asof_join_slabbed(
+        left, empty, by="k", on="t", value_cols=["v"], slab_width=4
+    ).collect()
+    assert all(r["asof_v"] is None for r in out2) and len(out2) == 3
+    with pytest.raises(ValueError, match="slab_width"):
+        asof_join_slabbed(
+            left, right, by="k", on="t", value_cols=["v"], slab_width=0
+        )
+    ts = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", "x")], "k long, t string, v string"
+    ).withColumn("t", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("t"))
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join_slabbed(
+            ts, ts, by="k", on="t", value_cols=["v"], slab_width=4
+        )
+
+
+def test_asof_join_slabbed_partitions_by_slab(spark):
+    """The plan's first exchange must hash on the composite (key, slab)
+    struct — the whole point is that a hot key fans out across slabs."""
+    from helix_html2md_spark.operators.relational import asof_join_slabbed
+
+    left = spark.createDataFrame([(1, 10, "a")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 3, "r")], "k long, t long, v string")
+    plan = (
+        asof_join_slabbed(
+            left, right, by="k", on="t", value_cols=["v"], slab_width=4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the asof window's exchange hashes on the composite _by struct
+    # (built from (k, _slab)) — not on the bare key
+    assert "hashpartitioning(_by#" in plan, plan[:2000]
