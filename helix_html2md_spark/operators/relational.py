@@ -308,28 +308,38 @@ def asof_join_slabbed(
     Two shuffles (the slab-local union-tag pass + the carry join)
     versus asof_join's one — pay it only when the key distribution is
     actually skewed.  ``on`` must be numeric (slab arithmetic; cast
-    timestamps to epoch micros first).  Output contract, NULL
-    semantics, and tiebreak behavior match asof_join exactly.
+    timestamps to epoch micros first).  Output contract and NULL
+    semantics match asof_join exactly; with a UNIQUE ``tiebreak`` the
+    results are row-identical.  Without one, (on, tiebreak)-tied right
+    rows are unspecified in BOTH variants but resolve differently
+    (arrival order there, an arbitrary-but-deterministic pick in the
+    carry pass here) — pin a tiebreak when ties are possible.
     """
     if not slab_width or slab_width <= 0:
         raise ValueError("slab_width must be positive")
-    on_type = left.schema[on].dataType.simpleString()
-    if on_type in ("timestamp", "timestamp_ntz", "date", "string"):
-        raise ValueError(
-            f"asof_join_slabbed needs a numeric `on` column, got "
-            f"{on_type}: cast timestamps to epoch micros first"
-        )
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    for side_name, side in (("left", left), ("right", right)):
+        on_type = side.schema[on].dataType.simpleString()
+        if on_type not in numeric and not on_type.startswith("decimal"):
+            # validate BOTH sides up front: a raw timestamp on either
+            # one would otherwise die mid-plan with an analyzer error
+            # instead of this message
+            raise ValueError(
+                f"asof_join_slabbed needs a numeric `on` column, got "
+                f"{on_type} on the {side_name} side: cast timestamps "
+                "to epoch micros first"
+            )
     slab = (F.col(on) / F.lit(slab_width)).cast("long")
     # right-side null keys/timestamps never match (asof_join's own
     # filter keys off the REAL by column; the composite struct below
     # would otherwise smuggle null-by rows past it)
     right = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
-    lft = left.withColumn("_slab", slab).withColumn(
-        "_bk", F.struct(F.col(by), F.col("_slab"))
-    )
-    rgt = right.withColumn("_slab", slab).withColumn(
-        "_bk", F.struct(F.col(by), F.col("_slab"))
-    )
+    # the ONE extra shuffled column is the composite key itself; _slab
+    # is recomputed from `on` where needed rather than carried (the
+    # union-tag kernel snapshots every left column into its row struct,
+    # so dead columns here ride the exchange twice)
+    lft = left.withColumn("_bk", F.struct(F.col(by), slab.alias("_s")))
+    rgt = right.withColumn("_bk", F.struct(F.col(by), slab.alias("_s")))
     # pass 1: slab-local asof via the shared union-tag kernel, windowed
     # over the composite key — a hot key fans out across its slabs
     local = asof_join(
@@ -340,7 +350,7 @@ def asof_join_slabbed(
         value_cols=value_cols,
         strict=strict,
         tiebreak=tiebreak,
-    )
+    ).withColumn("_slab", slab)
 
     picked = list(dict.fromkeys([on] + value_cols))
     rv = F.struct(*[F.col(c) for c in picked])
@@ -350,16 +360,26 @@ def asof_join_slabbed(
         else F.lit(None).cast("int")
     )
     # pass 2: one carry row per (key, slab) — the slab's latest right
-    # row under the same (on, tiebreak) order the window used
+    # row under the (on, tiebreak) order the window used.  max_by keeps
+    # the VALUE struct out of the ordering: map-typed value columns
+    # stay legal (max(struct(...)) would require them orderable), and
+    # (on, tiebreak)-tied rows resolve arbitrarily — the same
+    # "unspecified without a unique tiebreak" contract as the window
+    # kernel's arrival order (pass a unique tiebreak for determinism).
     carry = (
-        rgt.groupBy(F.col(by).alias("_cby"), F.col("_slab").alias("_cs"))
-        .agg(F.max(F.struct(F.col(on), tb.alias("_tb"), rv.alias("_rv"))).alias("_m"))
-        .select("_cby", "_cs", F.col("_m._rv").alias("_crv"))
+        rgt.groupBy(
+            F.col(by).alias("_cby"), F.col("_bk._s").alias("_cs")
+        )
+        .agg(
+            F.max_by(
+                rv, F.struct(F.col(on), tb.alias("_tb"))
+            ).alias("_crv")
+        )
     )
     # slab universe per key = slabs seen on either side, so every left
     # slab finds its nearest-earlier carry even across empty slabs
     slabs = (
-        lft.select(F.col(by).alias("_cby"), F.col("_slab").alias("_cs"))
+        lft.select(F.col(by).alias("_cby"), F.col("_bk._s").alias("_cs"))
         .union(carry.select("_cby", "_cs"))
         .distinct()
     )

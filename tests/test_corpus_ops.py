@@ -818,6 +818,29 @@ def test_asof_join_slabbed_partitions_by_slab(spark):
         .executedPlan()
         .toString()
     )
-    # the asof window's exchange hashes on the composite _by struct
-    # (built from (k, _slab)) — not on the bare key
-    assert "hashpartitioning(_by#" in plan, plan[:2000]
+    # the composite key really carries the slab: the _bk struct is
+    # built from (k, truncated t/width) and the window hashes on it —
+    # a regression to the bare key would still pass a bare
+    # "hashpartitioning(_by#" check (plain asof_join plans have one)
+    assert "struct(k, k#" in plan and ", _s, cast(" in plan, plan[:2500]
+    assert "hashpartitioning(_by#" in plan
+
+
+def test_asof_join_slabbed_map_typed_values(spark):
+    """map-typed value columns must survive the carry pass (max_by
+    orders on (on, tiebreak) only; max(struct(...)) would demand an
+    orderable value struct)."""
+    from helix_html2md_spark.operators.relational import asof_join_slabbed
+
+    left = spark.createDataFrame([(1, 100, "a")], "k long, t long, v string")
+    right = spark.createDataFrame(
+        [(1, 3, {"x": "1"}, 1), (1, 5, {"y": "2"}, 2)],
+        "k long, t long, attrs map<string,string>, eid long",
+    )
+    out = asof_join_slabbed(
+        left, right, by="k", on="t", value_cols=["attrs"],
+        slab_width=10, tiebreak="eid",
+    ).collect()
+    # left sits in an empty slab -> the match comes FROM the carry
+    assert out[0]["asof_attrs"] == {"y": "2"}
+    assert out[0]["asof_t"] == 5

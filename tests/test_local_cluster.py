@@ -71,7 +71,11 @@ print("RESULT:" + json.dumps({
 
 
 def test_local_cluster_matches_goldens(tmp_path):
-    env = dict(os.environ, PYTHONPATH=ROOT)
+    pp = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ,
+        PYTHONPATH=ROOT + (os.pathsep + pp if pp else ""),
+    )
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT.replace("@ROOT@", repr(ROOT))],
         capture_output=True,
