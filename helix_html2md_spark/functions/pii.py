@@ -73,6 +73,16 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     patterns (an IP inside a URL is counted once, by the first pass that
     matches it).
     """
+    clash = {n for _, _, n in _PASSES} | {"has_pii"}
+    taken = clash & set(docs.columns)
+    if taken:
+        # an input already carrying count columns (e.g. a previously
+        # stats'd table joined back to text) would otherwise emit
+        # DUPLICATE column names and the has_pii sum below would die on
+        # AMBIGUOUS_REFERENCE — or silently pick one under lax configs
+        raise ValueError(
+            f"pii_stats output columns already present: {sorted(taken)}"
+        )
     cols = [F.col(c) for c in docs.columns if c != text_col]
     # NULL text must yield 0-counts, not NULL: size(regexp_extract_all)
     # propagates NULL, which would make has_pii NULL and silently drop

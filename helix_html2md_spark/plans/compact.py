@@ -25,12 +25,23 @@ import shutil
 def parquet_file_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) under a parquet directory."""
     n = total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
         for f in files:
             if f.endswith(".parquet"):
                 n += 1
                 total += os.path.getsize(os.path.join(root, f))
     return n, total
+
+
+def _leaf_partition_count(path: str) -> int:
+    """Number of leaf directories holding data files (= distinct
+    partition-value combinations; 1 for an unpartitioned layout)."""
+    leaves = 0
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            leaves += 1
+    return max(1, leaves)
 
 
 def _partition_columns(path: str) -> list[str]:
@@ -74,6 +85,17 @@ def compact_parquet(
         os.rename(old, path.rstrip("/"))
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    if not os.path.isdir(path.rstrip("/")):
+        # fail loudly: os.walk yields NOTHING for a missing path or a
+        # remote URI (s3a://, hdfs://), which would otherwise report a
+        # {compacted: False, n_files: 0} no-op indistinguishable from
+        # "already compact" while the small-file problem persists (the
+        # rename swap below is local-only anyway — use Iceberg's
+        # rewrite_data_files for object stores)
+        raise ValueError(
+            f"compact_parquet needs an existing driver-local directory, "
+            f"got {path!r}"
+        )
     n_files, total = parquet_file_stats(path)
     n_target = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if n_files < min_files_to_compact or n_files <= n_target:
@@ -81,29 +103,68 @@ def compact_parquet(
             "compacted": False, "n_files": n_files,
             "total_bytes": total, "n_target": n_target,
         }
-    df = spark.read.parquet(path)
-    # a hive-partitioned layout (this engine's own bucketed indexes,
-    # partitionBy sinks) must SURVIVE compaction — flattening it would
-    # silently destroy the partition-pruned reads built on top of it
-    pcols = _partition_columns(path)
-    if pcols:
-        (
-            df.repartition(max(n_target, 1), *pcols)
-            .write.partitionBy(*pcols)
-            .mode("overwrite")
-            .parquet(tmp)
+    # partition-column TYPE INFERENCE off for the whole rewrite: the
+    # default infers `day=07` as int and the rewrite would emit `day=7`
+    # — silently renaming partition directories and flipping the
+    # partition column's type under every consumer
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        before = df.count()
+        # deterministic FILE sizing independent of task placement:
+        # rows-per-target-file from the measured bytes/row ratio.  A
+        # task holding more than one file's worth of rows (hot
+        # partition value, salt-hash collision) splits its output at
+        # this bound instead of emitting one arbitrarily large file.
+        rows_per_file = max(
+            1, math.ceil(before * target_mb * 1024 * 1024 / max(total, 1))
         )
-    else:
-        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
-    # verify BEFORE the swap: a rewrite that lost rows must never
-    # replace the original
-    before = df.count()
-    after = spark.read.parquet(tmp).count()
-    if before != after:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            f"compaction row-count mismatch: {before} -> {after}"
-        )
+        # a hive-partitioned layout (this engine's own bucketed indexes,
+        # partitionBy sinks) must SURVIVE compaction — flattening it
+        # would silently destroy the partition-pruned reads built on it
+        pcols = _partition_columns(path)
+        if pcols:
+            from pyspark.sql import functions as F
+
+            # repartitioning on the partition columns ALONE collapses
+            # each partition value into one task (straggler/OOM on the
+            # hot value); a deterministic row-hash salt bounded by
+            # files-per-partition-value spreads each value across
+            # ~(n_target / n_values) tasks while write.partitionBy
+            # still routes rows to their directories.
+            per_val = max(
+                1, round(n_target / _leaf_partition_count(path))
+            )
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(per_val),
+            )
+            (
+                df.repartition(max(n_target, 1), *pcols, salt)
+                .write.option("maxRecordsPerFile", rows_per_file)
+                .partitionBy(*pcols)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            (
+                df.repartition(n_target)
+                .write.option("maxRecordsPerFile", rows_per_file)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        # verify BEFORE the swap: a rewrite that lost rows must never
+        # replace the original
+        after = spark.read.parquet(tmp).count()
+        if before != after:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row-count mismatch: {before} -> {after}"
+            )
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     os.rename(path.rstrip("/"), old)
     try:
         os.rename(tmp, path.rstrip("/"))
@@ -119,6 +180,7 @@ def compact_parquet(
         "compacted": True,
         "n_files": n_files,
         "new_n_files": new_files,
+        "n_target": n_target,
         "total_bytes": total,
         "new_total_bytes": new_total,
         "rows": before,

@@ -23,15 +23,19 @@ FIXDIR = Path("/root/reference/test/fixtures")
 # reference pin moves
 HASH_300 = "c2e2c6c049ccf4b583431e14919687f3a39cc227"
 HASH_LARGE = "20b6669c77e35fb2ad9563a4a048701b43948bd3"
-# the reference harness's over/under-limit image byte sizes
-# (test/index.test.js:545-560; note 1025, not 1024 — theirs)
-SIZE_LARGE_OVER = 25 * 1025 * 1024
-SIZE_LARGE_UNDER = 24 * 1025 * 1024
+# the reference harness's two large-image byte sizes from the
+# "return 409 for several large images" test (test/index.test.js:
+# 483-490; note 1025, not 1024 — theirs).  BOTH exceed the 20 MiB
+# default limit — that is why the expected error names "Images 1
+# and 2" (tests/fixture_config.py) — so the names carry the
+# magnitude, not an over/under judgment.
+SIZE_LARGE_25M = 25 * 1025 * 1024
+SIZE_LARGE_24M = 24 * 1025 * 1024
 
 REF_300 = f"media:1{HASH_300}:300x300:image/png"
 REF_LARGE_OK = f"media:1{HASH_LARGE}:0x0:image/png"
-REF_LARGE_25 = f"media:1{HASH_LARGE}:0x0:image/png:{SIZE_LARGE_OVER}"
-REF_LARGE_24 = f"media:1{HASH_LARGE}:0x0:image/png:{SIZE_LARGE_UNDER}"
+REF_LARGE_25 = f"media:1{HASH_LARGE}:0x0:image/png:{SIZE_LARGE_25M}"
+REF_LARGE_24 = f"media:1{HASH_LARGE}:0x0:image/png:{SIZE_LARGE_24M}"
 
 # media refs keyed by (fixture, src-url-as-written); missing url -> media
 # span with empty ref (fetch failure -> about:error, images.md:13,21)
@@ -71,6 +75,11 @@ CONFIGS = {
 }
 
 _IMG_RE = re.compile(r"<img[^>]*\ssrc=\"([^\"]*)\"[^>]*>|<meta[^>]*>")
+# the meta branch consults content= only for IMAGE metas: without the
+# name/property gate, ANY meta whose content string collides with a
+# registered media URL would fabricate a media span (the old filter
+# was coincidental — descriptions just happened not to collide)
+_META_KEY_RE = re.compile(r'(?:name|property)="([^"]*)"')
 _CONTENT_RE = re.compile(r'content="([^"]*)"')
 
 
@@ -103,6 +112,9 @@ def build_spans(name: str) -> list[dict]:
             # laxer re-search of the tag could)
             raw = m.group(1)
         else:
+            key = _META_KEY_RE.search(tag)
+            if not key or "image" not in key.group(1):
+                continue
             content_m = _CONTENT_RE.search(tag)
             if not content_m:
                 continue
@@ -130,10 +142,9 @@ def fixture_rows() -> tuple[list, list]:
     return docs, cfgs
 
 
-DOC_SCHEMA = (
-    "doc_id string, spans array<struct<kind:string,text:string,"
-    "media_ref:string,offset:int>>"
-)
+# the ONE span-struct DDL lives in sources/synthetic.py — both corpus
+# sources must agree on the pipeline's core input contract
+from .synthetic import SPAN_SCHEMA as DOC_SCHEMA  # noqa: E402
 CONFIG_SCHEMA = (
     "doc_id string, source_url string, org string, site string, "
     "media_enabled boolean, unspread_lists boolean, external_prefixes string, "

@@ -9,7 +9,7 @@ against the content-addressed 300.png / large.png stand-ins.
 # reference-pinned constants live in ONE place (the package registry);
 # this module only derives the tier-1 callable-lookup view of them
 from helix_html2md_spark.sources.fixtures import (  # noqa: F401
-    HASH_300, HASH_LARGE, SIZE_LARGE_OVER, SIZE_LARGE_UNDER,
+    HASH_300, HASH_LARGE, SIZE_LARGE_24M, SIZE_LARGE_25M,
 )
 
 
@@ -33,9 +33,9 @@ def _large_lookup(url: str):
 
 def _large_err_lookup(url: str):
     if url == "https://www.example.com/large.png":
-        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=SIZE_LARGE_OVER)
+        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=SIZE_LARGE_25M)
     if url == "https://www.example.com/large1.png":
-        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=SIZE_LARGE_UNDER)
+        return dict(hash=HASH_LARGE, width=0, height=0, ext="png", size=SIZE_LARGE_24M)
     return None
 
 

@@ -102,3 +102,57 @@ def test_compact_clears_stale_temp_next_to_live_path(spark, tmp_path):
     assert m["compacted"] and m["rows"] == 2000
     assert not os.path.exists(path + ".precompact")
     assert not os.path.exists(path + ".compacting")
+
+
+def test_compact_partitioned_honors_target_and_types(spark, tmp_path):
+    """(1) Repartitioning on the partition columns ALONE collapses each
+    value into ONE output file regardless of n_target — the salt must
+    spread a hot value across ~n_target/n_values tasks.  (2) The
+    rewrite must not round-trip partition values through type
+    inference: 'day=07' re-emitted as 'day=7' renames directories under
+    every consumer."""
+    import os
+
+    path = str(tmp_path / "p2")
+    # leading-zero string partition values; 2 values, enough rows that
+    # a tiny target_mb wants many files
+    spark.range(0, 50_000).withColumn(
+        "day", F.when(F.col("id") % 2 == 0, "07").otherwise("12")
+    ).withColumn("payload", F.sha2(F.col("id").cast("string"), 256)) \
+        .repartition(16).write.partitionBy("day").parquet(path)
+    m = compact_parquet(spark, path, target_mb=1)
+    assert m["compacted"]
+    # directory names preserved verbatim (no 07 -> 7 rename)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert dirs == ["day=07", "day=12"]
+    # values intact under an inference-off read (the type a LATER
+    # reader sees is that reader's inference setting, not compaction's
+    # concern — the invariant here is that the bytes/dirs didn't move)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    spark.conf.set(infer_key, "false")
+    try:
+        vals = sorted(
+            r["day"]
+            for r in spark.read.parquet(path).select("day").distinct().collect()
+        )
+        assert vals == ["07", "12"]
+    finally:
+        spark.conf.set(infer_key, "true")
+    # more than one file per partition value when n_target asks for it
+    if m["n_target"] >= 4:
+        for d in dirs:
+            n_files = sum(
+                1
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            assert n_files > 1, (d, n_files, m)
+
+
+def test_compact_rejects_missing_or_remote_paths(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="driver-local"):
+        compact_parquet(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="driver-local"):
+        compact_parquet(spark, "s3a://bucket/extracted")

@@ -153,3 +153,15 @@ def test_null_text_counts_are_zero(spark):
     # redaction keeps NULL text NULL (no fabricated empty string)
     red = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
     assert red["a"] is None and red["b"] == "mail <EMAIL>"
+
+
+def test_pii_stats_rejects_clashing_input_columns(spark):
+    import pytest
+
+    from helix_html2md_spark.functions.pii import pii_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, n_emails int"
+    )
+    with pytest.raises(ValueError, match="n_emails"):
+        pii_stats(docs)
