@@ -74,7 +74,10 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     matches it).
     """
     clash = {n for _, _, n in _PASSES} | {"has_pii"}
-    taken = clash & set(docs.columns)
+    # lowercase both sides: Spark resolves column names
+    # case-INsensitively by default, so an input column `N_Emails`
+    # collides at analysis time even though the literal names differ
+    taken = {c for c in docs.columns if c.lower() in clash}
     if taken:
         # an input already carrying count columns (e.g. a previously
         # stats'd table joined back to text) would otherwise emit

@@ -20,28 +20,34 @@ from __future__ import annotations
 import math
 import os
 import shutil
+from urllib.parse import unquote
 
 
 def parquet_file_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) under a parquet directory."""
     n = total = 0
-    for root, dirs, files in os.walk(path):
-        dirs.sort()
+    for _root, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
                 n += 1
-                total += os.path.getsize(os.path.join(root, f))
+                total += os.path.getsize(os.path.join(_root, f))
     return n, total
 
 
-def _leaf_partition_count(path: str) -> int:
-    """Number of leaf directories holding data files (= distinct
-    partition-value combinations; 1 for an unpartitioned layout)."""
-    leaves = 0
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            leaves += 1
-    return max(1, leaves)
+def _leaf_partition_bytes(path: str) -> dict[str, int]:
+    """Bytes of data files per leaf directory, keyed by the relpath
+    from ``path`` ('' for data files at the root)."""
+    leaves: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        b = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if b:
+            rel = os.path.relpath(root, path)
+            leaves[("" if rel == "." else rel)] = b
+    return leaves
 
 
 def _partition_columns(path: str) -> list[str]:
@@ -60,6 +66,33 @@ def _partition_columns(path: str) -> list[str]:
         key = subdirs[0].split("=", 1)[0]
         cols.append(key)
         cur = os.path.join(cur, subdirs[0])
+
+
+def _read_schema(spark, path: str, pcols: list[str]):
+    """Explicit read schema: the data columns from ONE data file's own
+    footer plus every partition column as STRING.
+
+    This is how the rewrite avoids partition-column type inference
+    WITHOUT touching the session conf (a session-global toggle would
+    silently flip partition types for every concurrent reader in the
+    same SparkSession): directory values are read back as the strings
+    they are on disk, so the re-emitted directory names are
+    byte-identical ('day=07' never becomes 'day=7')."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    probe = None
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                probe = os.path.join(root, f)
+                break
+        if probe:
+            break
+    data_schema = spark.read.parquet(probe).schema
+    return StructType(
+        list(data_schema.fields)
+        + [StructField(c, StringType()) for c in pcols]
+    )
 
 
 def compact_parquet(
@@ -103,68 +136,72 @@ def compact_parquet(
             "compacted": False, "n_files": n_files,
             "total_bytes": total, "n_target": n_target,
         }
-    # partition-column TYPE INFERENCE off for the whole rewrite: the
-    # default infers `day=07` as int and the rewrite would emit `day=7`
-    # — silently renaming partition directories and flipping the
-    # partition column's type under every consumer
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_infer = spark.conf.get(infer_key, "true")
-    spark.conf.set(infer_key, "false")
-    try:
-        df = spark.read.parquet(path)
-        before = df.count()
-        # deterministic FILE sizing independent of task placement:
-        # rows-per-target-file from the measured bytes/row ratio.  A
-        # task holding more than one file's worth of rows (hot
-        # partition value, salt-hash collision) splits its output at
-        # this bound instead of emitting one arbitrarily large file.
-        rows_per_file = max(
-            1, math.ceil(before * target_mb * 1024 * 1024 / max(total, 1))
-        )
-        # a hive-partitioned layout (this engine's own bucketed indexes,
-        # partitionBy sinks) must SURVIVE compaction — flattening it
-        # would silently destroy the partition-pruned reads built on it
-        pcols = _partition_columns(path)
-        if pcols:
-            from pyspark.sql import functions as F
+    # a hive-partitioned layout (this engine's own bucketed indexes,
+    # partitionBy sinks) must SURVIVE compaction — flattening it would
+    # silently destroy the partition-pruned reads built on top of it
+    pcols = _partition_columns(path)
+    schema = _read_schema(spark, path, pcols)
+    df = spark.read.schema(schema).parquet(path)
+    before = df.count()
+    # deterministic FILE sizing independent of task placement:
+    # rows-per-target-file from the measured bytes/row ratio.  A task
+    # holding more than one file's worth of rows (hot partition value,
+    # salt-hash collision) splits its output at this bound instead of
+    # emitting one arbitrarily large file.
+    rows_per_file = max(
+        1, math.ceil(before * target_mb * 1024 * 1024 / max(total, 1))
+    )
+    if pcols:
+        from pyspark.sql import functions as F
 
-            # repartitioning on the partition columns ALONE collapses
-            # each partition value into one task (straggler/OOM on the
-            # hot value); a deterministic row-hash salt bounded by
-            # files-per-partition-value spreads each value across
-            # ~(n_target / n_values) tasks while write.partitionBy
-            # still routes rows to their directories.
-            per_val = max(
-                1, round(n_target / _leaf_partition_count(path))
-            )
-            salt = F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]),
-                F.lit(per_val),
-            )
-            (
-                df.repartition(max(n_target, 1), *pcols, salt)
-                .write.option("maxRecordsPerFile", rows_per_file)
-                .partitionBy(*pcols)
-                .mode("overwrite")
-                .parquet(tmp)
-            )
-        else:
-            (
-                df.repartition(n_target)
-                .write.option("maxRecordsPerFile", rows_per_file)
-                .mode("overwrite")
-                .parquet(tmp)
-            )
-        # verify BEFORE the swap: a rewrite that lost rows must never
-        # replace the original
-        after = spark.read.parquet(tmp).count()
-        if before != after:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compaction row-count mismatch: {before} -> {after}"
-            )
-    finally:
-        spark.conf.set(infer_key, prev_infer)
+        # repartitioning on the partition columns ALONE collapses each
+        # partition value into one task (straggler/OOM on the hot
+        # value).  The salt bound is PER VALUE, proportional to that
+        # value's byte share: a uniform n_target/n_values bound would
+        # hash-spread a tiny value across many tasks and re-create the
+        # small files this tool exists to remove.
+        target_bytes = target_mb * 1024 * 1024
+        bounds = []
+        for rel, b in _leaf_partition_bytes(path).items():
+            vals = [unquote(seg.split("=", 1)[1])
+                    for seg in rel.split(os.sep) if "=" in seg]
+            if len(vals) == len(pcols):
+                bounds.append((*vals, max(1, math.ceil(b / target_bytes))))
+        data_cols = [
+            F.col(f.name) for f in schema.fields if f.name not in pcols
+        ]
+        bdf = spark.createDataFrame(
+            bounds,
+            ", ".join(f"{c} string" for c in pcols) + ", _nf int",
+        )
+        salted = df.join(F.broadcast(bdf), pcols, "left").withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*data_cols), F.coalesce("_nf", F.lit(1))),
+        )
+        (
+            salted.repartition(max(n_target, 1), *pcols, "_salt")
+            .drop("_nf", "_salt")
+            .write.option("maxRecordsPerFile", rows_per_file)
+            .partitionBy(*pcols)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        (
+            df.repartition(n_target)
+            .write.option("maxRecordsPerFile", rows_per_file)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    # verify BEFORE the swap: a rewrite that lost rows must never
+    # replace the original (tmp read uses the same explicit schema —
+    # no inference there either)
+    after = spark.read.schema(schema).parquet(tmp).count()
+    if before != after:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch: {before} -> {after}"
+        )
     os.rename(path.rstrip("/"), old)
     try:
         os.rename(tmp, path.rstrip("/"))

@@ -142,9 +142,14 @@ def fixture_rows() -> tuple[list, list]:
     return docs, cfgs
 
 
-# the ONE span-struct DDL lives in sources/synthetic.py — both corpus
-# sources must agree on the pipeline's core input contract
-from .synthetic import SPAN_SCHEMA as DOC_SCHEMA  # noqa: E402
+# the ONE span-struct DDL — the pipeline's core input contract — lives
+# HERE (this module is dependency-free: the tier-1 pure-Python harness
+# imports its constants without paying for pandas/pyspark, which
+# sources/synthetic.py pulls at module top); synthetic.py imports it
+DOC_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
 CONFIG_SCHEMA = (
     "doc_id string, source_url string, org string, site string, "
     "media_enabled boolean, unspread_lists boolean, external_prefixes string, "

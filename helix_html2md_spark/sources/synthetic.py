@@ -28,10 +28,8 @@ WORDS = (
     "big small the a of and to in is it for with page content site helix"
 ).split()
 
-SPAN_SCHEMA = (
-    "doc_id string, spans array<struct<kind:string,text:string,"
-    "media_ref:string,offset:int>>"
-)
+# one span-struct DDL, defined in the dependency-free fixtures module
+from .fixtures import DOC_SCHEMA as SPAN_SCHEMA
 
 
 def _sentence(rng: random.Random, n: int) -> str:

@@ -116,12 +116,15 @@ def test_compact_partitioned_honors_target_and_types(spark, tmp_path):
     path = str(tmp_path / "p2")
     # leading-zero string partition values; 2 values, enough rows that
     # a tiny target_mb wants many files
-    spark.range(0, 50_000).withColumn(
+    spark.range(0, 150_000).withColumn(
         "day", F.when(F.col("id") % 2 == 0, "07").otherwise("12")
     ).withColumn("payload", F.sha2(F.col("id").cast("string"), 256)) \
         .repartition(16).write.partitionBy("day").parquet(path)
     m = compact_parquet(spark, path, target_mb=1)
     assert m["compacted"]
+    # well clear of the target so the per-value assertions below are
+    # unconditional (a codec change must not silently skip them)
+    assert m["n_target"] >= 6, m
     # directory names preserved verbatim (no 07 -> 7 rename)
     dirs = sorted(d for d in os.listdir(path) if d.startswith("day="))
     assert dirs == ["day=07", "day=12"]
@@ -138,15 +141,14 @@ def test_compact_partitioned_honors_target_and_types(spark, tmp_path):
         assert vals == ["07", "12"]
     finally:
         spark.conf.set(infer_key, "true")
-    # more than one file per partition value when n_target asks for it
-    if m["n_target"] >= 4:
-        for d in dirs:
-            n_files = sum(
-                1
-                for f in os.listdir(os.path.join(path, d))
-                if f.endswith(".parquet")
-            )
-            assert n_files > 1, (d, n_files, m)
+    # more than one file per partition value (byte share >> target)
+    for d in dirs:
+        n_files = sum(
+            1
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        )
+        assert n_files > 1, (d, n_files, m)
 
 
 def test_compact_rejects_missing_or_remote_paths(spark, tmp_path):
@@ -156,3 +158,34 @@ def test_compact_rejects_missing_or_remote_paths(spark, tmp_path):
         compact_parquet(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="driver-local"):
         compact_parquet(spark, "s3a://bucket/extracted")
+
+
+def test_compact_byte_skewed_partitions_keep_small_values_compact(
+    spark, tmp_path
+):
+    """The salt bound is PER VALUE by byte share: a tiny partition
+    value must land in ONE file even when the layout's total asks for
+    many (a uniform n_target/n_values bound would hash-spread it and
+    re-create the small files compaction removes)."""
+    import os
+
+    path = str(tmp_path / "skew")
+    big = spark.range(0, 200_000).withColumn("part", F.lit("big"))
+    small = spark.range(0, 50).withColumn("part", F.lit("small"))
+    big.unionByName(small).withColumn(
+        "payload", F.sha2(F.col("id").cast("string"), 256)
+    ).repartition(16).write.partitionBy("part").parquet(path)
+    m = compact_parquet(spark, path, target_mb=1)
+    assert m["compacted"] and m["n_target"] >= 6, m
+    n_small = sum(
+        1
+        for f in os.listdir(os.path.join(path, "part=small"))
+        if f.endswith(".parquet")
+    )
+    n_big = sum(
+        1
+        for f in os.listdir(os.path.join(path, "part=big"))
+        if f.endswith(".parquet")
+    )
+    assert n_small == 1, (n_small, m)
+    assert n_big > 1, (n_big, m)

@@ -165,3 +165,10 @@ def test_pii_stats_rejects_clashing_input_columns(spark):
     )
     with pytest.raises(ValueError, match="n_emails"):
         pii_stats(docs)
+    # Spark resolves names case-insensitively by default: a
+    # case-variant column collides at analysis time all the same
+    docs2 = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, N_Emails int"
+    )
+    with pytest.raises(ValueError, match="N_Emails"):
+        pii_stats(docs2)
