@@ -1,14 +1,16 @@
 """Build a null-text-hardened twin of a testdata dir for oracle sims.
 
-Copies the documents table with three appended hostile rows — NULL
-text, empty text, whitespace-only text (the classes that historically
-diverged between Spark's F.when/coalesce contracts and bare SQL CASE
-arms) — and symlinks every other table.  Run the full sim against it:
+Copies the documents, embeddings, and events tables with appended
+hostile rows — NULL/empty/whitespace-only text, NULL/zero-norm/
+wrong-dim vectors, NULL ts/user/type/value events (the classes that
+historically diverged between Spark's F.when/coalesce contracts and
+bare SQL CASE arms) — and symlinks the rest.  Run the full sim:
 
     python scratch/nulltext_corpus.py /root/testdata/sf0.001
     python scratch/check_oracles.py /tmp/sf_nulltext
 
-Round-5 state: all 50 contract queries green against it.
+Round-5 state: all 50 contract queries green against it
+(documents-only AND the full three-table hostility).
 """
 import os
 import shutil
