@@ -155,3 +155,63 @@ def test_pack_sequences_validates_params(spark):
     ):
         with pytest.raises(ValueError):
             pack_sequences(docs, **kwargs)
+
+
+def test_chunk_and_pack_coverage_invariants(spark):
+    """Seeded-random property sweep (one Spark job per parameter set,
+    differential-fuzz style):
+
+    chunk_documents — per doc: contiguous chunk_idx, start = idx*stride,
+    end = min(start+chunk, n), strictly increasing ends (no contained
+    chunks), and exact token coverage (union of [start,end) == [0,n)).
+
+    pack_sequences — global contiguity: ordered by (pack_id, offset),
+    every document starts exactly where the previous one's tokens end
+    (pack_id*seq_len + offset is the exact running token sum)."""
+    import random
+
+    from helix_html2md_spark.operators.dedup import release_persisted
+
+    rng = random.Random(7)
+    docs = [
+        (f"d{i:04d}", " ".join(f"w{j}" for j in range(rng.randint(0, 50))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    n_by_doc = {d: len(t.split()) for d, t in docs}
+
+    for chunk, ov in [(4, 2), (5, 0), (8, 7), (16, 4)]:
+        stride = chunk - ov
+        rows = chunk_documents(df, chunk_tokens=chunk, overlap=ov).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, n in n_by_doc.items():
+            got = sorted(by_doc.get(d, []), key=lambda r: r["chunk_idx"])
+            if n == 0:
+                assert not got, d
+                continue
+            assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+            prev_end = 0
+            for r in got:
+                assert r["start_tok"] == r["chunk_idx"] * stride
+                assert r["end_tok"] == min(r["start_tok"] + chunk, n)
+                assert r["start_tok"] <= prev_end  # no coverage gap
+                assert r["end_tok"] > prev_end  # no contained chunk
+                prev_end = r["end_tok"]
+            assert prev_end == n, (d, chunk, ov)  # full coverage
+
+    for seq_len in (1, 8, 64):
+        rows = pack_sequences(df, seq_len=seq_len).collect()
+        release_persisted()
+        assert len(rows) == len(docs)
+        ordered = sorted(
+            rows, key=lambda r: (r["pack_id"], r["offset_in_pack"], r["doc_id"])
+        )
+        acc = 0
+        for r in ordered:
+            assert r["pack_id"] * seq_len + r["offset_in_pack"] == acc, (
+                seq_len, r,
+            )
+            acc += r["n_tokens"]
+        assert acc == sum(n_by_doc.values())
