@@ -202,6 +202,40 @@ def lang_stats(
     )
 
 
+def filter_language(
+    df: DataFrame, keep=("en",), text_col: str = "text"
+) -> DataFrame:
+    """Keep documents whose predicted language is in ``keep`` — the
+    CCNet/Gopher pipelines' first gate (monolingual corpora select
+    their target language before any quality scoring).  Stateless JVM
+    filter; 'und' is NOT kept implicitly — add it to ``keep`` when
+    letterless/ambiguous docs should survive.
+
+    Uses the STAGED prediction (script counts / token array / vote head
+    as intermediate columns), not the single-Column :func:`lang_id`
+    form: inlined, the CASE ladder replicates every regex count across
+    its branches and the resulting expression TEXT is large enough
+    that, at the base of a long pipeline composition, AQE's per-update
+    plan rendering alone can exhaust the driver heap."""
+    if not keep:
+        raise ValueError("keep must name at least one language code")
+    c = F.col(text_col)
+    staged = (
+        df.withColumn("_sc", script_counts(c))
+        .withColumn("_lt", _latin_tokens(c))
+        .withColumn("_best", _best_vote(F.col("_lt")))
+    )
+    s = {name: F.col("_sc")[name] for name in SCRIPT_RANGES}
+    vote = F.when(
+        F.col("_best")["nh"] < 0, F.col("_best")["lg"]
+    ).otherwise(F.lit("und"))
+    return (
+        staged.filter(
+            _decide(s, vote).isin([str(k) for k in keep])
+        ).drop("_sc", "_lt", "_best")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twin (generated from the same tables — cannot drift)
 # ---------------------------------------------------------------------------

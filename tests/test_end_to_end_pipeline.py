@@ -1,8 +1,9 @@
 """End-to-end training-data pipeline composition at sf0.001:
 
-    quality gate (gopher) -> exact-substring window dedup ->
-    benchmark decontamination -> DSIR selection toward a target ->
-    BPE tokenize to ids -> sequence packing.
+    language gate (langid) -> quality gate (gopher) ->
+    exact-substring window dedup -> benchmark decontamination ->
+    LM-perplexity gate (CCNet bigram) -> DSIR selection toward a
+    target -> BPE tokenize to ids -> sequence packing.
 
 Each stage is individually oracled elsewhere; this test pins that the
 stages COMPOSE — schemas line up, every stage's monotone-shrink
@@ -16,7 +17,11 @@ import os
 
 from pyspark.sql import functions as F
 
+from helix_html2md_spark.functions.langid import filter_language
 from helix_html2md_spark.operators.corpus import gopher_filter
+from helix_html2md_spark.operators.lm import (
+    logprob_scores, select_by_logprob, train_bigram_lm,
+)
 from helix_html2md_spark.operators.dedup import (
     decontaminate, drop_dup_window_docs, release_persisted,
 )
@@ -32,9 +37,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def test_full_training_pipeline(spark):
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    n0 = docs.count()
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # salt the pool with non-English docs the language gate must drop
+    foreign = spark.createDataFrame(
+        [
+            (90001, "le chat est dans la maison des voisins pour la "
+                    "nuit et les enfants ne sont pas dans le jardin",
+             "fr", "srcX", 0),
+            (90002, "这是一个中文文档用来测试语言识别的门槛", "zh", "srcX", 0),
+        ],
+        base.schema,
+    )
+    pool = base.unionByName(foreign)
+    n0 = pool.count()
     try:
+        # 0. language gate: monolingual corpus — keep en (plus 'und'
+        # for marker-less soup docs the later gates judge on merit).
+        # localCheckpoint = the macro-stage boundary a real pipeline
+        # puts here anyway: eight more stages compose on top, and
+        # without truncating the lineage the accumulated plan TEXT
+        # (rendered by AQE on every update) grows past the driver heap
+        docs = filter_language(pool, keep=("en", "und")).localCheckpoint()
+        n_lang = docs.count()
+        assert n_lang == n0 - 2  # exactly the salted foreign docs drop
+
         # 1. quality gate
         verdicts = gopher_filter(docs)
         kept_ids = verdicts.filter("keep").select("doc_id")
@@ -58,13 +84,24 @@ def test_full_training_pipeline(spark):
         # must be gone now
         assert stage3.filter("doc_id >= 490").count() == 0
 
+        # 3b. LM-perplexity gate (CCNet shape): score against a
+        # reference LM trained on src0 and keep the head
+        lm = train_bigram_lm(docs.filter("source = 'src0'"))
+        scores = logprob_scores(stage3, lm)
+        thresh = scores.agg(
+            F.expr("percentile_approx(avg_logp_milli, 0.25)")
+        ).collect()[0][0]
+        stage3b = select_by_logprob(stage3, scores, int(thresh))
+        n3b = stage3b.count()
+        assert 0 < n3b <= n3
+
         # 4. DSIR: keep the half most src0-like
         ratios = dsir_log_ratios(
-            stage3, docs.filter("source = 'src0'"), n=2, buckets=512
+            stage3b, docs.filter("source = 'src0'"), n=2, buckets=512
         )
-        stage4 = dsir_select_frac(stage3, ratios, keep_frac=0.5)
+        stage4 = dsir_select_frac(stage3b, ratios, keep_frac=0.5)
         n4 = stage4.count()
-        assert 0 < n4 <= n3
+        assert 0 < n4 <= n3b
 
         # 5. tokenize to trainer ids
         merges = train_bpe(stage4, num_merges=128)

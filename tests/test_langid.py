@@ -125,3 +125,23 @@ def test_plan_stays_jvm_side(spark, sdf):
     # 8 script-range counts + 1 latin word-cleaner = 9 (the inlined
     # lang_id form replicates them across every CASE branch — ~70)
     assert plan.count("regexp_replace") == 9, plan.count("regexp_replace")
+
+
+def test_filter_language(spark, sdf):
+    from helix_html2md_spark.functions.langid import filter_language
+
+    kept = {
+        r["doc_id"] for r in filter_language(sdf, keep=("de",)).collect()
+    }
+    want = {i for i, (_, lang) in enumerate(SENTENCES) if lang == "de"}
+    assert kept == want
+    # 'und' is opt-in: NULL/letterless rows drop unless named
+    both = {
+        r["doc_id"]
+        for r in filter_language(sdf, keep=("de", "und")).collect()
+    }
+    assert both > kept
+    import pytest
+
+    with pytest.raises(ValueError, match="keep"):
+        filter_language(sdf, keep=())
