@@ -66,7 +66,7 @@ def test_full_training_pipeline(spark):
         kept_ids = verdicts.filter("keep").select("doc_id")
         stage1 = docs.join(kept_ids, "doc_id", "left_semi")
         n1 = stage1.count()
-        assert 0 < n1 <= n0
+        assert 0 < n1 <= n_lang
 
         # 2. exact-substring window dedup (w=20, drop heavy overlap)
         stage2 = drop_dup_window_docs(stage1, window=20, max_dup_ppm=500_000)
@@ -77,6 +77,10 @@ def test_full_training_pipeline(spark):
         bench = docs.filter("doc_id >= 490").selectExpr(
             "doc_id", "substr(text, 1, 120) AS text"
         )
+        # precondition: contaminated docs actually reached this stage
+        # (otherwise the zero-survivors check below passes vacuously
+        # even when decontaminate is a no-op)
+        assert stage2.filter("doc_id >= 490").count() > 0
         stage3 = decontaminate(stage2, bench, n=13)
         n3 = stage3.count()
         assert 0 < n3 <= n2

@@ -1,6 +1,7 @@
-"""Tier-1 golden tests: pure-Python html2md vs all 26 reference fixture
-pairs (byte equality after trim, like /root/reference/test/index.test.js:
-130-135) plus the error-only fixtures."""
+"""Tier-1 golden tests: pure-Python html2md vs all 24 reference fixture
+.md pairs (byte equality after trim, like
+/root/reference/test/index.test.js:130-135) plus the 3 error-only
+fixtures."""
 
 from pathlib import Path
 
@@ -14,6 +15,10 @@ FIX = Path("/root/reference/test/fixtures")
 
 GOLDEN = sorted(p.stem for p in FIX.glob("*.md"))
 ERRORS = sorted(ERROR_FIXTURES)
+# glob-derived: pin the count so a shrunken reference checkout fails
+# loudly instead of silently running fewer golden cases
+assert len(GOLDEN) == 24, GOLDEN
+assert len(ERRORS) == 3, ERRORS
 
 
 @pytest.mark.parametrize("name", GOLDEN)

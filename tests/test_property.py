@@ -58,6 +58,11 @@ def test_never_crashes_and_invariant_holds(fragment):
 @given(st.text(max_size=200))
 @settings(max_examples=100, deadline=None)
 def test_arbitrary_text_roundtrip(text):
-    html = f"<main><div><p>{text}</p></div></main>"
+    # a fixed alphanumeric sentinel rides along with the arbitrary
+    # text: beyond no-crash, the paragraph CONTENT must survive into
+    # the markdown (a transform regressing to empty output would
+    # otherwise sail through all 100 examples)
+    html = f"<main><div><p>sentinelXYZ {text}</p></div></main>"
     md = html2md(html, {})
     assert isinstance(md, str)
+    assert "sentinelXYZ" in md

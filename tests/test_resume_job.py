@@ -30,8 +30,8 @@ def test_resume_skips_done_docs(spark, corpus, tmp_path):
 
     todo = remaining_documents(docs, out)
     assert todo.count() == 20
-    done_ids = {r["doc_id"] for r in todo.select("doc_id").collect()}
-    assert all(d >= "synth:00000020" for d in done_ids)
+    todo_ids = {r["doc_id"] for r in todo.select("doc_id").collect()}
+    assert all(d >= "synth:00000020" for d in todo_ids)
 
     # resume run completes the table exactly once per doc
     m2 = run_extract_job(spark, corpus, out, run_id="r2", num_partitions=2)
@@ -73,19 +73,30 @@ def test_resume_with_same_run_id_does_not_double_count(spark, corpus, tmp_path):
     run_id.  Each call's lineage must cover only the rows that call
     wrote (attempt-scoped), never re-count the prior attempt's."""
     out = str(tmp_path / "same_rid")
-    m1 = run_extract_job(spark, corpus, out, run_id="rX", num_partitions=2)
+    # a PARTIAL first attempt (half the corpus behind a separate input
+    # path), then the documented resume: the identical command over the
+    # full corpus with the SAME run_id — both attempts write rows, so
+    # the attempt-isolation claim is actually observable in lineage
+    partial_in = str(tmp_path / "partial_in")
+    docs = spark.read.parquet(corpus)
+    docs.filter("doc_id < 'synth:00000020'").write.parquet(partial_in)
+    m1 = run_extract_job(spark, partial_in, out, run_id="rX",
+                         num_partitions=2)
     n1 = m1["docs"]
-    assert n1 > 0
-    # simulate a partial first attempt by deleting some outputs? not
-    # needed: a full rerun with the same run_id must record 0 new docs
+    assert n1 == 20
     m2 = run_extract_job(spark, corpus, out, run_id="rX", num_partitions=2)
-    assert m2["docs"] == 0
+    assert m2["docs"] == 20  # only the un-extracted half
     lineage = spark.read.parquet(out + "_lineage").filter("run_id = 'rX'")
     rows = lineage.collect()
     # two attempts, two disjoint attempt scopes: total doc_ids_done over
-    # the run_id is n1 + 0, NOT n1 doubled
-    assert sum(r["doc_ids_done"] for r in rows) == n1
-    assert lineage.select("attempt_id").distinct().count() >= 1
+    # the run_id is 20 + 20, NOT double-counted
+    assert sum(r["doc_ids_done"] for r in rows) == 40
+    # the isolation claim itself: two calls, two DISTINCT attempt ids
+    # (a shared id is the exact collision attempt-scoping prevents)
+    assert lineage.select("attempt_id").distinct().count() == 2
+    # and a third, nothing-to-do call records 0 docs and 0 lineage rows
+    m3 = run_extract_job(spark, corpus, out, run_id="rX", num_partitions=2)
+    assert m3["docs"] == 0
 
 
 def test_resume_recovers_from_uncommitted_output_dir(spark, corpus, tmp_path):

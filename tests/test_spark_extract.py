@@ -23,6 +23,10 @@ def extracted(spark):
 
 
 def test_all_fixtures_extracted(extracted):
+    # pin the cardinality: fixture_names() is glob-derived, so a
+    # missing/empty reference checkout would otherwise green the whole
+    # tier-2 harness vacuously at 0 == 0
+    assert len(fixture_names()) == 27
     assert len(extracted) == len(fixture_names())
 
 

@@ -39,8 +39,10 @@ def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
         (r["user_id"], r["n_events"]): r["sum_value"]
         for r in spark.sql("SELECT * FROM sessions_out").collect()
     }
-    # user 1's first session (2 events, value 3.0) closed by the gap
-    assert got.get((1, 2)) == 3.0
+    # user 1's first session (2 events, value 3.0) closed by the gap —
+    # and NOTHING else: user 2's still-open session and user 1's open
+    # tail must not emit in this batch (that is the flush helper's job)
+    assert got == {(1, 2): 3.0}
 
 
 def test_open_sessions_flush_completes_bounded_replay(spark, tmp_path):

@@ -205,7 +205,8 @@ def test_multimodal_features(spark):
 
     media = synthetic_media(spark, 30)
     stats = {r["kind"]: r["n_items"] for r in media_stats(media).collect()}
-    assert sum(stats.values()) == 30
+    # kinds cycle i%3 — exact classification, not just a row-count sum
+    assert stats == {"image": 10, "audio": 10, "video": 10}
     feats = extract_features(media).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
@@ -223,13 +224,15 @@ def test_frame_sampling_deterministic(spark):
     media = synthetic_media(spark, 30)
     frames = sample_frames(media, every_ms=1000, max_frames=5).collect()
     videos = {r["media_id"] for r in frames}
-    assert videos  # kind cycles image/audio/video -> ~10 videos
+    # kind cycles i%3 -> exactly 10 videos, each with duration
+    # 1000 + i%9000 in [1002, 1029] ms -> exactly 2 sampled frames
+    assert len(videos) == 10
     by_media = {}
     for r in frames:
         by_media.setdefault(r["media_id"], []).append(r)
     for mid, rows in by_media.items():
         idxs = sorted(r["frame_idx"] for r in rows)
-        assert idxs == list(range(len(rows)))  # dense 0..n-1
+        assert idxs == [0, 1], (mid, idxs)
         assert len(rows) <= 5  # max_frames cap
         assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
     # deterministic: same input -> same frame hashes

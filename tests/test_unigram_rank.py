@@ -76,13 +76,16 @@ def test_unigram_rank_stats_vs_duckdb(spark):
     transcription over the real sf0.001 corpus."""
     k = 256
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    got = [
-        (
-            r["doc_id"], r["n_tokens"], r["n_oov"],
-            r["oov_ppm"], r["mean_rank_milli"],
+    # dict-keyed (suite convention): the operator has no orderBy, so
+    # an ordered-list compare would ride on scan order surviving the
+    # joins — any plan change (AQE, SMJ fallback) would break a correct
+    # operator
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_oov"], r["oov_ppm"], r["mean_rank_milli"]
         )
         for r in unigram_rank_stats(docs, vocab_size=k).collect()
-    ]
+    }
     release_persisted()
     toks = SQL_TOKENS.format(c="text")
     con = duckdb.connect()
@@ -114,7 +117,7 @@ def test_unigram_rank_stats_vs_duckdb(spark):
         ORDER BY doc_id
         """
     ).fetchall()
-    assert got == [tuple(r) for r in want]
+    assert got == {r[0]: tuple(r[1:]) for r in want}
     assert len(got) == docs.count()
 
 
