@@ -314,3 +314,49 @@ def bpe_encode(
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         *out_cols
     )
+
+
+def save_bpe(
+    spark,
+    path: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int] | None = None,
+) -> None:
+    """Persist a trained tokenizer as parquet so one training job's
+    merges (and optional id table) serve every later encode job —
+    retraining per pipeline run would silently shift ids under models
+    already trained on the old segmentation.
+
+    Layout: ``<path>/merges`` with (rank, a, b) — rank IS the merge
+    order, the entire encoder contract — and, when given,
+    ``<path>/vocab`` with (piece, id)."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    if vocab is not None:
+        spark.createDataFrame(
+            list(vocab.items()), "piece string, id int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_bpe(
+    spark, path: str
+) -> tuple[list[tuple[str, str]], dict[str, int] | None]:
+    """Load (merges, vocab) written by :func:`save_bpe`; vocab is None
+    when the tokenizer was saved without one.  Merge order is restored
+    from the explicit rank column — never from file/row order, which
+    parquet does not guarantee."""
+    import os
+
+    rows = spark.read.parquet(f"{path}/merges").collect()
+    merges = [
+        (r["a"], r["b"]) for r in sorted(rows, key=lambda r: r["rank"])
+    ]
+    vocab = None
+    if os.path.isdir(f"{path}/vocab"):
+        vocab = {
+            r["piece"]: r["id"]
+            for r in spark.read.parquet(f"{path}/vocab").collect()
+        }
+    return merges, vocab

@@ -198,3 +198,35 @@ def test_bpe_vocab_and_ids(spark):
     assert bpe_encode(docs, merges).columns == [
         "doc_id", "n_pieces", "pieces",
     ]
+
+
+def test_save_load_roundtrip_serves_identical_ids(spark, tmp_path):
+    """A tokenizer trained once and persisted must encode identically
+    when loaded in a later job — merge ORDER restored from the rank
+    column (parquet row order is not a contract), vocab ids intact."""
+    from helix_html2md_spark.operators.tokenizer import (
+        bpe_encode, bpe_vocab, corpus_alphabet, load_bpe, save_bpe,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * (1 + i % 3))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=48)
+    vocab = bpe_vocab(corpus_alphabet(docs), merges)
+    tok_dir = str(tmp_path / "tok")
+    save_bpe(spark, tok_dir, merges, vocab)
+    merges2, vocab2 = load_bpe(spark, tok_dir)
+    assert merges2 == merges
+    assert vocab2 == vocab
+    a = {r["doc_id"]: (list(r["pieces"]), list(r["ids"]))
+         for r in bpe_encode(docs, merges, vocab=vocab).collect()}
+    b = {r["doc_id"]: (list(r["pieces"]), list(r["ids"]))
+         for r in bpe_encode(docs, merges2, vocab=vocab2).collect()}
+    assert a == b
+    # merges-only save: vocab comes back None
+    save_bpe(spark, str(tmp_path / "tok2"), merges)
+    m3, v3 = load_bpe(spark, str(tmp_path / "tok2"))
+    assert m3 == merges and v3 is None
