@@ -221,3 +221,32 @@ def select_by_logprob(
         F.col("avg_logp_milli") >= F.lit(int(min_avg_milli))
     ).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")
+
+
+def save_bigram_lm(lm: BigramLM, path: str) -> None:
+    """Persist a trained LM: ``<path>/bigrams``, ``<path>/prefixes``
+    (parquet), ``<path>/meta`` (vocab_size).  The CCNet workflow trains
+    ONCE on the reference corpus and serves every scoring job from the
+    artifact — retraining per run re-pays the reference scan and can
+    shift scores under any threshold chosen against the old model."""
+    lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    lm.prefixes.write.mode("overwrite").parquet(f"{path}/prefixes")
+    spark = lm.bigrams.sparkSession
+    spark.createDataFrame(
+        [(int(lm.vocab_size),)], "vocab_size long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    """Load a :func:`save_bigram_lm` artifact.  The tables come back as
+    plain parquet scans — broadcast-joined at scoring time exactly like
+    freshly trained ones (no persist: the artifact read IS the cheap
+    path)."""
+    vocab_size = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["vocab_size"]
+    )
+    return BigramLM(
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/prefixes"),
+        vocab_size,
+    )

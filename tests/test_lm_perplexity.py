@@ -173,3 +173,22 @@ def test_plan_stays_jvm_side(spark):
     release_persisted()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # lut + LM ride broadcasts
+
+
+def test_lm_save_load_scores_identically(spark, tmp_path):
+    ref = _docs(spark, [(1, "a b a c a b"), (2, "b a c")])
+    pool = _docs(spark, [(10, "a b a a"), (11, "c c b")])
+    lm = train_bigram_lm(ref)
+    lm_dir = str(tmp_path / "lm")
+    from helix_html2md_spark.operators.lm import (
+        load_bigram_lm, save_bigram_lm,
+    )
+
+    save_bigram_lm(lm, lm_dir)
+    lm2 = load_bigram_lm(spark, lm_dir)
+    assert lm2.vocab_size == lm.vocab_size
+    a = {r["doc_id"]: tuple(r)[1:] for r in logprob_scores(pool, lm).collect()}
+    release_persisted()
+    b = {r["doc_id"]: tuple(r)[1:] for r in logprob_scores(pool, lm2).collect()}
+    release_persisted()
+    assert a == b
