@@ -334,29 +334,43 @@ def save_bpe(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
-    if vocab is not None:
-        spark.createDataFrame(
-            list(vocab.items()), "piece string, id int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+    # the vocab subdir is ALWAYS (re)written — an empty table means "no
+    # vocab".  A conditional write would leave a previous save's vocab
+    # in place next to new merges, and load_bpe would pair the new
+    # ranks with the old, misaligned id table (exactly the silent id
+    # shift persistence exists to prevent).  Deleting instead of
+    # overwriting would need filesystem-specific code; the writer is
+    # storage-agnostic.
+    spark.createDataFrame(
+        list(vocab.items()) if vocab is not None else [],
+        "piece string, id int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
 
 
 def load_bpe(
     spark, path: str
 ) -> tuple[list[tuple[str, str]], dict[str, int] | None]:
     """Load (merges, vocab) written by :func:`save_bpe`; vocab is None
-    when the tokenizer was saved without one.  Merge order is restored
-    from the explicit rank column — never from file/row order, which
-    parquet does not guarantee."""
-    import os
+    when the tokenizer was saved without one (an EMPTY vocab table, or
+    — for artifacts from before the always-write layout — a missing
+    subdir).  Merge order is restored from the explicit rank column —
+    never from file/row order, which parquet does not guarantee.
+    Detection goes through the Spark reader, not os.path (the artifact
+    may live on any Hadoop filesystem — a driver-local isdir probe
+    would silently drop the vocab of an s3://or hdfs:// tokenizer)."""
+    from pyspark.errors import AnalysisException
 
     rows = spark.read.parquet(f"{path}/merges").collect()
     merges = [
         (r["a"], r["b"]) for r in sorted(rows, key=lambda r: r["rank"])
     ]
-    vocab = None
-    if os.path.isdir(f"{path}/vocab"):
-        vocab = {
-            r["piece"]: r["id"]
-            for r in spark.read.parquet(f"{path}/vocab").collect()
-        }
-    return merges, vocab
+    try:
+        vrows = spark.read.parquet(f"{path}/vocab").collect()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return merges, None
+        raise
+    if not vrows:
+        return merges, None
+    return merges, {r["piece"]: r["id"] for r in vrows}

@@ -230,3 +230,17 @@ def test_save_load_roundtrip_serves_identical_ids(spark, tmp_path):
     save_bpe(spark, str(tmp_path / "tok2"), merges)
     m3, v3 = load_bpe(spark, str(tmp_path / "tok2"))
     assert m3 == merges and v3 is None
+
+
+def test_save_bpe_merges_only_clears_stale_vocab(spark, tmp_path):
+    """A merges-only re-save must not leave a previous save's vocab in
+    place — load would pair new ranks with an old, misaligned id
+    table (the silent id shift persistence exists to prevent)."""
+    from helix_html2md_spark.operators.tokenizer import load_bpe, save_bpe
+
+    d = str(tmp_path / "tok")
+    save_bpe(spark, d, [("a", "b")], {"a": 0, "b": 1, "ab": 2})
+    save_bpe(spark, d, [("b", "c")])  # retrained, no vocab this time
+    merges, vocab = load_bpe(spark, d)
+    assert merges == [("b", "c")]
+    assert vocab is None  # the stale v1 table must NOT come back
