@@ -193,9 +193,14 @@ def _ceil_frac(frac: float, total: int) -> int:
     product overshoots when it rounds up in binary (0.07 * 100 =
     7.000000000000001 -> float ceil 8, one extra rank) — the same
     reason grouped_percentiles ranks via ``(p*n+99) div 100``.  The
-    fraction is snapped to the nearest 1e-9 first (floats carry no
-    more user intent than that)."""
-    num = round(frac * 1_000_000_000)
+    fraction snaps to 1e-9 by TRUNCATION, not rounding: rounding
+    overshoots non-terminating fractions the other way (2/3 * 1e9
+    rounds UP to 666666667, so ceil(2/3 of 3) came out 3, one extra
+    rank again — exactly the bug this helper exists to prevent).
+    Floats carry no more user intent than 1e-9 either way; the
+    truncated snap can under-rank by one only past ~1e9 rows per
+    distinct score, far beyond any collected histogram."""
+    num = int(frac * 1_000_000_000)
     return (num * total + 999_999_999) // 1_000_000_000
 
 

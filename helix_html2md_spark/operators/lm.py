@@ -250,3 +250,67 @@ def load_bigram_lm(spark, path: str) -> BigramLM:
         spark.read.parquet(f"{path}/prefixes"),
         vocab_size,
     )
+
+
+def logprob_buckets(
+    scores: DataFrame, cuts: tuple = (1.0 / 3.0, 2.0 / 3.0)
+) -> DataFrame:
+    """CCNet's head/middle/tail split (§4.3 of Wenzek et al. 2019):
+    partition scored documents into three quality buckets by
+    avg-log-probability quantiles — ``head`` is the most
+    reference-like ``cuts[0]`` fraction, ``tail`` the least-like
+    remainder, with the paper's use being "train on head+middle, or
+    weight buckets differently".
+
+    Deterministic nearest-rank thresholds from a ``groupBy(avg_milli)``
+    HISTOGRAM (distinct integer scores to the driver — never a corpus
+    sort), threshold ties bucket UP (same keep-ties policy as
+    dsir_select_frac, so bucket sizes can slightly exceed their
+    fractions but are identical across runs/engines/parallelism).
+    Unscoreable docs (NULL avg) get a NULL bucket — they are neither
+    head nor tail, and downstream selection already drops them.
+
+    Returns the scores frame plus a ``ppl_bucket`` column.
+    """
+    if not (0.0 < cuts[0] < cuts[1] < 1.0):
+        raise ValueError("cuts must satisfy 0 < cuts[0] < cuts[1] < 1")
+    from .dedup import _PERSISTED
+    from .dsir import _ceil_frac
+
+    scores = scores.persist()  # histogram + the returned frame
+    _PERSISTED.append(scores)
+    hist = sorted(
+        (
+            (r["avg_logp_milli"], r["cnt"])
+            for r in scores.filter(F.col("avg_logp_milli").isNotNull())
+            .groupBy("avg_logp_milli")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ),
+        reverse=True,  # best (highest logp) first
+    )
+    total = sum(c for _v, c in hist)
+    if total == 0:
+        return scores.withColumn(
+            "ppl_bucket", F.lit(None).cast("string")
+        )
+
+    def _threshold(frac: float) -> int:
+        k = _ceil_frac(frac, total)
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= k:
+                return v
+        return hist[-1][0]
+
+    t_head = _threshold(cuts[0])
+    t_mid = _threshold(cuts[1])
+    a = F.col("avg_logp_milli")
+    return scores.withColumn(
+        "ppl_bucket",
+        F.when(a.isNull(), F.lit(None).cast("string"))
+        .when(a >= F.lit(int(t_head)), F.lit("head"))
+        .when(a >= F.lit(int(t_mid)), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )

@@ -192,3 +192,38 @@ def test_lm_save_load_scores_identically(spark, tmp_path):
     b = {r["doc_id"]: tuple(r)[1:] for r in logprob_scores(pool, lm2).collect()}
     release_persisted()
     assert a == b
+
+
+def test_logprob_buckets_head_middle_tail(spark):
+    """Nearest-rank thresholds, ties bucket UP, NULL stays NULL; the
+    reference-trained scores put reference-like docs in the head."""
+    from helix_html2md_spark.operators.lm import logprob_buckets
+
+    ref = _docs(spark, [(1, "a b a b a b c"), (2, "a b c a b")])
+    pool = _docs(
+        spark,
+        [
+            (10, "a b a b a b"),   # very reference-like
+            (11, "a b c"),         # middling
+            (12, "z z z z"),       # unseen everything
+            (13, "x"),             # unscoreable
+        ],
+    )
+    lm = train_bigram_lm(ref)
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in logprob_buckets(
+            logprob_scores(pool, lm), cuts=(1 / 3, 2 / 3)
+        ).collect()
+    }
+    release_persisted()
+    assert out[10] == "head"
+    assert out[11] == "middle"
+    assert out[12] == "tail"
+    assert out[13] is None
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="cuts"):
+        logprob_buckets(logprob_scores(pool, lm), cuts=(0.5, 0.4))
+    release_persisted()
