@@ -227,3 +227,45 @@ def test_logprob_buckets_head_middle_tail(spark):
     with pytest.raises(ValueError, match="cuts"):
         logprob_buckets(logprob_scores(pool, lm), cuts=(0.5, 0.4))
     release_persisted()
+
+
+def test_logprob_buckets_matches_python_reference(spark):
+    """Seeded sweep: bucket assignment must equal a brute-force
+    nearest-rank reference (sort desc, head = first ceil(c0*n) ranks
+    WITH ties bucketed up, middle through ceil(c1*n), tail the rest)
+    across duplicate-heavy score sets and cut choices."""
+    import math as _m
+    import random
+
+    from helix_html2md_spark.operators.lm import logprob_buckets
+
+    rng = random.Random(3)
+    for trial in range(6):
+        n = rng.randint(1, 40)
+        scores = [rng.choice([-3000, -1500, -900, -900, -400, -100])
+                  for _ in range(n)]
+        rows = [(i, 2, -1, a) for i, a in enumerate(scores)]
+        rows.append((9999, 0, None, None))  # unscoreable rider
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, n_bigrams long, sum_logp_milli long, "
+            "avg_logp_milli long",
+        )
+        cuts = rng.choice([(1 / 3, 2 / 3), (0.25, 0.75), (0.5, 0.9)])
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in logprob_buckets(df, cuts=cuts).collect()
+        }
+        from helix_html2md_spark.operators.dedup import release_persisted
+
+        release_persisted()
+        # python reference: thresholds are the scores at nearest ranks
+        desc = sorted(scores, reverse=True)
+        k0 = _m.ceil(round(cuts[0] * len(desc), 9))
+        k1 = _m.ceil(round(cuts[1] * len(desc), 9))
+        t_head, t_mid = desc[k0 - 1], desc[k1 - 1]
+        for i, a in enumerate(scores):
+            want = ("head" if a >= t_head
+                    else "middle" if a >= t_mid else "tail")
+            assert got[i] == want, (trial, cuts, a, t_head, t_mid)
+        assert got[9999] is None
