@@ -139,3 +139,19 @@ def test_jaccard_verify_prunes_corpus_side(spark):
     # join's shuffle
     semi_line = next(l for l in plan.splitlines() if "LeftSemi" in l)
     assert "doc_id" in semi_line and "_t" not in semi_line
+
+
+def test_driver_contract_holds_the_50_query_line():
+    """The driver artifact records AT MOST 50 queries (measured across
+    rounds 1-4); the contract therefore holds EXACTLY 50, every one
+    oracled.  Growing past 50 silently drops rows from the correctness
+    artifact — cut before adding (BASELINE.md 'Contract change
+    (round 5)')."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert len(q) == 50, sorted(q)
+    assert set(o) == set(q), {
+        "missing_oracle": sorted(set(q) - set(o)),
+        "orphan_oracle": sorted(set(o) - set(q)),
+    }
