@@ -188,6 +188,43 @@ def dsir_select(
     return docs.join(keep, "doc_id", "left_semi")
 
 
+def hist_thresholds(scores, col: str, fracs) -> list | None:
+    """Nearest-rank thresholds over a score column via the HISTOGRAM
+    idiom (groupBy(col) — rows = distinct integer scores, never a
+    corpus sort), best-first with threshold ties ranked UP.  The ONE
+    home of the walk: dsir_select_frac and lm.logprob_buckets both
+    select on it, so a rank-policy fix (like the _ceil_frac truncation
+    one) lands once.  Returns one threshold per fraction, or None for
+    an empty/all-NULL score column."""
+    from pyspark.sql import functions as _F
+
+    hist = sorted(
+        (
+            (r[col], r["cnt"])
+            for r in scores.filter(_F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(_F.count("*").alias("cnt"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(c for _v, c in hist)
+    if total == 0:
+        return None
+    out = []
+    for frac in fracs:
+        k = _ceil_frac(frac, total)
+        cum = 0
+        threshold = hist[-1][0]
+        for v, c in hist:
+            cum += c
+            if cum >= k:
+                threshold = v
+                break
+        out.append(threshold)
+    return out
+
+
 def _ceil_frac(frac: float, total: int) -> int:
     """ceil(frac * total) in EXACT integer arithmetic: the float
     product overshoots when it rounds up in binary (0.07 * 100 =
@@ -231,25 +268,8 @@ def dsir_select_frac(
     scores = dsir_scores(docs, log_ratios, n=n, text_col=text_col)
     scores = scores.persist()
     _PERSISTED.append(scores)
-    hist = sorted(
-        (
-            (r["avg_milli"], r["cnt"])
-            for r in scores.groupBy("avg_milli")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        ),
-        reverse=True,
-    )
-    total = sum(c for _v, c in hist)
-    if total == 0:
+    got = hist_thresholds(scores, "avg_milli", [keep_frac])
+    if got is None:
         return docs.filter(F.lit(False))
-    k = _ceil_frac(keep_frac, total)
-    cum = 0
-    threshold = hist[-1][0]
-    for v, c in hist:
-        cum += c
-        if cum >= k:
-            threshold = v
-            break
-    keep = scores.filter(F.col("avg_milli") >= threshold).select("doc_id")
+    keep = scores.filter(F.col("avg_milli") >= got[0]).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")

@@ -275,37 +275,16 @@ def logprob_buckets(
     if not (0.0 < cuts[0] < cuts[1] < 1.0):
         raise ValueError("cuts must satisfy 0 < cuts[0] < cuts[1] < 1")
     from .dedup import _PERSISTED
-    from .dsir import _ceil_frac
+    from .dsir import hist_thresholds
 
     scores = scores.persist()  # histogram + the returned frame
     _PERSISTED.append(scores)
-    hist = sorted(
-        (
-            (r["avg_logp_milli"], r["cnt"])
-            for r in scores.filter(F.col("avg_logp_milli").isNotNull())
-            .groupBy("avg_logp_milli")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        ),
-        reverse=True,  # best (highest logp) first
-    )
-    total = sum(c for _v, c in hist)
-    if total == 0:
+    got = hist_thresholds(scores, "avg_logp_milli", cuts)
+    if got is None:
         return scores.withColumn(
             "ppl_bucket", F.lit(None).cast("string")
         )
-
-    def _threshold(frac: float) -> int:
-        k = _ceil_frac(frac, total)
-        cum = 0
-        for v, c in hist:
-            cum += c
-            if cum >= k:
-                return v
-        return hist[-1][0]
-
-    t_head = _threshold(cuts[0])
-    t_mid = _threshold(cuts[1])
+    t_head, t_mid = got
     a = F.col("avg_logp_milli")
     return scores.withColumn(
         "ppl_bucket",

@@ -316,6 +316,13 @@ def bpe_encode(
     )
 
 
+def _merges_fingerprint(merges: list[tuple[str, str]]) -> str:
+    import hashlib
+
+    blob = "\x00".join(f"{a}\x01{b}" for a, b in merges)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
 def save_bpe(
     spark,
     path: str,
@@ -328,22 +335,22 @@ def save_bpe(
     already trained on the old segmentation.
 
     Layout: ``<path>/merges`` with (rank, a, b) — rank IS the merge
-    order, the entire encoder contract — and, when given,
-    ``<path>/vocab`` with (piece, id)."""
+    order, the entire encoder contract — and ``<path>/vocab`` with
+    (piece, id, merges_fp).  The vocab subdir is ALWAYS (re)written
+    (empty table = no vocab): a conditional write would leave a
+    previous save's vocab next to new merges.  Each vocab row carries
+    the MERGES FINGERPRINT, so even the non-atomic two-directory
+    write cannot mis-pair silently — a crash between the two
+    overwrites leaves a stale vocab whose fingerprint no longer
+    matches, and load_bpe fails LOUDLY instead of shifting ids."""
+    fp = _merges_fingerprint(merges)
     spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
-    # the vocab subdir is ALWAYS (re)written — an empty table means "no
-    # vocab".  A conditional write would leave a previous save's vocab
-    # in place next to new merges, and load_bpe would pair the new
-    # ranks with the old, misaligned id table (exactly the silent id
-    # shift persistence exists to prevent).  Deleting instead of
-    # overwriting would need filesystem-specific code; the writer is
-    # storage-agnostic.
     spark.createDataFrame(
-        list(vocab.items()) if vocab is not None else [],
-        "piece string, id int",
+        [(p, i, fp) for p, i in vocab.items()] if vocab else [],
+        "piece string, id int, merges_fp string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
 
 
@@ -351,13 +358,15 @@ def load_bpe(
     spark, path: str
 ) -> tuple[list[tuple[str, str]], dict[str, int] | None]:
     """Load (merges, vocab) written by :func:`save_bpe`; vocab is None
-    when the tokenizer was saved without one (an EMPTY vocab table, or
-    — for artifacts from before the always-write layout — a missing
-    subdir).  Merge order is restored from the explicit rank column —
-    never from file/row order, which parquet does not guarantee.
-    Detection goes through the Spark reader, not os.path (the artifact
-    may live on any Hadoop filesystem — a driver-local isdir probe
-    would silently drop the vocab of an s3://or hdfs:// tokenizer)."""
+    when the tokenizer was saved without one (an EMPTY — incl. an
+    explicitly-empty dict — vocab table, or, for artifacts from before
+    the always-write layout, a missing subdir).  Merge order is
+    restored from the explicit rank column — never from file/row
+    order, which parquet does not guarantee.  Detection goes through
+    the Spark reader, not os.path (the artifact may live on any Hadoop
+    filesystem — a driver-local isdir probe would silently drop the
+    vocab of an s3:// or hdfs:// tokenizer), keyed on the stable error
+    CLASS with a message fallback for pre-error-class artifacts."""
     from pyspark.errors import AnalysisException
 
     rows = spark.read.parquet(f"{path}/merges").collect()
@@ -367,10 +376,18 @@ def load_bpe(
     try:
         vrows = spark.read.parquet(f"{path}/vocab").collect()
     except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            return merges, None
+        cls = getattr(e, "getErrorClass", lambda: None)()
+        if cls == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+            return merges, None  # pre-always-write legacy artifact
         raise
     if not vrows:
         return merges, None
+    fp = _merges_fingerprint(merges)
+    stale = {r["merges_fp"] for r in vrows if "merges_fp" in r.asDict()}
+    if stale and stale != {fp}:
+        raise ValueError(
+            f"BPE artifact at {path!r} is inconsistent: the vocab was "
+            "saved against a different merge list (partial re-save?) — "
+            "re-run save_bpe with both"
+        )
     return merges, {r["piece"]: r["id"] for r in vrows}

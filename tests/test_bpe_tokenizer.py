@@ -244,3 +244,27 @@ def test_save_bpe_merges_only_clears_stale_vocab(spark, tmp_path):
     merges, vocab = load_bpe(spark, d)
     assert merges == [("b", "c")]
     assert vocab is None  # the stale v1 table must NOT come back
+
+
+def test_load_bpe_detects_mispaired_vocab(spark, tmp_path):
+    """A crash between the two artifact overwrites leaves new merges
+    next to a stale vocab; the merges fingerprint each vocab row
+    carries must make the load fail LOUDLY, never shift ids."""
+    import shutil
+
+    from helix_html2md_spark.operators.tokenizer import load_bpe, save_bpe
+
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    save_bpe(spark, d1, [("a", "b")], {"a": 0, "b": 1, "ab": 2})
+    save_bpe(spark, d2, [("b", "c")], {"b": 0, "c": 1, "bc": 2})
+    # simulate the torn re-save: t1's merges updated, vocab still old
+    shutil.rmtree(f"{d1}/merges")
+    shutil.copytree(f"{d2}/merges", f"{d1}/merges")
+    import pytest
+
+    with pytest.raises(ValueError, match="inconsistent"):
+        load_bpe(spark, d1)
+    # an explicitly-empty dict collapses to None through the cycle
+    save_bpe(spark, d2, [("b", "c")], {})
+    _, vocab = load_bpe(spark, d2)
+    assert vocab is None

@@ -157,6 +157,12 @@ def test_ceil_frac_exact():
     assert _ceil_frac(1.0, 1234) == 1234
     assert _ceil_frac(0.001, 1) == 1
     assert _ceil_frac(1 / 3, 3) == 1
+    # the OTHER float direction: a round-to-1e-9 snap overshoots
+    # non-terminating fractions (2/3*1e9 rounds up), giving one extra
+    # rank — the truncating snap must keep ceil(2/3 of 3) at 2
+    assert _ceil_frac(2 / 3, 3) == 2
+    assert _ceil_frac(0.3, 10) == 3
+    assert _ceil_frac(0.25, 9) == 3  # genuine ceil: 2.25 -> 3
 
 
 def test_dsir_scores_validates_n(spark):
@@ -250,18 +256,3 @@ def test_dsir_scores_streaming(spark, tmp_path):
     }
     want = {k: v for k, v in batch.items() if v[2] >= -500}
     assert got == want and sorted(got) == [1, 3, 4, 5]
-
-
-def test_ceil_frac_exact_ranks():
-    """Both float-representation failure directions: 0.07*100 must be
-    7 (binary overshoot), ceil(2/3 of 3) must be 2 (round-snap
-    overshoot of non-terminating fractions)."""
-    from helix_html2md_spark.operators.dsir import _ceil_frac
-
-    assert _ceil_frac(0.07, 100) == 7
-    assert _ceil_frac(2 / 3, 3) == 2
-    assert _ceil_frac(1 / 3, 3) == 1
-    assert _ceil_frac(0.5, 10) == 5
-    assert _ceil_frac(0.3, 10) == 3
-    assert _ceil_frac(1.0, 7) == 7
-    assert _ceil_frac(0.25, 9) == 3  # genuine ceil: 2.25 -> 3
