@@ -47,8 +47,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small/single-split scan out to the session's parallelism
+    before per-row-expensive compute.
+
+    The driver tables are single-file, single-row-group parquet, so the
+    scan stage is one task and every per-row-heavy projection (langid,
+    minhash, gopher grams...) runs on one core of local[32] (guide
+    §2.5: input skew — one unsplittable file; repartition immediately
+    after the read).  The repartition is pinned (explicit N) so AQE's
+    byte-based coalescing cannot fold the tiny-but-compute-heavy rows
+    back into one partition.  No-op when the scan already carries at
+    least ``defaultParallelism`` splits — a real corpus at scale — so
+    the shape is scale-adaptive, not tuned to this host."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +338,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_neardup_pairs, rademacher_planes,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     out = cosine_neardup_pairs(
         emb, threshold=0.35, planes=rademacher_planes(_N_PLANES, _EMB_DIM)
     )
@@ -709,7 +728,7 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return quantize_embeddings(emb).orderBy("vec_id")
 
 
