@@ -311,37 +311,65 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    edges = pairs.select("doc_a", "doc_b")
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # ONE pass over the pair pipeline: a union of edges with
+    # edges-reversed duplicates the (expensive, possibly unpersisted)
+    # upstream subtree — both branches re-execute the LSH self-join +
+    # distinct.  explode emits both directions from a single execution.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_a"),
+                        F.col("doc_b").alias("doc_b"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("_e")
         )
-    ).localCheckpoint()
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        .select("_e.doc_a", "_e.doc_b")
         .localCheckpoint()
     )
+    # Round 0 fused into initialization: with identity labels the first
+    # min-neighbor pass needs no join at all — min(component over
+    # neighbors) IS min(doc_b) per doc_a (sym carries both directions,
+    # so doc_a covers every node).  Saves the largest join of the loop.
+    labels = (
+        sym.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("_nbr"))
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("_old"),
+            F.least(F.col("doc_id"), F.col("_nbr")).alias("_c1"),
+        )
+    )
     changed = 0
+    first = True
     for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("component").alias("_nbr"))
-            .withColumnRenamed("doc_a", "doc_id")
-        )
-        upd = (
-            labels.select("doc_id", F.col("component").alias("_old"))
-            .join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                "_old",
-                F.least(
-                    F.col("_old"), F.coalesce("_nbr", F.col("_old"))
-                ).alias("_c1"),
+        if first:
+            upd = labels
+            first = False
+        else:
+            nbr = (
+                sym.join(labels, sym.doc_b == labels.doc_id)
+                .groupBy("doc_a")
+                .agg(F.min("component").alias("_nbr"))
+                .withColumnRenamed("doc_a", "doc_id")
             )
-        )
+            upd = (
+                labels.select("doc_id", F.col("component").alias("_old"))
+                .join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "_old",
+                    F.least(
+                        F.col("_old"), F.coalesce("_nbr", F.col("_old"))
+                    ).alias("_c1"),
+                )
+            )
         # pointer jump: label <- min(label, label(label)); labels only
         # ever hold node ids, so the self-lookup join always resolves
         ptr = upd.select(
