@@ -66,6 +66,23 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(p)
 
 
+def _fence(df: DataFrame) -> DataFrame:
+    """Materialization fence between an expensive stage and a trailing
+    orderBy.
+
+    A global sort plans as a range exchange whose bound-sampling job
+    re-executes the child stage, so a per-row-expensive projection (or
+    an unpersisted join/aggregate) computes TWICE per query.  A pinned
+    round-robin repartition turns that stage into a shuffle-map stage
+    whose files both the sampling job and the sort itself read
+    (shuffle-stage reuse across jobs of one execution), so the
+    expensive work runs exactly once; the price is one extra shuffle
+    of the query's OUTPUT rows — narrow fingerprint/stat tuples, a few
+    dozen bytes each, negligible against the recompute they replace.
+    Every query's sort keys are unique, so output order is unchanged."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs(spark, sf_dir):
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -106,17 +123,18 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.functions.text import fingerprint, token_count
 
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    out = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         fingerprint(F.col("text")).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
+    return _fence(out).orderBy("doc_id")
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.functions.text import quality_features
 
-    return quality_features(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _fence(quality_features(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,9 +180,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     so agreement is not asserted, only determinism.)"""
     from helix_html2md_spark.functions.langid import lang_stats
 
-    return lang_stats(_docs(spark, sf_dir), keep=("lang",)).orderBy(
-        "doc_id"
-    )
+    return _fence(
+        lang_stats(_docs(spark, sf_dir), keep=("lang",))
+    ).orderBy("doc_id")
 
 
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,15 +197,12 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    return (
-        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
-        )
-        .orderBy("doc_a")
+    out = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
+    return _fence(out).orderBy("doc_a")
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +223,9 @@ def q_shingle_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over 3-gram shingle sets (near-dup signatures)."""
     from helix_html2md_spark.operators.dedup import shingle_minhash_signatures
 
-    return shingle_minhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _fence(
+        shingle_minhash_signatures(_docs(spark, sf_dir))
+    ).orderBy("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +233,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-oracle-checkable (DuckDB recomputes the same md5 digits)."""
     from helix_html2md_spark.operators.dedup import simhash
 
-    return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _fence(simhash(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 def q_minhash_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,15 +245,12 @@ def q_minhash_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.operators.dedup import minhash_candidate_pairs
 
     pairs = minhash_candidate_pairs(_docs(spark, sf_dir))
-    return (
-        pairs.groupBy("doc_a")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.min("doc_b").alias("min_doc_b"),
-            F.max("doc_b").alias("max_doc_b"),
-        )
-        .orderBy("doc_a")
+    out = pairs.groupBy("doc_a").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("doc_b").alias("min_doc_b"),
+        F.max("doc_b").alias("max_doc_b"),
     )
+    return _fence(out).orderBy("doc_a")
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,16 +261,13 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.operators.dedup import simhash_near_dup_pairs
 
     out = simhash_near_dup_pairs(_docs(spark, sf_dir), max_distance=8)
-    return (
-        out.groupBy("doc_a")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.min("doc_b").alias("min_doc_b"),
-            F.min("hamming").cast("int").alias("min_hamming"),
-            F.max("hamming").cast("int").alias("max_hamming"),
-        )
-        .orderBy("doc_a")
+    agg = out.groupBy("doc_a").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("doc_b").alias("min_doc_b"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+        F.max("hamming").cast("int").alias("max_hamming"),
     )
+    return _fence(agg).orderBy("doc_a")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,15 +287,12 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.operators.dedup import jaccard_verified_pairs
 
     out = jaccard_verified_pairs(_docs(spark, sf_dir), threshold=0.5)
-    return (
-        out.groupBy("doc_a")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.min("doc_b").alias("min_doc_b"),
-            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
-        )
-        .orderBy("doc_a")
+    agg = out.groupBy("doc_a").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("doc_b").alias("min_doc_b"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+    return _fence(agg).orderBy("doc_a")
 
 
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,19 +321,20 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonws = F.filter(
         F.col("_segs"), lambda t: ~t.rlike("^" + WS_CLASS + "+$")
     )
-    return segs.select(
+    out = segs.select(
         "doc_id",
         F.size("_segs").alias("n_segments"),
         F.size(nonws).alias("n_bpe_tokens"),
         F.md5(F.array_join(nonws, "|")).alias("stream_md5"),
-    ).orderBy("doc_id")
+    )
+    return _fence(out).orderBy("doc_id")
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-cleaning pipeline: quality gates + exact dedup."""
     from helix_html2md_spark.operators.pipeline import clean_corpus
 
-    return clean_corpus(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _fence(clean_corpus(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 _N_PLANES, _EMB_DIM = 4, 64
@@ -342,15 +351,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_neardup_pairs(
         emb, threshold=0.35, planes=rademacher_planes(_N_PLANES, _EMB_DIM)
     )
-    return (
-        out.groupBy("vec_a")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.min("vec_b").alias("min_vec_b"),
-            F.round(F.max("cosine"), 6).alias("max_cosine"),
-        )
-        .orderBy("vec_a")
+    agg = out.groupBy("vec_a").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("vec_b").alias("min_vec_b"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
     )
+    return _fence(agg).orderBy("vec_a")
 
 
 _IVF_SEEDS, _IVF_NPROBE = 16, 4
@@ -669,8 +675,8 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash groupBy + equi-join + ordered re-agg), exact SQL oracle."""
     from helix_html2md_spark.operators.dedup import dedup_segments
 
-    return dedup_segments(
-        _docs(spark, sf_dir), segment_tokens=16, max_df=1
+    return _fence(
+        dedup_segments(_docs(spark, sf_dir), segment_tokens=16, max_df=1)
     ).orderBy("doc_id")
 
 
@@ -714,8 +720,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap): per-row sequence + posexplode, embarrassingly parallel."""
     from helix_html2md_spark.operators.packing import chunk_documents
 
-    return chunk_documents(
-        _docs(spark, sf_dir), chunk_tokens=512, overlap=64
+    return _fence(
+        chunk_documents(_docs(spark, sf_dir), chunk_tokens=512, overlap=64)
     ).orderBy("doc_id", "chunk_idx")
 
 
@@ -729,7 +735,7 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    return quantize_embeddings(emb).orderBy("vec_id")
+    return _fence(quantize_embeddings(emb)).orderBy("vec_id")
 
 
 def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +822,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (operators/corpus.py)."""
     from helix_html2md_spark.operators.corpus import tfidf_top_terms
 
-    return tfidf_top_terms(_docs(spark, sf_dir), k=5).orderBy(
+    return _fence(tfidf_top_terms(_docs(spark, sf_dir), k=5)).orderBy(
         "doc_id", "rank"
     )
 
@@ -834,11 +840,12 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.operators.corpus import gopher_filter
 
     out = gopher_filter(_docs(spark, sf_dir))
-    return out.select(
+    sel = out.select(
         "doc_id", "n_tokens", "mean_len_milli", "n_stop_distinct",
         "top_gram_ppm", "dup_gram_ppm",
         F.col("keep").cast("int").alias("keep_flag"), "reason",
-    ).orderBy("doc_id")
+    )
+    return _fence(sel).orderBy("doc_id")
 
 
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:

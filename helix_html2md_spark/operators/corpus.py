@@ -170,26 +170,104 @@ GOPHER_MIN_STOP_DISTINCT = 2    # >= 2 distinct stop words present
 _ngrams = token_ngrams
 
 
+def _run_starts(srt) -> "F.Column":
+    """Run-start indices (1-based) over a MATERIALIZED sorted-gram
+    column: index 1 plus every index whose gram differs from its
+    predecessor.  ``srt`` must be a plain column reference — lambda
+    bodies get no common-subexpression elimination, so an inlined sort
+    expression would re-sort per element (measured pathological)."""
+    m = F.size(srt)
+    # sequence(1, 0) would DESCEND for an empty array -> empty guard
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.filter(
+        idx,
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(srt, i) != F.element_at(srt, i - 1)
+        ),
+    )
+
+
+def _run_structs(srt, starts) -> "F.Column":
+    """Per-row gram frequency runs from MATERIALIZED sorted-gram and
+    run-start columns: one struct(cnt, cov) per DISTINCT gram, where
+    ``cnt`` is its occurrence count and ``cov = cnt * length(gram)``
+    its character coverage (both long — the ppm arithmetic multiplies
+    by 1e6, which overflows int32 under ANSI).
+
+    This is the zero-shuffle replacement for explode ->
+    groupBy(doc_id, gram): the counts are per-document, so a native
+    in-row ``array_sort`` plus run-length reads produce the identical
+    multiset of (cnt, cov) pairs without the gram text ever leaving
+    the row.  Both arguments must be column REFERENCES (see
+    _run_starts) — per-element lambda evaluation would otherwise
+    re-execute the whole sort/filter pipeline for every run."""
+    m = F.size(srt)
+
+    def _one(s, j):
+        # try_element_at: the last run has no successor and ANSI
+        # element_at raises past the end instead of returning NULL
+        nxt = F.coalesce(F.try_element_at(starts, j + 2), m + 1)
+        cnt = (nxt - s).cast("long")
+        cov = cnt * F.length(F.element_at(srt, s))
+        return F.struct(cnt.alias("cnt"), cov.alias("cov"))
+
+    return F.transform(starts, _one)
+
+
+def _coverage_stage(df: DataFrame, toks, ns: "list[int]") -> DataFrame:
+    """Append materialized sorted-gram + run-start columns for each
+    gram size in ``ns``: ``_srt{n}`` and ``_st{n}``.  Two withColumn
+    stages so every lambda below reads stored arrays, never an inlined
+    rebuild (CollapseProject keeps multi-referenced non-cheap aliases
+    in their own Project — the module-wide discipline)."""
+    for n in ns:
+        df = df.withColumn(f"_srt{n}", F.array_sort(_ngrams(toks, n)))
+    for n in ns:
+        df = df.withColumn(f"_st{n}", _run_starts(F.col(f"_srt{n}")))
+    return df
+
+
+def _top_cov(n: int) -> "F.Column":
+    """Most-frequent-gram coverage off the staged ``_srt{n}``/``_st{n}``
+    columns (tie-break: largest coverage — the lexicographic
+    struct(cnt, cov) max, identical to the old aggregation form; NULL
+    for gram-less documents, the join-miss twin)."""
+    runs = _run_structs(F.col(f"_srt{n}"), F.col(f"_st{n}"))
+    return F.array_max(runs).getField("cov")
+
+
+def _dup_cov(n: int) -> "F.Column":
+    """Summed coverage of duplicated (cnt >= 2) grams off the staged
+    columns."""
+    runs = _run_structs(F.col(f"_srt{n}"), F.col(f"_st{n}"))
+    return F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.when(r["cnt"] >= 2, r["cov"]).otherwise(F.lit(0)),
+    )
+
+
 def _token_base(docs: DataFrame) -> DataFrame:
-    """Persisted ``(doc_id, toks, n_chars)`` base: tokenize ONCE and
-    materialize, so every consumer reads the token column instead of
-    re-running the regexp split (and so repeated references to ``toks``
-    in one select read a stored array rather than inlining the
-    tokenizer per reference)."""
+    """``(doc_id, toks, n_chars)`` base: tokenize ONCE into a stored
+    column, so repeated references to ``toks`` in one select read a
+    stored array rather than inlining the tokenizer per reference.
+    No longer persisted (round 6): the per-row coverage rewrite left
+    both consumers single-pass, so the cache materialization was pure
+    overhead (the old explode pipelines read the base several times)."""
     # NULL text (a failed extraction) coalesces to '' HERE, once, so
     # every downstream rule sees 0 tokens / 0 chars instead of NULL
     # conditions that F.when() silently falls through (a null-text doc
     # must be judged, not waved past the quality gate) — the zeros
     # contract every sibling operator documents
     txt = F.coalesce(F.col("text"), F.lit(""))
-    base = docs.select(
+    return docs.select(
         "doc_id",
         tokens(txt).alias("toks"),
         char_count(txt).alias("n_chars"),
     )
-    base = base.persist()
-    _PERSISTED.append(base)
-    return base
 
 
 def repetition_stats(
@@ -216,51 +294,27 @@ def repetition_stats(
     keep decisions built on these numbers must be bit-portable across
     engines (see tfidf's quantized idf for the same discipline).
 
-    Scale shape: one tokenize, two explode -> map-side-combinable
-    ``(doc_id, gram)`` counts -> per-doc aggregation.  Shuffle keys
-    carry the doc_id, so no gram (stopword pairs included) can funnel
-    one task; fan-out is bounded by tokens-per-document.
+    Scale shape (round 6): ZERO shuffle.  Gram frequencies are a
+    PER-DOCUMENT statistic, so they never needed the explode ->
+    groupBy(doc_id, gram) -> groupBy(doc_id) -> join-back plumbing the
+    first implementation used (two full gram-table shuffles plus two
+    doc_id joins): each row sorts its own gram array and reads run
+    lengths off the sorted array.  Work per row is one O(g log g)
+    native array sort + three linear passes — bounded by document
+    length, embarrassingly parallel, and the gram text never leaves
+    the row.
     """
-    # feeds both gram pipelines + the final join: the persisted base
-    # breaks the diamond (gopher_filter passes its own so the whole
-    # filter tokenizes the corpus exactly once)
     base = _base if _base is not None else _token_base(docs)
-
-    def coverage(n: int, top_alias: str, dup_alias: str) -> DataFrame:
-        grams = base.select(
-            "doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("gram")
-        )
-        counts = grams.groupBy("doc_id", "gram").agg(
-            F.count("*").alias("cnt")
-        )
-        cov = (F.col("cnt") * F.length("gram")).alias("cov")
-        return counts.groupBy("doc_id").agg(
-            F.max(F.struct(F.col("cnt").alias("cnt"), cov))
-            .getField("cov")
-            .alias(top_alias),
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
-                .otherwise(F.lit(0))
-            ).alias(dup_alias),
-        )
-
-    top_cov = coverage(top_n, "top_chars", "_dup_at_top_n")
-    dup_cov = (
-        top_cov.select("doc_id", F.col("_dup_at_top_n").alias("dup_chars"))
-        if dup_n == top_n
-        else coverage(dup_n, "_top_at_dup_n", "dup_chars").select(
-            "doc_id", "dup_chars"
-        )
-    )
-    out = (
-        base.select(
-            "doc_id", F.size("toks").alias("n_tokens"), "n_chars"
-        )
-        .join(top_cov.select("doc_id", "top_chars"), "doc_id", "left")
-        .join(dup_cov, "doc_id", "left")
-    )
+    ns = [top_n] if dup_n == top_n else [top_n, dup_n]
+    staged = _coverage_stage(base, F.col("toks"), ns)
     ppm = "least(1000000, (1000000 * coalesce({c}, 0)) div greatest(n_chars, 1))"
-    return out.select(
+    return staged.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "n_chars",
+        _top_cov(top_n).alias("top_chars"),
+        _dup_cov(dup_n).alias("dup_chars"),
+    ).select(
         "doc_id",
         "n_tokens",
         "n_chars",
@@ -284,15 +338,21 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     duplicated 5-grams cover <= 15% of characters.
     """
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    # ONE tokenize for the whole filter: the persisted base feeds the
-    # per-doc metrics here AND both of repetition_stats' gram
-    # pipelines — and its stored `toks` column means the three
-    # references below read an array, not three inlined regexp splits
+    # ONE tokenize for the whole filter, and since round 6 ZERO
+    # shuffle end-to-end: the repetition metrics are per-row run-length
+    # reads (coverage_cols), so the whole verdict is a single
+    # projection over the materialized token column — no gram explode,
+    # no doc_id joins, no persisted intermediate.  (The base is still
+    # _token_base so the stored `toks` array is computed once per row;
+    # its persist is released by the caller as before.)
     base = _token_base(docs)
     toks = F.col("toks")
-    per_doc = base.select(
+    staged = _coverage_stage(base, toks, [2, 5])
+    ppm = "least(1000000, (1000000 * coalesce({c}, 0)) div greatest(n_chars, 1))"
+    j = staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        "n_chars",
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
         ).alias("sum_tok_chars"),
@@ -301,13 +361,17 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
                 F.filter(toks, lambda w: F.array_contains(stop, w))
             )
         ).alias("n_stop_distinct"),
-    )
-    rep = repetition_stats(docs, _base=base)
-    j = per_doc.join(
-        rep.select("doc_id", "top_gram_ppm", "dup_gram_ppm"), "doc_id"
-    ).withColumn(
-        "mean_len_milli",
-        F.expr("(1000 * sum_tok_chars) div greatest(n_tokens, 1)"),
+        _top_cov(2).alias("top_chars"),
+        _dup_cov(5).alias("dup_chars"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_stop_distinct",
+        F.expr(ppm.format(c="top_chars")).alias("top_gram_ppm"),
+        F.expr(ppm.format(c="dup_chars")).alias("dup_gram_ppm"),
+        F.expr(
+            "(1000 * sum_tok_chars) div greatest(n_tokens, 1)"
+        ).alias("mean_len_milli"),
     )
     rules = [
         ("too_few_tokens", F.col("n_tokens") < GOPHER_MIN_TOKENS),

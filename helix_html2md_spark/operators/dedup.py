@@ -610,12 +610,17 @@ def dedup_segments(
     kept_md5 of the empty string): a reassembling pipeline must not
     lose documents just because they were empty.
 
-    Scale shape: one posexplode (fan-out bounded by n_tokens/segment),
-    one groupBy on the segment hash for doc-frequency (uniform md5 key —
-    no skew), one equi-join back on the hash (both sides shuffled on the
-    same key, so AQE can co-locate), one groupBy(doc_id) to reassemble.
-    The doc-frequency table carries (hash, df) only — bytes per distinct
-    segment, never the text.
+    Scale shape (round 6): the segment TEXT never leaves its document
+    row.  Segments and their md5s are built per-row as arrays; only the
+    slim ``(doc_id, seg_md5)`` pairs explode into the doc-frequency
+    aggregation (uniform md5 key — no skew), the over-frequent hashes
+    come back as one small per-doc dropped-set via a semi-join +
+    collect_set, and a single doc_id join attaches those sets for an
+    in-row filter + reassembly.  The first implementation shuffled the
+    full segment text twice (hash equi-join + reassembly groupBy) and
+    needed a persisted segment table plus a separate union branch for
+    token-less documents; now one join carries the text, there is no
+    persist, and every document flows through the one path.
     """
     toks = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
     n = F.size("_t")
@@ -627,89 +632,73 @@ def dedup_segments(
         ),
         F.lit(segment_tokens),
     )
-    from pyspark.storagelevel import StorageLevel
-
-    segs = (
-        toks.filter(n > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    starts,
-                    lambda s: F.array_join(
-                        F.slice(
-                            "_t",
-                            s + 1,
-                            F.least(
-                                s + segment_tokens, F.size("_t")
-                            ) - s,
-                        ),
-                        " ",
-                    ),
-                )
-            ).alias("seg_idx", "seg"),
-        )
-        .withColumn("seg_md5", F.md5("seg"))
-        # segs feeds BOTH the doc-frequency aggregate and the join back;
-        # without pinning, branch-specific column pruning defeats
-        # ReusedExchange and the tokenize+explode pipeline runs twice
-        # (the diamond-recompute failure mode the LSH operators hit in
-        # round 1).  Released by the caller via release_persisted().
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _PERSISTED.append(segs)
-    df_counts = segs.groupBy("seg_md5").agg(
-        F.countDistinct("doc_id").alias("_df")
-    )
-    kept = (
-        segs.join(df_counts, "seg_md5")
-        .withColumn("_keep", F.col("_df") <= max_df)
-    )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_segments"),
-            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep"),
-                                F.struct("seg_idx", "seg"),
-                            )
-                        )
-                    ),
-                    lambda st: st["seg"],
+    segs_arr = F.when(
+        n > 0,
+        F.transform(
+            starts,
+            lambda s: F.array_join(
+                F.slice(
+                    "_t",
+                    s + 1,
+                    F.least(s + segment_tokens, F.size("_t")) - s,
                 ),
                 " ",
-            ).alias("kept_text"),
-        )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.storagelevel import StorageLevel
+
+    # _segs materialized once per row; _md5s in its own projection so
+    # the explode below and the keep-filter later share it.  base feeds
+    # THREE consumers (df-count explode, semi-join probe, final join) —
+    # persist breaks the diamond exactly like the old exploded segment
+    # table did, but stores one row per document instead of one per
+    # segment.  Released by the caller via release_persisted().
+    base = (
+        toks.select("doc_id", segs_arr.alias("_segs"))
         .select(
-            "doc_id",
-            "n_segments",
-            "n_kept",
-            F.length("kept_text").alias("kept_len"),
-            F.md5("kept_text").alias("kept_md5"),
+            "doc_id", "_segs", F.transform("_segs", F.md5).alias("_md5s")
         )
-        # token-less documents never reach the posexplode; re-derive
-        # them with the SAME predicate the segment path used
-        # (size(tokens)=0, null-safe).  NOT F.trim: Spark trim strips
-        # only ASCII spaces, so a "\t\n" document would be token-less
-        # (excluded from the segment path) yet fail a trim-based
-        # predicate and vanish from the output entirely.
-        .unionByName(
-            docs.filter(
-                F.col("text").isNull()
-                | (F.size(tokens(F.col("text"))) == 0)
-            ).select(
-                "doc_id",
-                F.lit(0).cast("long").alias("n_segments"),
-                F.lit(0).cast("long").alias("n_kept"),
-                F.lit(0).alias("kept_len"),
-                F.md5(F.lit("")).alias("kept_md5"),
-            )
-        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(base)
+    slim = base.select("doc_id", F.explode("_md5s").alias("seg_md5"))
+    over = (
+        slim.groupBy("seg_md5")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("seg_md5")
+    )
+    dropped = (
+        slim.join(over, "seg_md5", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("seg_md5").alias("_dropped"))
+    )
+    joined = base.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        "_segs",
+        "_md5s",
+        F.coalesce("_dropped", F.array().cast("array<string>")).alias(
+            "_drop"
+        ),
+    )
+    kept = F.filter(
+        F.col("_segs"),
+        lambda s, i: ~F.array_contains(
+            F.col("_drop"), F.element_at(F.col("_md5s"), i + 1)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_segs").cast("long").alias("n_segments"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
+    ).select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        F.length("kept_text").alias("kept_len"),
+        F.md5("kept_text").alias("kept_md5"),
     )
 
 

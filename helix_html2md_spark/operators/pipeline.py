@@ -48,8 +48,13 @@ def clean_corpus(
     featured = (
         docs.withColumn("_toks", tokens(c))
         .select(
+            # NOT "text": the dedup window below shuffles every
+            # surviving row, and the output never reads the document
+            # body — carrying it through the exchange multiplied the
+            # shuffle by the corpus payload for nothing (guide §2.3:
+            # project before the exchange).  content_hash is computed
+            # here, before the text column is dropped.
             "doc_id",
-            "text",
             _nsize(t).alias("n_tokens"),
             _mean_token_len_t(t).alias("mean_token_len"),
             _unique_ratio_t(t).alias("unique_ratio"),
