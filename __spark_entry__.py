@@ -196,7 +196,9 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (distinct token sets):
+    # no per-pair union array materialization
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     out = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),

@@ -170,104 +170,131 @@ GOPHER_MIN_STOP_DISTINCT = 2    # >= 2 distinct stop words present
 _ngrams = token_ngrams
 
 
-def _run_starts(srt) -> "F.Column":
-    """Run-start indices (1-based) over a MATERIALIZED sorted-gram
-    column: index 1 plus every index whose gram differs from its
-    predecessor.  ``srt`` must be a plain column reference — lambda
-    bodies get no common-subexpression elimination, so an inlined sort
-    expression would re-sort per element (measured pathological)."""
-    m = F.size(srt)
-    # sequence(1, 0) would DESCEND for an empty array -> empty guard
-    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
-        F.array().cast("array<int>")
+def _gram_coverage(toks, n: int) -> "F.Column":
+    """struct(top, dup) Gopher coverage over a token-array column via a
+    SINGLE in-row fold over the sorted gram array.
+
+    ``top`` = coverage of the most frequent ``n``-gram (cnt * length,
+    lexicographic (cnt, cov) max — the tie-break of the old
+    aggregation form; NULL for gram-less docs, its join-miss twin);
+    ``dup`` = summed coverage of duplicated (cnt >= 2) grams.  All
+    longs — the ppm arithmetic multiplies by 1e6, past int32.
+
+    Shape rules (both measured, both load-bearing):
+
+    * zero shuffle — gram frequencies are per-document, so the explode
+      -> groupBy(doc_id, gram) -> groupBy -> join-back plumbing (two
+      corpus-sized gram shuffles) is unnecessary; a native array_sort
+      plus one linear fold reads the identical (cnt, cov) multiset off
+      the row.
+    * the fold's lambda touches ONLY its accumulator and element —
+      never an outer array.  Lambda bodies get no common-subexpression
+      elimination, and filter-pushdown INLINES projected expressions
+      into consumer predicates (e.g. ``verdicts.filter("keep")``), so
+      any ``element_at(<staged array>, i)`` inside a lambda turns into
+      a full re-sort per element after inlining (a measured hang, not
+      a slowdown).  With the fold, the sorted input is the aggregate's
+      argument and evaluates exactly once wherever the expression
+      lands.
+    """
+    srt = F.array_sort(_ngrams(toks, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("cnt"),
+        F.lit(None).cast("long").alias("bcnt"),
+        F.lit(None).cast("long").alias("bcov"),
+        zero.alias("dup"),
     )
-    return F.filter(
-        idx,
-        lambda i: F.when(i == 1, F.lit(True)).otherwise(
-            F.element_at(srt, i) != F.element_at(srt, i - 1)
-        ),
-    )
 
+    def _close(acc):
+        """Fold the open run into (bcnt, bcov, dup)."""
+        cov = acc["cnt"] * F.length(acc["prev"])
+        better = (
+            acc["bcnt"].isNull()
+            | (acc["cnt"] > acc["bcnt"])
+            | ((acc["cnt"] == acc["bcnt"]) & (cov > acc["bcov"]))
+        )
+        return (
+            F.when(better, acc["cnt"]).otherwise(acc["bcnt"]),
+            F.when(better, cov).otherwise(acc["bcov"]),
+            acc["dup"]
+            + F.when(acc["cnt"] >= 2, cov).otherwise(zero),
+        )
 
-def _run_structs(srt, starts) -> "F.Column":
-    """Per-row gram frequency runs from MATERIALIZED sorted-gram and
-    run-start columns: one struct(cnt, cov) per DISTINCT gram, where
-    ``cnt`` is its occurrence count and ``cov = cnt * length(gram)``
-    its character coverage (both long — the ppm arithmetic multiplies
-    by 1e6, which overflows int32 under ANSI).
+    def merge(acc, x):
+        nbcnt, nbcov, ndup = _close(acc)
+        one = F.lit(1).cast("long")
+        return (
+            F.when(
+                (acc["cnt"] > 0) & (x == acc["prev"]),
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["cnt"] + 1).alias("cnt"),
+                    acc["bcnt"].alias("bcnt"),
+                    acc["bcov"].alias("bcov"),
+                    acc["dup"].alias("dup"),
+                ),
+            )
+            .when(
+                acc["cnt"] == 0,
+                F.struct(
+                    x.alias("prev"),
+                    one.alias("cnt"),
+                    acc["bcnt"].alias("bcnt"),
+                    acc["bcov"].alias("bcov"),
+                    acc["dup"].alias("dup"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    one.alias("cnt"),
+                    nbcnt.alias("bcnt"),
+                    nbcov.alias("bcov"),
+                    ndup.alias("dup"),
+                )
+            )
+        )
 
-    This is the zero-shuffle replacement for explode ->
-    groupBy(doc_id, gram): the counts are per-document, so a native
-    in-row ``array_sort`` plus run-length reads produce the identical
-    multiset of (cnt, cov) pairs without the gram text ever leaving
-    the row.  Both arguments must be column REFERENCES (see
-    _run_starts) — per-element lambda evaluation would otherwise
-    re-execute the whole sort/filter pipeline for every run."""
-    m = F.size(srt)
+    def finish(acc):
+        nbcnt, nbcov, ndup = _close(acc)
+        return F.struct(
+            F.when(acc["cnt"] > 0, nbcov)
+            .otherwise(acc["bcov"])
+            .alias("top"),
+            F.when(acc["cnt"] > 0, ndup)
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
 
-    def _one(s, j):
-        # try_element_at: the last run has no successor and ANSI
-        # element_at raises past the end instead of returning NULL
-        nxt = F.coalesce(F.try_element_at(starts, j + 2), m + 1)
-        cnt = (nxt - s).cast("long")
-        cov = cnt * F.length(F.element_at(srt, s))
-        return F.struct(cnt.alias("cnt"), cov.alias("cov"))
-
-    return F.transform(starts, _one)
-
-
-def _coverage_stage(df: DataFrame, toks, ns: "list[int]") -> DataFrame:
-    """Append materialized sorted-gram + run-start columns for each
-    gram size in ``ns``: ``_srt{n}`` and ``_st{n}``.  Two withColumn
-    stages so every lambda below reads stored arrays, never an inlined
-    rebuild (CollapseProject keeps multi-referenced non-cheap aliases
-    in their own Project — the module-wide discipline)."""
-    for n in ns:
-        df = df.withColumn(f"_srt{n}", F.array_sort(_ngrams(toks, n)))
-    for n in ns:
-        df = df.withColumn(f"_st{n}", _run_starts(F.col(f"_srt{n}")))
-    return df
-
-
-def _top_cov(n: int) -> "F.Column":
-    """Most-frequent-gram coverage off the staged ``_srt{n}``/``_st{n}``
-    columns (tie-break: largest coverage — the lexicographic
-    struct(cnt, cov) max, identical to the old aggregation form; NULL
-    for gram-less documents, the join-miss twin)."""
-    runs = _run_structs(F.col(f"_srt{n}"), F.col(f"_st{n}"))
-    return F.array_max(runs).getField("cov")
-
-
-def _dup_cov(n: int) -> "F.Column":
-    """Summed coverage of duplicated (cnt >= 2) grams off the staged
-    columns."""
-    runs = _run_structs(F.col(f"_srt{n}"), F.col(f"_st{n}"))
-    return F.aggregate(
-        runs,
-        F.lit(0).cast("long"),
-        lambda acc, r: acc
-        + F.when(r["cnt"] >= 2, r["cov"]).otherwise(F.lit(0)),
-    )
+    return F.aggregate(srt, init, merge, finish)
 
 
 def _token_base(docs: DataFrame) -> DataFrame:
-    """``(doc_id, toks, n_chars)`` base: tokenize ONCE into a stored
-    column, so repeated references to ``toks`` in one select read a
-    stored array rather than inlining the tokenizer per reference.
-    No longer persisted (round 6): the per-row coverage rewrite left
-    both consumers single-pass, so the cache materialization was pure
-    overhead (the old explode pipelines read the base several times)."""
+    """Persisted ``(doc_id, toks, n_chars)`` base: tokenize ONCE and
+    materialize, so repeated references to ``toks`` read a stored array
+    rather than inlining the tokenizer per reference.  The persist
+    stays even though the round-6 per-row coverage rewrite made the
+    filter itself single-pass: in COMPOSED pipelines the verdict table
+    is consumed via semi-joins whose downstream stages re-execute their
+    whole unpersisted prefix (each stage references its input twice —
+    data side and keep-id side — so re-execution compounds per stage);
+    the cache is the memoization point that keeps that affordable."""
     # NULL text (a failed extraction) coalesces to '' HERE, once, so
     # every downstream rule sees 0 tokens / 0 chars instead of NULL
     # conditions that F.when() silently falls through (a null-text doc
     # must be judged, not waved past the quality gate) — the zeros
     # contract every sibling operator documents
     txt = F.coalesce(F.col("text"), F.lit(""))
-    return docs.select(
+    base = docs.select(
         "doc_id",
         tokens(txt).alias("toks"),
         char_count(txt).alias("n_chars"),
     )
+    base = base.persist()
+    _PERSISTED.append(base)
+    return base
 
 
 def repetition_stats(
@@ -305,15 +332,14 @@ def repetition_stats(
     the row.
     """
     base = _base if _base is not None else _token_base(docs)
-    ns = [top_n] if dup_n == top_n else [top_n, dup_n]
-    staged = _coverage_stage(base, F.col("toks"), ns)
+    toks = F.col("toks")
     ppm = "least(1000000, (1000000 * coalesce({c}, 0)) div greatest(n_chars, 1))"
-    return staged.select(
+    return base.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
         "n_chars",
-        _top_cov(top_n).alias("top_chars"),
-        _dup_cov(dup_n).alias("dup_chars"),
+        _gram_coverage(toks, top_n)["top"].alias("top_chars"),
+        _gram_coverage(toks, dup_n)["dup"].alias("dup_chars"),
     ).select(
         "doc_id",
         "n_tokens",
@@ -347,9 +373,8 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     # its persist is released by the caller as before.)
     base = _token_base(docs)
     toks = F.col("toks")
-    staged = _coverage_stage(base, toks, [2, 5])
     ppm = "least(1000000, (1000000 * coalesce({c}, 0)) div greatest(n_chars, 1))"
-    j = staged.select(
+    j = base.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         "n_chars",
@@ -361,8 +386,8 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
                 F.filter(toks, lambda w: F.array_contains(stop, w))
             )
         ).alias("n_stop_distinct"),
-        _top_cov(2).alias("top_chars"),
-        _dup_cov(5).alias("dup_chars"),
+        _gram_coverage(toks, 2)["top"].alias("top_chars"),
+        _gram_coverage(toks, 5)["dup"].alias("dup_chars"),
     ).select(
         "doc_id",
         "n_tokens",

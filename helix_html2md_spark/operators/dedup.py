@@ -269,7 +269,10 @@ def jaccard_verified_pairs(
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size(F.array_union("_ta", "_tb"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (both arrays are distinct
+    # sets by construction): arithmetic instead of materializing a
+    # union array per candidate pair
+    union = F.size("_ta") + F.size("_tb") - inter
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
