@@ -83,8 +83,14 @@ def _fence(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _docs(spark, sf_dir):
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+def _docs(spark, sf_dir, spread: bool = True):
+    """Documents table; ``spread=False`` for queries whose per-row work
+    is trivial (one md5 / one string compare) — for those the pinned
+    repartition is pure overhead (same-weather A/B: exact_dedup 0.75
+    -> 1.31 s, corpus_mix 0.41 -> 0.66 s with the fan-out; both back
+    at parity without it)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df) if spread else df
 
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +116,7 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.operators.dedup import exact_dup_stats
 
-    return exact_dup_stats(_docs(spark, sf_dir))
+    return exact_dup_stats(_docs(spark, sf_dir, spread=False))
 
 
 def q_minhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +519,10 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     half, quarter, drop-all (0), and the 32/256 default."""
     from helix_html2md_spark.operators.corpus import mix_corpus
 
-    mixed = mix_corpus(_docs(spark, sf_dir), _MIX_WEIGHTS, default=_MIX_DEFAULT)
+    mixed = mix_corpus(
+        _docs(spark, sf_dir, spread=False), _MIX_WEIGHTS,
+        default=_MIX_DEFAULT,
+    )
     return (
         mixed.groupBy("source")
         .agg(
