@@ -134,13 +134,13 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         fingerprint(F.col("text")).alias("fingerprint"),
     )
-    return _fence(out).orderBy("doc_id")
+    return out.orderBy("doc_id")
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from helix_html2md_spark.functions.text import quality_features
 
-    return _fence(quality_features(_docs(spark, sf_dir))).orderBy("doc_id")
+    return quality_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +210,7 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
-    return _fence(out).orderBy("doc_a")
+    return out.orderBy("doc_a")
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +258,7 @@ def q_minhash_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_b").alias("min_doc_b"),
         F.max("doc_b").alias("max_doc_b"),
     )
-    return _fence(out).orderBy("doc_a")
+    return out.orderBy("doc_a")
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +275,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hamming").cast("int").alias("min_hamming"),
         F.max("hamming").cast("int").alias("max_hamming"),
     )
-    return _fence(agg).orderBy("doc_a")
+    return agg.orderBy("doc_a")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +300,7 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_b").alias("min_doc_b"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
-    return _fence(agg).orderBy("doc_a")
+    return agg.orderBy("doc_a")
 
 
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,14 +335,14 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(nonws).alias("n_bpe_tokens"),
         F.md5(F.array_join(nonws, "|")).alias("stream_md5"),
     )
-    return _fence(out).orderBy("doc_id")
+    return out.orderBy("doc_id")
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-cleaning pipeline: quality gates + exact dedup."""
     from helix_html2md_spark.operators.pipeline import clean_corpus
 
-    return _fence(clean_corpus(_docs(spark, sf_dir))).orderBy("doc_id")
+    return clean_corpus(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 _N_PLANES, _EMB_DIM = 4, 64
@@ -364,7 +364,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_b").alias("min_vec_b"),
         F.round(F.max("cosine"), 6).alias("max_cosine"),
     )
-    return _fence(agg).orderBy("vec_a")
+    return agg.orderBy("vec_a")
 
 
 _IVF_SEEDS, _IVF_NPROBE = 16, 4
@@ -686,8 +686,8 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash groupBy + equi-join + ordered re-agg), exact SQL oracle."""
     from helix_html2md_spark.operators.dedup import dedup_segments
 
-    return _fence(
-        dedup_segments(_docs(spark, sf_dir), segment_tokens=16, max_df=1)
+    return dedup_segments(
+        _docs(spark, sf_dir), segment_tokens=16, max_df=1
     ).orderBy("doc_id")
 
 
@@ -731,8 +731,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap): per-row sequence + posexplode, embarrassingly parallel."""
     from helix_html2md_spark.operators.packing import chunk_documents
 
-    return _fence(
-        chunk_documents(_docs(spark, sf_dir), chunk_tokens=512, overlap=64)
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=512, overlap=64
     ).orderBy("doc_id", "chunk_idx")
 
 
@@ -746,7 +746,7 @@ def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    return _fence(quantize_embeddings(emb)).orderBy("vec_id")
+    return quantize_embeddings(emb).orderBy("vec_id")
 
 
 def q_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,7 +833,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (operators/corpus.py)."""
     from helix_html2md_spark.operators.corpus import tfidf_top_terms
 
-    return _fence(tfidf_top_terms(_docs(spark, sf_dir), k=5)).orderBy(
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5).orderBy(
         "doc_id", "rank"
     )
 
