@@ -235,74 +235,127 @@ _RAWTEXT_END = {
 }
 
 
-def _fast_parse(html: str) -> Element:
-    import html as H
+# tags for which _fast_parse must run the implied-close scan at all —
+# everything else skips both _close_implied lookups (hot path)
+_IMPLIED_ANY = _P_CLOSERS | set(_IMPLIED_CLOSE)
 
-    unescape = H.unescape
-    builder = _TreeBuilder()
-    root = builder.root
+from html import unescape as _unescape  # noqa: E402 - hot-path binding
+
+
+def _fast_parse(html: str) -> Element:
+    # The tree-building is inlined (no _TreeBuilder method dispatch, no
+    # re-lowercasing of the already-lowered tag name): byte-identical
+    # trees to parse_html_stdlib, pinned by tests/test_fast_parser.py.
+    unescape = _unescape
+    tag_match = _TAG_RE.match
+    attr_finditer = _ATTR_RE.finditer
+    find = html.find
+    # slot-direct construction (no __init__ frame, no dict(attrs) copy)
+    element_new = Element.__new__
+    root = Element("#root")
+    stack = [root]
     pos = 0
     n = len(html)
     while pos < n:
-        lt = html.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             data = html[pos:]
             if data:
-                builder.handle_data(unescape(data) if "&" in data else data)
+                stack[-1].children.append(
+                    Text(unescape(data) if "&" in data else data)
+                )
             break
         if lt > pos:
             data = html[pos:lt]
-            builder.handle_data(unescape(data) if "&" in data else data)
-        m = _TAG_RE.match(html, lt)
+            stack[-1].children.append(
+                Text(unescape(data) if "&" in data else data)
+            )
+        m = tag_match(html, lt)
         if not m:
             # stray '<' treated as text (lenient)
-            builder.handle_data("<")
+            stack[-1].children.append(Text("<"))
             pos = lt + 1
             continue
         pos = m.end()
-        name = m.group("name")
+        # groups by index (5=close, 6=name, 7=attrs), one call
+        close, name, raw_attrs = m.group(5, 6, 7)
         if not name:
             continue  # comment/decl/pi dropped
         name = name.lower()
-        if m.group("close"):
-            builder.handle_endtag(name)
+        if close:
+            # -- end tag (inline of _TreeBuilder.handle_endtag) --------
+            if name not in VOID:
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == name:
+                        del stack[i:]
+                        break
+                # stray close tag: ignore
             continue
-        raw_attrs = m.group("attrs") or ""
-        attrs = []
+        # -- implied closes (inline of _TreeBuilder._close_implied) ----
+        if name in _IMPLIED_ANY:
+            if name in _P_CLOSERS:
+                for i in range(len(stack) - 1, 0, -1):
+                    t = stack[i].tag
+                    if t == "p":
+                        del stack[i:]
+                        break
+                    if t in ("td", "th", "li", "caption"):
+                        break
+            closes = _IMPLIED_CLOSE.get(name)
+            if closes:
+                # scan THROUGH open formatting elements (an unclosed <b>
+                # inside a cell must not defeat the implied td/tr/li
+                # close); anything non-formatting is a scope boundary
+                while True:
+                    i = len(stack) - 1
+                    while i > 0 and stack[i].tag in _FORMATTING:
+                        i -= 1
+                    if i > 0 and stack[i].tag in closes:
+                        del stack[i:]
+                        continue
+                    break
+        el = element_new(Element)
+        el.tag = name
+        el.attrs = attrs = {}
+        el.children = []
         last_end = 0
         if raw_attrs:
-            for am in _ATTR_RE.finditer(raw_attrs):
-                key = am.group(1).lower()
-                val = am.group(3)
-                if val is None:
-                    val = am.group(4)
-                if val is None:
-                    val = am.group(5)
+            for am in attr_finditer(raw_attrs):
+                key, dq, sq, uq = am.group(1, 3, 4, 5)
+                val = dq if dq is not None else (sq if sq is not None else uq)
                 if val is not None and "&" in val:
                     val = unescape(val)
-                attrs.append((key, val))
+                # dict insert keeps the LAST duplicate attr, matching
+                # _TreeBuilder's dict(attrs-list) construction
+                attrs[key.lower()] = val
                 last_end = am.end()
+        stack[-1].children.append(el)
         # self-closing ONLY when a '/' sits immediately before '>' AND is
         # not part of an unquoted attribute value (html.parser: the value
         # pattern consumes '/', the name pattern does not; '/ >' is NOT
         # self-closing) — so check what's left AFTER attribute parsing,
         # e.g. <a href=http://x/> is a plain start tag with the '/'
         # inside the value
-        self_closing = raw_attrs.endswith("/") and last_end < len(raw_attrs)
-        if self_closing:
-            builder.handle_startendtag(name, attrs)
+        if raw_attrs.endswith("/") and last_end < len(raw_attrs):
+            continue  # startend tag: appended but never pushed
+        if name in VOID:
             continue
-        builder.handle_starttag(name, attrs)
+        stack.append(el)
         if name in _RAWTEXT:
             em = _RAWTEXT_END[name].search(html, pos)
             if em is None:
-                builder.handle_data(html[pos:])
+                data = html[pos:]
+                if data:
+                    el.children.append(Text(data))
                 pos = n
             else:
                 end = em.start()
-                builder.handle_data(html[pos:end])
-                gt = html.find(">", end)
-                builder.handle_endtag(name)
+                data = html[pos:end]
+                if data:
+                    el.children.append(Text(data))
+                gt = find(">", end)
+                # inline handle_endtag(name): el is the top of stack
+                del stack[-1:]
                 pos = (gt + 1) if gt >= 0 else n
     return root
 

@@ -36,17 +36,25 @@ ATOM_SLACK = 10
 # ---------------------------------------------------------------------------
 
 _FENCE_RE = re.compile(r"^\s*(`{3,}|~{3,})")
+# a line can only match _FENCE_RE if it starts with whitespace, ` or ~
+# (str.isspace() and re's unicode \s agree char-for-char in CPython) —
+# checking the first char skips the regex for the typical prose line
+def _fence_match(line: str):
+    c = line[:1]
+    if c in "`~" or (c != "" and c.isspace()):
+        return _FENCE_RE.match(line)
+    return None
 _LIST_RE = re.compile(r"^(\s*)(-|\+|\*|\d+[.)])( +)")
 _QUOTE_RE = re.compile(r"^(> ?)+")
-
-
-def _strip_escapes(line: str) -> str:
-    return re.sub(r"\\.", "", line)
 
 
 # any char that could make a line unbreakable; plain word/space lines
 # (the overwhelming majority) short-circuit out
 _ATOMISH_RE = re.compile(r"[`<*#+|!\[\]]")
+
+
+_GRID_OPEN_RE = re.compile(r"^(\+[-=+|:xv^]|\|[-=+|: xv^])")
+_ESCAPE_RE = re.compile(r"\\.")
 
 
 def _is_atom_line(line: str, in_fence: bool) -> bool:
@@ -55,17 +63,21 @@ def _is_atom_line(line: str, in_fence: bool) -> bool:
     if not _ATOMISH_RE.search(line):
         return False
     s = line.lstrip()
-    body = _LIST_RE.sub("", line, count=1)
-    body = _QUOTE_RE.sub("", body, count=1)
     if s.startswith("#"):
         return True
     # nested gridtable line: '|' may be followed by a space (a content
     # row reads '| cell ...'), but '+' must abut a border char — a '+ '
     # opener is prose (e.g. a phone number), and classifying it atomic
     # would inflate the column to the full line length
-    if re.match(r"^(\+[-=+|:xv^]|\|[-=+|: xv^])", s):
+    if _GRID_OPEN_RE.match(s):
         return True
-    t = _strip_escapes(body)
+    # list/quote markers are not part of the body being classified
+    m = _LIST_RE.match(line)
+    body = line[m.end():] if m else line
+    q = _QUOTE_RE.match(body)
+    if q:
+        body = body[q.end():]
+    t = _ESCAPE_RE.sub("", body) if "\\" in body else body
     if "`" in t:
         return True
     if "](" in t or "![" in t or "<" in t:
@@ -77,6 +89,7 @@ def _is_atom_line(line: str, in_fence: bool) -> bool:
 
 
 _SPACE_SPLIT_RE = re.compile(r"( +)")
+_WORD_SPACE_RE = re.compile(r"([^ ]+)( *)")
 _STRONG_RUN_RE = re.compile(r"\*\*(?:[^*\\]|\\.)+\*\*")
 
 
@@ -95,10 +108,16 @@ def _tokenize(text: str, atom_limit: int):
     if hit is not None:
         return hit
     if "**" not in text:
-        # fast path: regex split yields the same word/space token stream
-        # as the char scanner; the merge step is shared
-        tokens = [p for p in _SPACE_SPLIT_RE.split(text) if p != ""]
-        out = _merge_tokens(tokens)
+        if text[:1] != " ":
+            # fastest path: with no leading space run and no ** atoms,
+            # the (word, space_after) pairs fall directly out of one
+            # finditer — identical to split + _merge_tokens
+            out = [m.group(1, 2) for m in _WORD_SPACE_RE.finditer(text)]
+        else:
+            # regex split yields the same word/space token stream as the
+            # char scanner; the merge step is shared
+            tokens = [p for p in _SPACE_SPLIT_RE.split(text) if p != ""]
+            out = _merge_tokens(tokens)
     else:
         out = _tokenize_slow(text, atom_limit)
     if len(_TOKENIZE_CACHE) >= 16384:
@@ -205,7 +224,7 @@ def min_content_width(lines: list[str], atom_limit: int, floor: int = 0) -> int:
     best = floor
     in_fence = False
     for line in lines:
-        fm = _FENCE_RE.match(line)
+        fm = _fence_match(line)
         if len(line) <= best:
             pass  # cannot raise the max
         elif _is_atom_line(line, in_fence):
@@ -229,13 +248,19 @@ def wrap_cell(lines: list[str], width: int, atom_limit: int) -> list[str]:
     joined before re-wrapping (soft line breaks re-flow, json-ld.md:3-8).
     Hard-break lines (ending ``\\``) stay separate.
     """
+    if len(lines) == 1 and len(lines[0]) <= width:
+        # single line that already fits: every branch below reproduces it
+        # verbatim (fence/atom/empty pass through; prefix+body re-concats;
+        # _wrap_text returns a fitting body unchanged — len(body) <=
+        # width - len(prefix) by construction)
+        return lines
     out: list[str] = []
     in_fence = False
     i = 0
     n = len(lines)
     while i < n:
         line = lines[i]
-        fm = _FENCE_RE.match(line)
+        fm = _fence_match(line)
         if fm:
             out.append(line)
             in_fence = not in_fence
@@ -265,7 +290,7 @@ def wrap_cell(lines: list[str], width: int, atom_limit: int) -> list[str]:
                 j + 1 < n
                 and lines[j + 1] != ""
                 and not lines[j].rstrip().endswith("\\")
-                and not _FENCE_RE.match(lines[j + 1])
+                and not _fence_match(lines[j + 1])
                 and not _is_atom_line(lines[j + 1], False)
                 and not _LIST_RE.match(lines[j + 1])
                 and not _QUOTE_RE.match(lines[j + 1])
@@ -496,13 +521,20 @@ def render_gridtable(table_node, render_cell) -> list[str]:
                 canvas[y][x] = left if left not in (None, " ") else right
 
     # --- vertical borders between cells in content rows ------------------
+    # border positions depend only on (r, j): compute once per row, then
+    # stamp every content line of the row
     for r in range(nrows):
+        border_xs = [
+            xs[j]
+            for j in range(ncols + 1)
+            if j == 0
+            or j == ncols
+            or occupied.get((r, j - 1)) is not occupied.get((r, j))
+        ]
         for yy in range(ys[r] + 1, ys[r + 1]):
-            for j in range(ncols + 1):
-                lcell = occ(r, j - 1) if j > 0 else None
-                rcell = occ(r, j) if j < ncols else None
-                if j == 0 or j == ncols or lcell is not rcell:
-                    canvas[yy][xs[j]] = "|"
+            row = canvas[yy]
+            for x in border_xs:
+                row[x] = "|"
 
     # --- alignment markers on the top border of aligned cells ------------
     for c in cells:
