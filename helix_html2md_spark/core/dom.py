@@ -70,8 +70,18 @@ class Element:
         return out
 
     def find(self, tag: str):
-        all_ = self.find_all(tag)
-        return all_[0] if all_ else None
+        # same BFS order as find_all, but stops at the first match
+        queue = deque((self,))
+        popleft = queue.popleft
+        append = queue.append
+        while queue:
+            n = popleft()
+            for c in n.children:
+                if isinstance(c, Element):
+                    if c.tag == tag:
+                        return c
+                    append(c)
+        return None
 
     def text_content(self) -> str:
         # DFS pre-order = DOCUMENT order: a BFS here moved nested-

@@ -228,14 +228,16 @@ def min_content_width(lines: list[str], atom_limit: int, floor: int = 0) -> int:
         if len(line) <= best:
             pass  # cannot raise the max
         elif _is_atom_line(line, in_fence):
-            best = max(best, len(line))
+            best = len(line)
         else:
             m = _LIST_RE.match(line)
             q = _QUOTE_RE.match(line)
             prefix = len(m.group(0)) if m else (len(q.group(0)) if q else 0)
             body = line[prefix:]
             for w, _sp in _tokenize(body, atom_limit):
-                best = max(best, prefix + len(w))
+                lw = prefix + len(w)
+                if lw > best:
+                    best = lw
         if fm:
             in_fence = not in_fence
     return best
@@ -421,7 +423,7 @@ def compute_widths(cells, ncols):
         if c.colspan == 1:
             wrap_w = max(share, col_mc[c.col])
             c.lines = wrap_cell(c.lines, wrap_w, atom_limit)
-            actual = max((len(l) for l in c.lines), default=0)
+            actual = max(map(len, c.lines), default=0)
             widths[c.col] = max(widths[c.col], actual, 1)
     # pass 2: spanning cells expand spanned columns sequentially
     # (blocks.md "Section Metadata" -> 7+6 over Style/dark)
@@ -431,7 +433,7 @@ def compute_widths(cells, ncols):
             mc = min_content_width(c.lines, atom_limit, floor=span_share)
             wrap_w = max(span_share, mc)
             c.lines = wrap_cell(c.lines, wrap_w, atom_limit)
-            actual = max((len(l) for l in c.lines), default=0)
+            actual = max(map(len, c.lines), default=0)
             rem = actual - 3 * (c.colspan - 1)
             for i, k in enumerate(range(c.col, c.col + c.colspan)):
                 left = c.colspan - i

@@ -38,7 +38,14 @@ def _int_attr(el: Element, name: str, default: int = 1) -> int:
     except (TypeError, ValueError):
         return default
 
+# collapse is a no-op unless the text has a non-space ws char or a
+# double space — skip the allocating sub for the typical value
+_WS_NEEDED_RE = re.compile(r"[\t\r\n\f]|  ")
+
+
 def collapse_ws(s: str) -> str:
+    if _WS_NEEDED_RE.search(s) is None:
+        return s
     return _WS_RE.sub(" ", s)
 
 
