@@ -264,6 +264,7 @@ def _fast_parse(html: str) -> Element:
     element_new = Element.__new__
     root = Element("#root")
     stack = [root]
+    top = root  # invariant: top is stack[-1]
     pos = 0
     n = len(html)
     while pos < n:
@@ -271,19 +272,19 @@ def _fast_parse(html: str) -> Element:
         if lt < 0:
             data = html[pos:]
             if data:
-                stack[-1].children.append(
+                top.children.append(
                     Text(unescape(data) if "&" in data else data)
                 )
             break
         if lt > pos:
             data = html[pos:lt]
-            stack[-1].children.append(
+            top.children.append(
                 Text(unescape(data) if "&" in data else data)
             )
         m = tag_match(html, lt)
         if not m:
             # stray '<' treated as text (lenient)
-            stack[-1].children.append(Text("<"))
+            top.children.append(Text("<"))
             pos = lt + 1
             continue
         pos = m.end()
@@ -291,13 +292,17 @@ def _fast_parse(html: str) -> Element:
         close, name, raw_attrs = m.group(5, 6, 7)
         if not name:
             continue  # comment/decl/pi dropped
-        name = name.lower()
+        if not name.islower():
+            # names start with a letter, so islower() is a pure
+            # already-lowercase test (no allocation on the common path)
+            name = name.lower()
         if close:
             # -- end tag (inline of _TreeBuilder.handle_endtag) --------
             if name not in VOID:
                 for i in range(len(stack) - 1, 0, -1):
                     if stack[i].tag == name:
                         del stack[i:]
+                        top = stack[-1]
                         break
                 # stray close tag: ignore
             continue
@@ -324,6 +329,7 @@ def _fast_parse(html: str) -> Element:
                         del stack[i:]
                         continue
                     break
+            top = stack[-1]
         el = element_new(Element)
         el.tag = name
         el.attrs = attrs = {}
@@ -335,11 +341,13 @@ def _fast_parse(html: str) -> Element:
                 val = dq if dq is not None else (sq if sq is not None else uq)
                 if val is not None and "&" in val:
                     val = unescape(val)
+                if not key.islower():
+                    key = key.lower()
                 # dict insert keeps the LAST duplicate attr, matching
                 # _TreeBuilder's dict(attrs-list) construction
-                attrs[key.lower()] = val
+                attrs[key] = val
                 last_end = am.end()
-        stack[-1].children.append(el)
+        top.children.append(el)
         # self-closing ONLY when a '/' sits immediately before '>' AND is
         # not part of an unquoted attribute value (html.parser: the value
         # pattern consumes '/', the name pattern does not; '/ >' is NOT
@@ -351,6 +359,7 @@ def _fast_parse(html: str) -> Element:
         if name in VOID:
             continue
         stack.append(el)
+        top = el
         if name in _RAWTEXT:
             em = _RAWTEXT_END[name].search(html, pos)
             if em is None:
@@ -365,7 +374,8 @@ def _fast_parse(html: str) -> Element:
                     el.children.append(Text(data))
                 gt = find(">", end)
                 # inline handle_endtag(name): el is the top of stack
-                del stack[-1:]
+                stack.pop()
+                top = stack[-1]
                 pos = (gt + 1) if gt >= 0 else n
     return root
 

@@ -89,6 +89,22 @@ def _walk_images(nodes):
                 yield from _walk_images(n["children"])
 
 
+def _count_images(nodes) -> int:
+    """len(list(_walk_images(nodes))) without the generator frames."""
+    count = 0
+    stack = [nodes]
+    pop = stack.pop
+    push = stack.append
+    while stack:
+        for n in pop():
+            if isinstance(n, dict):
+                if n["type"] == "image":
+                    count += 1
+                if "children" in n:
+                    push(n["children"])
+    return count
+
+
 class _ImageRegistry:
     """Image numbering shared across passes; dedup map is per-pass
     (images.md: body and metadata dedup separately, counter shared)."""
@@ -104,23 +120,32 @@ def _convert_images(nodes, registry, rewrite):
 
 
 def _convert(nodes, registry, rewrite, dedup):
-    for n in nodes:
-        if not isinstance(n, dict):
-            continue
-        if n["type"] == "image":
-            final = rewrite(n.get("url", ""))
-            if final in dedup:
-                ident = dedup[final]
-            else:
-                ident = f"image{registry.counter}"
-                registry.counter += 1
-                dedup[final] = ident
-                registry.definitions.append((ident, final))
-            alt = n.get("alt")
-            n.clear()
-            n.update({"type": "imageReference", "identifier": ident, "alt": alt})
-        elif "children" in n:
-            _convert(n["children"], registry, rewrite, dedup)
+    # iterative pre-order walk (identifier assignment stays in document
+    # order); a stack of live iterators replaces the recursion
+    stack = [iter(nodes)]
+    while stack:
+        for n in stack[-1]:
+            if not isinstance(n, dict):
+                continue
+            if n["type"] == "image":
+                final = rewrite(n.get("url", ""))
+                if final in dedup:
+                    ident = dedup[final]
+                else:
+                    ident = f"image{registry.counter}"
+                    registry.counter += 1
+                    dedup[final] = ident
+                    registry.definitions.append((ident, final))
+                alt = n.get("alt")
+                n.clear()
+                n.update(
+                    {"type": "imageReference", "identifier": ident, "alt": alt}
+                )
+            elif "children" in n:
+                stack.append(iter(n["children"]))
+                break
+        else:
+            stack.pop()
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +211,7 @@ def html2md(html: str, config: dict | None = None) -> str:
     n_meta_images = sum(
         1 for _, v in entries if isinstance(v, dict) and v.get("type") == "image"
     )
-    n_images = sum(1 for _ in _walk_images(body)) + n_meta_images
+    n_images = _count_images(body) + n_meta_images
     if n_images > max_images:
         raise TooManyImagesError(
             f"maximum number of images reached: {n_images} of {max_images} max."

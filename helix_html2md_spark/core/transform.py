@@ -670,6 +670,8 @@ def detab(value: str, size: int = 4) -> str:
     """Tab stops at columns == 1 (mod size), matching the reference's
     rendering of codeblock.html tabs (codeblock.md:17-27: ``\\t    `` -> 5
     spaces, ``    \\t\\t    `` -> 13 spaces)."""
+    if "\t" not in value:
+        return value  # split/join below is the identity without tabs
     out_lines = []
     for line in value.split("\n"):
         res = []
