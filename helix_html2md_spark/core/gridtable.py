@@ -29,6 +29,8 @@ import re
 
 LINE_WIDTH = 120
 ATOM_SLACK = 10
+# occupancy-grid key packing: (row << _OCC_SHIFT) | col
+_OCC_SHIFT = 32
 
 
 # ---------------------------------------------------------------------------
@@ -358,14 +360,17 @@ def layout_rows(table_node, render_cell):
                 rows.append((r, is_header))
             if is_header:
                 header_rows = len(rows)
-    # occupancy grid
-    occupied: dict[tuple[int, int], _Cell] = {}
+    # occupancy grid, keyed (row << _OCC_SHIFT) | col — int keys hash
+    # cheaper than tuples, and a 2**32-column table cannot physically
+    # exist under the html size gate
+    occupied: dict[int, _Cell] = {}
     cells: list[_Cell] = []
     ncols = 0
     for ri, (row, in_header) in enumerate(rows):
         ci = 0
+        base = ri << _OCC_SHIFT
         for cn in row.get("children", []):
-            while (ri, ci) in occupied:
+            while base | ci in occupied:
                 ci += 1
             cell = _Cell(cn, None, ri, ci, in_header)
             # a rowSpan reaching past the last table row is sloppy but
@@ -375,29 +380,32 @@ def layout_rows(table_node, render_cell):
             cell.rowspan = min(cell.rowspan, len(rows) - ri)
             cells.append(cell)
             for dr in range(cell.rowspan):
+                rbase = (ri + dr) << _OCC_SHIFT
                 for dc in range(cell.colspan):
-                    occupied[(ri + dr, ci + dc)] = cell
+                    occupied[rbase | (ci + dc)] = cell
             ci += cell.colspan
         ncols = max(ncols, ci)
     nrows = len(rows)
     # fill trailing gaps: rows with fewer cells -> last cell spans to end
     for ri in range(nrows):
         # find rightmost occupied col
+        base = ri << _OCC_SHIFT
         last = None
         for ci in range(ncols):
-            c = occupied.get((ri, ci))
+            c = occupied.get(base | ci)
             if c is not None:
                 last = c
         if last is not None and last.row == ri:
             end = last.col + last.colspan
             if end < ncols and all(
-                (ri + dr, cj) not in occupied
+                ((ri + dr) << _OCC_SHIFT) | cj not in occupied
                 for dr in range(last.rowspan)
                 for cj in range(end, ncols)
             ):
                 for dr in range(last.rowspan):
+                    rbase = (ri + dr) << _OCC_SHIFT
                     for cj in range(end, ncols):
-                        occupied[(ri + dr, cj)] = last
+                        occupied[rbase | cj] = last
                 last.colspan = ncols - last.col
     for c in cells:
         c.lines = render_cell(c.node)
@@ -479,7 +487,7 @@ def render_gridtable(table_node, render_cell) -> list[str]:
     def occ(r, c):
         if r < 0 or r >= nrows:
             return None
-        return occupied.get((r, c))
+        return occupied.get((r << _OCC_SHIFT) | c)
 
     # --- border lines (between row r-1 and r, for r in 0..nrows) ---------
     # Junction '+' positions come from the row BELOW the line (the row
@@ -526,12 +534,13 @@ def render_gridtable(table_node, render_cell) -> list[str]:
     # border positions depend only on (r, j): compute once per row, then
     # stamp every content line of the row
     for r in range(nrows):
+        base = r << _OCC_SHIFT
         border_xs = [
             xs[j]
             for j in range(ncols + 1)
             if j == 0
             or j == ncols
-            or occupied.get((r, j - 1)) is not occupied.get((r, j))
+            or occupied.get(base | (j - 1)) is not occupied.get(base | j)
         ]
         for yy in range(ys[r] + 1, ys[r + 1]):
             row = canvas[yy]
