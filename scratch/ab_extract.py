@@ -19,6 +19,11 @@ root = sys.argv[1]
 n_docs = int(sys.argv[2])
 n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 sys.path.insert(0, root)
+# the PYTHON WORKERS build sys.path from PYTHONPATH + cwd, NOT from the
+# driver's sys.path — without this the workers silently import whatever
+# library the cwd holds and the A/B compares a tree against itself
+os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get("PYTHONPATH", "")
+os.chdir("/")  # keep the cwd's library out of the workers' sys.path
 
 from helix_html2md_spark.session import build_session  # noqa: E402
 from helix_html2md_spark.sources.synthetic import (  # noqa: E402
@@ -54,6 +59,18 @@ def run_once() -> float:
     ).collect()
     return time.perf_counter() - t0
 
+
+# prove the WORKERS run the tree under test before timing anything
+def _probe(batches):
+    import helix_html2md_spark as h
+
+    import pandas as pd
+    for b in batches:
+        yield pd.DataFrame({"f": [h.__file__] * len(b)})
+
+
+wf = spark.range(1).toDF("x").mapInPandas(_probe, schema="f string").collect()
+assert wf[0]["f"].startswith(root), f"workers import {wf[0]['f']}, not {root}"
 
 run_once()  # warmup
 walls = [run_once() for _ in range(n_runs)]
